@@ -1,0 +1,99 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Semantic shims + determinism helpers (SURVEY.md §2.3/§7.3/§7.4).
+  *
+  * Traps handled here:
+  *  - DuckDB `EXTRACT(dow)` is Sunday=0..Saturday=6
+  *    (`/root/reference/src/models/dimensions.py:59`); Spark `dayofweek`
+  *    is Sunday=1..Saturday=7 → subtract 1.
+  *  - double SUM order differs across partitions → money sums go through
+  *    an exact DECIMAL(38,6) accumulator then back to double, so results
+  *    are bit-identical to a single-threaded oracle regardless of
+  *    partitioning/parallelism (SURVEY.md §7.4 float nondeterminism).
+  *  - `MODE()` ties are arbitrary in both engines → deterministic mode via
+  *    count desc / value asc `row_number` (SURVEY.md §2.5 G1).
+  */
+object Functions {
+
+  /** Day-of-week with DuckDB numbering: Sunday=0 .. Saturday=6. */
+  def dowSun0(d: Column): Column = dayofweek(d) - 1
+
+  /** Weekend test matching `EXTRACT(dow) IN (0, 6)` in the reference. */
+  def isWeekend(d: Column): Column = dayofweek(d).isin(1, 7)
+
+  /** ISO day-of-week, Monday=1 .. Sunday=7. */
+  def isoDow(d: Column): Column = ((dayofweek(d) + lit(5)) % 7) + 1
+
+  /** ISO-8601 week-numbering year (DuckDB `EXTRACT(isoyear ...)`):
+    * the calendar year of that ISO week's Thursday.
+    */
+  def isoYear(d: Column): Column =
+    year(date_add(d, (lit(4) - isoDow(d)).cast("int")))
+
+  /** ISO week of year — Spark's weekofyear is already ISO. */
+  def isoWeek(d: Column): Column = weekofyear(d)
+
+  /** English day name, locale-pinned via pattern (DuckDB DAYNAME). */
+  def dayName(d: Column): Column = date_format(d, "EEEE")
+
+  /** English month name (DuckDB MONTHNAME). */
+  def monthName(d: Column): Column = date_format(d, "MMMM")
+
+  /** Exact, partitioning-independent SUM of a double expression: cast each
+    * term to DECIMAL(38,6), sum exactly, return double. Matches a
+    * single-threaded oracle bit-for-bit.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Deterministic MODE: most frequent `value` per `keys`, ties broken by
+    * smallest value (count DESC, value ASC). Both Spark's and DuckDB's
+    * native MODE tie-break arbitrarily, so oracle-checked queries use this
+    * recompute on both sides (SURVEY.md §7.4).
+    */
+  def modeDet(df: DataFrame, keys: Seq[String], value: String,
+              as: String): DataFrame = {
+    val counted = df
+      .filter(col(value).isNotNull)
+      .groupBy((keys :+ value).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__cnt").desc, col(value).asc)
+    counted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col(value).as(as)): _*)
+  }
+
+  /** Gap-free daily date series [lo, hi], both ends inclusive — the Spark
+    * analog of DuckDB `unnest(generate_series(a, b, INTERVAL '1 day'))`
+    * (`/root/reference/src/models/dimensions.py:68-72`). Driver computes
+    * the bounds (same driver-side barrier as the reference, SURVEY.md §3.1).
+    */
+  def dateSeries(spark: SparkSession, lo: java.sql.Date,
+                 hi: java.sql.Date): DataFrame =
+    spark.sql(
+      s"SELECT explode(sequence(date'$lo', date'$hi', interval 1 day)) AS date")
+
+  /** Forward-fill `valueCol` down a date-ordered frame: the reference's
+    * `LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY date ROWS UNBOUNDED
+    * PRECEDING)` (`/root/reference/src/models/facts.py:191-194`).
+    *
+    * `partitionCols` empty reproduces the reference exactly (single-task
+    * window — fine for small series). At 100 TB pass a partition key
+    * (e.g. currency/entity) so the window parallelizes per key
+    * (SURVEY.md §7.4 unpartitioned-window note).
+    */
+  def forwardFill(df: DataFrame, orderCol: String, valueCol: String,
+                  as: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}

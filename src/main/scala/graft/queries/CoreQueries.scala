@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Functions, Graft}
+
+/** Relational operator coverage over the driver testdata (SURVEY.md §2).
+  *
+  * Each query re-expresses one (or a cluster of) reference operators over
+  * the TPC-H-ish tables, with a DuckDB oracle. Determinism rules
+  * (SURVEY.md §7.4): money sums via exact DECIMAL accumulation
+  * ([[Functions.dsum]]), explicit ORDER BY everywhere, integer outputs
+  * cast to BIGINT on both sides.
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(spark, dir, name)
+
+  /** Shared base: per-(day, country) rollup — the reference's
+    * `agg_country_day` re-expressed (facts.py:369-412). Exercises J1-J3
+    * (broadcast dims), G4 (conditional distinct), G5 (multi-key group),
+    * P6 (CASE), P7 (arithmetic).
+    */
+  def dailyCountryRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(to_date(o("o_orderdate")).as("date"), n("n_name").as("country"))
+      .agg(
+        countDistinct(when(not(o("o_orderstatus").startsWith("F")),
+          o("o_orderkey"))).as("orders"),
+        count(lit(1)).as("items"),
+        Functions.dsum(li("l_quantity")).as("net_qty"),
+        Functions.dsum(li("l_extendedprice") * (lit(1) - li("l_discount")))
+          .as("net_revenue"))
+  }
+
+  private val DailySql: String =
+    """SELECT CAST(o.o_orderdate AS DATE) AS date, n.n_name AS country,
+      |  COUNT(DISTINCT CASE WHEN o.o_orderstatus NOT LIKE 'F%' THEN o.o_orderkey END) AS orders,
+      |  COUNT(*) AS items,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS net_qty,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Flagship: monthly sales summary — the reference's
+    * `v_monthly_sales_summary` (sql/views/monthly_sales_summary.sql)
+    * re-expressed. Adds G6 re-aggregation, P8 NULLIF/ROUND, P14 filter,
+    * D2/D6 date extraction on top of [[dailyCountryRollup]].
+    */
+  def monthlySummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyCountryRollup(spark, dir)
+    daily
+      .groupBy(
+        year($"date").cast("long").as("year"),
+        month($"date").cast("long").as("month"),
+        trunc($"date", "month").as("month_start_date"),
+        $"country")
+      .agg(
+        countDistinct($"date").as("trading_days"),
+        sum($"orders").as("total_orders"),
+        sum($"items").as("total_items"),
+        Functions.dsum($"net_qty").as("total_quantity"),
+        Functions.dsum($"net_revenue").as("total_revenue"))
+      .filter($"total_revenue" > 0)
+      .withColumn("avg_daily_revenue",
+        round($"total_revenue" / $"trading_days", 2))
+      .withColumn("avg_order_value",
+        round($"total_revenue" / when($"total_orders" =!= 0, $"total_orders"), 2))
+      .orderBy($"year", $"month", $"country")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("g6_monthly_summary",
+      "G6/P8/P14/D2/D6 — monthly re-aggregation of the daily rollup " +
+        "(v_monthly_sales_summary analog)",
+      (s, d) => monthlySummary(s, d),
+      Some(
+        s"""WITH daily AS ($DailySql),
+           |monthly AS (
+           |  SELECT EXTRACT(year FROM date) AS year, EXTRACT(month FROM date) AS month,
+           |    CAST(DATE_TRUNC('month', date) AS DATE) AS month_start_date, country,
+           |    COUNT(DISTINCT date) AS trading_days,
+           |    CAST(SUM(orders) AS BIGINT) AS total_orders,
+           |    CAST(SUM(items) AS BIGINT) AS total_items,
+           |    CAST(SUM(CAST(net_qty AS DECIMAL(38,6))) AS DOUBLE) AS total_quantity,
+           |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+           |  FROM daily GROUP BY 1, 2, 3, 4)
+           |SELECT *, ROUND(total_revenue / trading_days, 2) AS avg_daily_revenue,
+           |  ROUND(total_revenue / NULLIF(total_orders, 0), 2) AS avg_order_value
+           |FROM monthly WHERE total_revenue > 0
+           |ORDER BY year, month, country""".stripMargin)),
+
+    Q("g5_daily_country_rollup",
+      "G5/G4/J1-J3/P6/P7 — 2-key day×country rollup with conditional " +
+        "distinct orders (agg_country_day analog)",
+      (s, d) => {
+        val r = dailyCountryRollup(s, d)
+        r.orderBy(r("date"), r("country"))
+      },
+      Some(s"""SELECT * FROM ($DailySql) daily ORDER BY date, country""")),
+
+    Q("g1_mode_deterministic",
+      "G1/G2 — deterministic MODE (count desc, value asc) per group " +
+        "(dim_product description mode analog)",
+      (s, d) => Functions
+        .modeDet(t(s, d, "documents"), Seq("source"), "lang", "mode_lang")
+        .orderBy("source"),
+      Some(
+        """SELECT source, mode_lang FROM (
+          |  SELECT source, lang AS mode_lang,
+          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rn
+          |  FROM documents WHERE lang IS NOT NULL GROUP BY source, lang) t
+          |WHERE rn = 1 ORDER BY source""".stripMargin)),
+
+    Q("g3_global_multi_agg",
+      "G3 — global multi-aggregate: COUNT(*), 3× COUNT(DISTINCT), " +
+        "SUM(CASE) (facts.py:69-79 analog)",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("n_returned"),
+        Functions.dsum(when(col("l_quantity") > 0,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("gross_revenue")),
+      Some(
+        """SELECT COUNT(*) AS n_rows,
+          |  COUNT(DISTINCT l_orderkey) AS n_orders,
+          |  COUNT(DISTINCT l_partkey) AS n_parts,
+          |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+          |  CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS gross_revenue
+          |FROM lineitem""".stripMargin)),
+
+    Q("g4_conditional_distinct",
+      "G4 — COUNT(DISTINCT CASE WHEN ...) cancellation-excluding order " +
+        "count (facts.py:375-378 analog)",
+      (s, d) => t(s, d, "orders").agg(
+        countDistinct(when(not(col("o_orderstatus").startsWith("F")),
+          col("o_orderkey"))).as("open_orders"),
+        countDistinct(col("o_orderkey")).as("all_orders")),
+      Some(
+        """SELECT
+          |  COUNT(DISTINCT CASE WHEN o_orderstatus NOT LIKE 'F%' THEN o_orderkey END) AS open_orders,
+          |  COUNT(DISTINCT o_orderkey) AS all_orders
+          |FROM orders""".stripMargin)),
+
+    Q("w1_forward_fill",
+      "W1/J4/D7 — gap-free date series LEFT JOIN sparse daily values, " +
+        "LAST_VALUE IGNORE NULLS forward-fill (daily_fx_rates analog)",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val b = o.agg(min(to_date($"o_orderdate")), max(to_date($"o_orderdate"))).head()
+        val series = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
+        val dailyV = o.groupBy(to_date($"o_orderdate").as("date"))
+          .agg(max($"o_totalprice").as("v"))
+        val joined = series.join(dailyV, Seq("date"), "left")
+        Functions.forwardFill(joined, "date", "v", "v_filled")
+          .select($"date", $"v_filled").orderBy($"date")
+      },
+      Some(
+        """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+          |series AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b),
+          |daily AS (SELECT CAST(o_orderdate AS DATE) AS date, MAX(o_totalprice) AS v FROM orders GROUP BY 1)
+          |SELECT s.date,
+          |  LAST_VALUE(dv.v IGNORE NULLS) OVER (ORDER BY s.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+          |FROM series s LEFT JOIN daily dv ON s.date = dv.date
+          |ORDER BY s.date""".stripMargin)),
+
+    Q("dim_calendar",
+      "D1-D9/D7 — calendar dimension from a generated date series: dow " +
+        "(Sun=0), weekend, ISO year/week, day/month names, month snapping",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val b = o.agg(min(to_date($"o_orderdate")), max(to_date($"o_orderdate"))).head()
+        Functions.dateSeries(s, b.getDate(0), b.getDate(1))
+          .select($"date",
+            Functions.dowSun0($"date").cast("long").as("day_of_week"),
+            Functions.isWeekend($"date").as("is_weekend"),
+            Functions.isoYear($"date").cast("long").as("iso_year"),
+            Functions.isoWeek($"date").cast("long").as("iso_week"),
+            month($"date").cast("long").as("month"),
+            year($"date").cast("long").as("year"),
+            Functions.dayName($"date").as("day_name"),
+            Functions.monthName($"date").as("month_name"),
+            trunc($"date", "month").as("month_start_date"),
+            last_day($"date").as("month_end_date"))
+          .orderBy($"date")
+      },
+      Some(
+        """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+          |series AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b)
+          |SELECT date,
+          |  EXTRACT(dow FROM date) AS day_of_week,
+          |  EXTRACT(dow FROM date) IN (0, 6) AS is_weekend,
+          |  EXTRACT(isoyear FROM date) AS iso_year,
+          |  EXTRACT(week FROM date) AS iso_week,
+          |  EXTRACT(month FROM date) AS month,
+          |  EXTRACT(year FROM date) AS year,
+          |  DAYNAME(date) AS day_name,
+          |  MONTHNAME(date) AS month_name,
+          |  CAST(DATE_TRUNC('month', date) AS DATE) AS month_start_date,
+          |  LAST_DAY(date) AS month_end_date
+          |FROM series ORDER BY date""".stripMargin)),
+
+    Q("w2_lag_gap_check",
+      "W2/D8 — LAG window over ordered dates + datediff gap count " +
+        "(calendar continuity check, dimensions.py:129-143 analog)",
+      (s, d) => {
+        import s.implicits._
+        val dates = t(s, d, "orders")
+          .select(to_date($"o_orderdate").as("date")).distinct()
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"date")
+        dates.withColumn("prev", lag($"date", 1).over(w))
+          .filter($"prev".isNotNull && datediff($"date", $"prev") > 1)
+          .agg(count(lit(1)).as("n_gaps"))
+      },
+      Some(
+        """WITH dates AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders),
+          |gaps AS (SELECT date, LAG(date) OVER (ORDER BY date) AS prev FROM dates)
+          |SELECT COUNT(*) AS n_gaps FROM gaps
+          |WHERE prev IS NOT NULL AND DATE_DIFF('day', prev, date) > 1""".stripMargin)),
+
+    Q("p1_rename_trim_scan",
+      "S4/P1/P2 — table scan with rename + trim normalization " +
+        "(retail_data.py:42-61 analog)",
+      (s, d) => t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("region_id"),
+          trim(concat(lit(" "), col("r_name"), lit(" "))).as("region_name"))
+        .orderBy("region_id"),
+      Some(
+        """SELECT CAST(r_regionkey AS BIGINT) AS region_id,
+          |  TRIM(CONCAT(' ', r_name, ' ')) AS region_name
+          |FROM region ORDER BY region_id""".stripMargin)),
+
+    Q("p3_like_filter",
+      "P3 — LIKE / NOT LIKE prefix predicates (cancellation-detection " +
+        "analog, retail_data.py:79)",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderstatus").like("F%") &&
+          !col("o_orderpriority").like("3%"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+          |WHERE o_orderstatus LIKE 'F%' AND o_orderpriority NOT LIKE '3%'
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("p11_in_subquery",
+      "P11 — IN (subquery) semi-join + scalar subqueries " +
+        "(dimensions.py:88-93 analog)",
+      (s, d) => {
+        Graft.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderkey, o_custkey FROM orders
+            |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+            |  AND o_orderkey BETWEEN (SELECT MIN(o_orderkey) FROM orders)
+            |                     AND (SELECT MIN(o_orderkey) FROM orders) + 500
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+          |  AND o_orderkey BETWEEN (SELECT MIN(o_orderkey) FROM orders)
+          |                     AND (SELECT MIN(o_orderkey) FROM orders) + 500
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("u1_integrity_report",
+      "U1/J8 — labeled UNION ALL of referential-integrity anti-join " +
+        "counts (facts.py:114-139 analog)",
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+        def branch(nm: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("violations"))
+            .select(lit(nm).as("check_name"), col("violations"))
+        branch("lineitem_without_order",
+            li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+          .unionByName(branch("lineitem_without_part",
+            li.join(p, li("l_partkey") === p("p_partkey"), "left_anti")))
+          .unionByName(branch("orders_without_customer",
+            o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+          .orderBy("check_name")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'lineitem_without_order' AS check_name, COUNT(*) AS violations
+          |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  WHERE o.o_orderkey IS NULL
+          |  UNION ALL
+          |  SELECT 'lineitem_without_part', COUNT(*)
+          |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE p.p_partkey IS NULL
+          |  UNION ALL
+          |  SELECT 'orders_without_customer', COUNT(*)
+          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_custkey IS NULL) t
+          |ORDER BY check_name""".stripMargin)),
+
+    Q("g9_topk_revenue",
+      "G9/O2 — top-k countries by revenue (TakeOrderedAndProject)",
+      (s, d) => {
+        val r = dailyCountryRollup(s, d)
+        val agg = r.groupBy(r("country"))
+          .agg(Functions.dsum(r("net_revenue")).as("revenue"))
+        agg.orderBy(agg("revenue").desc, agg("country")).limit(5)
+      },
+      Some(
+        s"""SELECT country, CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           |FROM ($DailySql) daily
+           |GROUP BY country ORDER BY revenue DESC, country LIMIT 5""".stripMargin)),
+
+    Q("x1_distinct",
+      "X1 — dropDuplicates / SELECT DISTINCT",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+  )
+}
