@@ -47,6 +47,13 @@ object Functions {
   /** Exact, partitioning-independent SUM of a double expression: cast each
     * term to DECIMAL(38,6), sum exactly, return double. Matches a
     * single-threaded oracle bit-for-bit.
+    *
+    * Overflow headroom: DECIMAL(38,6) holds ±1e32. Even at 100 TB
+    * (~1e12 rows of ~1e6-magnitude money values ⇒ ~1e18 totals) the sum
+    * sits 14 orders of magnitude below the cap. Under Spark's default
+    * non-ANSI mode an overflow would return NULL silently, so callers
+    * aggregating values wider than ~1e6 per row should enable
+    * spark.sql.ansi.enabled to fail loudly instead.
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
 

@@ -42,15 +42,19 @@ object Graft {
   /** The events table with its TIMESTAMP(NANOS) column normalized to a
     * proper microsecond TimestampType (requires
     * spark.sql.legacy.parquet.nanosAsLong=true, set in [[session]] and in
-    * the Verify/Bench mains). Nanos→micros truncates toward negative
-    * infinity exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+    * the Verify/Bench mains). Nanos→micros floor-divides in pure integer
+    * arithmetic — `(ts - pmod(ts, 1000)) div 1000` stays in LongType, so
+    * epoch-nano magnitudes (~1.7e18, beyond double's 2^53 exact range)
+    * convert bit-exactly, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+    * for any sign of epoch.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
       case _ => raw
     }
   }

@@ -1,0 +1,461 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Functions, Graft}
+
+/** Retail-pipeline operator rows from SURVEY.md §2 not yet covered by
+  * [[CoreQueries]]: NULL/COALESCE handling (P4/P5), the filter gauntlet
+  * (P9/P10/P12/P13), mode-over-coalesced-key (G2), FX-style conversion
+  * joins (J5), the large⋈large composite-key fact join (J6/J7), coverage
+  * anti-join (J9), stats/validation aggregates (G7/G8), segmented
+  * analysis with a fold-mutation-into-join flag (G10/M1), sheet-union
+  * ingestion (U2/S1), ingestion dedup+sort (O3), the PARTITIONED
+  * forward-fill path (W1 at scale), and events-table queries that pin the
+  * TIMESTAMP_NS→µs conversion.
+  *
+  * Scale notes (100 TB): every big-side join here keeps the large fact on
+  * the stream side and broadcasts date-cardinality or dimension tables;
+  * the one deliberate large⋈large join (j6) shuffles both sides on the
+  * composite key exactly once — same-key partitioning is reused by the
+  * downstream group-by thanks to Catalyst output-partitioning matching.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** Daily "FX-rate"-shaped series derived from orders: per order date,
+    * rate = round(max(o_totalprice)/1e5, 6), forward-filled over the
+    * gap-free lineitem-shipdate span (daily_fx_rates analog,
+    * /root/reference/src/models/facts.py:166-202: J4 + W1).
+    */
+  private def rateSeries(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    val b = li.agg(min(to_date($"l_shipdate")), max(to_date($"l_shipdate"))).head()
+    val series = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
+    // No ROUND here: round(double, n) disagrees between engines on
+    // shortest-repr midpoints (Spark HALF_UP on the decimal string vs
+    // DuckDB on the binary value); max/constant-divide is deterministic.
+    val daily = o.groupBy(to_date($"o_orderdate").as("date"))
+      .agg((max($"o_totalprice") / 100000).as("rate"))
+    Functions.forwardFill(series.join(daily, Seq("date"), "left"),
+      "date", "rate", "rate_filled")
+      .select($"date", $"rate_filled".as("rate"))
+  }
+
+  private val RateSql: String =
+    """SELECT s.date,
+      |  LAST_VALUE(dr.rate IGNORE NULLS) OVER (ORDER BY s.date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+      |FROM (SELECT CAST(UNNEST(generate_series(
+      |        (SELECT MIN(CAST(l_shipdate AS DATE)) FROM lineitem),
+      |        (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem),
+      |        INTERVAL 1 DAY)) AS DATE) AS date) s
+      |LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS date,
+      |             MAX(o_totalprice) / 100000 AS rate
+      |           FROM orders GROUP BY 1) dr ON s.date = dr.date""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    Q("p4_null_coalesce",
+      "P4/P5 — NULL predicates + COALESCE(-1) surrogate over a LEFT join " +
+        "that manufactures unmatched rows (dim_customer UNKNOWN analog, " +
+        "dimensions.py:203-214)",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        o.join(c, o("o_custkey") === c("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_unknown_customer"),
+            countDistinct(coalesce(col("c_custkey"), lit(-1L)))
+              .as("n_customer_keys"))
+      },
+      Some(
+        """SELECT COUNT(*) AS n_orders,
+          |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_customer,
+          |  COUNT(DISTINCT COALESCE(c.c_custkey, -1)) AS n_customer_keys
+          |FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          |  ON o.o_custkey = c.c_custkey""".stripMargin)),
+
+    Q("p9_filter_gauntlet",
+      "P9/P10/P12/P13 — BETWEEN dates + IN-list + string inequality + " +
+        "not-null filters, pushed to the scan (facts.py:51-55 analog)",
+      (s, d) => t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate"))
+          .between(lit("1996-01-01"), lit("1996-12-31")))
+        .filter(col("l_linenumber").isin(1, 2, 3))
+        .filter(col("l_returnflag").isNotNull &&
+          col("l_returnflag") =!= "" && col("l_returnflag") =!= "nan")
+        .filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Functions.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("net_revenue"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+          |  AND l_linenumber IN (1, 2, 3)
+          |  AND l_returnflag IS NOT NULL AND l_returnflag != '' AND l_returnflag != 'nan'
+          |  AND l_quantity IS NOT NULL
+          |GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    Q("g2_mode_coalesce",
+      "G2 — deterministic MODE over a COALESCE'd nullable value per group " +
+        "(dim_customer country mode analog, dimensions.py:203-213)",
+      (s, d) => {
+        val c = t(s, d, "customer").withColumn("seg",
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("UNKNOWN")))
+        Functions.modeDet(c, Seq("c_nationkey"), "seg", "mode_segment")
+          .orderBy("c_nationkey")
+      },
+      Some(
+        """SELECT c_nationkey, mode_segment FROM (
+          |  SELECT c_nationkey, seg AS mode_segment,
+          |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          |      ORDER BY COUNT(*) DESC, seg ASC) AS rn
+          |  FROM (SELECT c_nationkey,
+          |          COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg
+          |        FROM customer)
+          |  WHERE seg IS NOT NULL GROUP BY c_nationkey, seg) t
+          |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
+    Q("j5_fx_convert",
+      "J5/W1/P7 — fact joined to a broadcast forward-filled daily rate " +
+        "series; per-year GBP/EUR-style totals (fct_sales_eur analog, " +
+        "facts.py:269-288)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val rates = rateSeries(s, d)
+        li.withColumn("date", to_date(col("l_shipdate")))
+          .join(broadcast(rates), Seq("date"))
+          .withColumn("net", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .groupBy(year(col("date")).cast("long").as("year"))
+          .agg(count(lit(1)).as("n_items"),
+            Functions.dsum(col("net")).as("net_revenue"),
+            Functions.dsum(col("net") / col("rate")).as("net_revenue_conv"))
+          .orderBy("year")
+      },
+      Some(
+        s"""WITH rates AS ($RateSql)
+           |SELECT EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS year,
+           |  COUNT(*) AS n_items,
+           |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+           |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) / r.rate AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_conv
+           |FROM lineitem l JOIN rates r ON CAST(l.l_shipdate AS DATE) = r.date
+           |GROUP BY 1 ORDER BY year""".stripMargin)),
+
+    Q("j6_fact_variants_join",
+      "J6/J7/G5 — large⋈large composite-key join of two fact variants, " +
+        "then broadcast dims + rollup (facts.py:366-412 analog). The " +
+        "composite-key shuffle is reused by the downstream aggregate.",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val gbp = li.select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("date"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+        val eur = gbp.select(col("l_orderkey"), col("l_linenumber"),
+          col("date"), (col("net") * 0.85).as("net_conv"))
+        gbp.join(eur, Seq("l_orderkey", "l_linenumber", "date"))
+          .join(o, col("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name").as("country"))
+          .agg(count(lit(1)).as("n_items"),
+            Functions.dsum(col("net")).as("net_revenue"),
+            Functions.dsum(col("net_conv")).as("net_revenue_conv"))
+          .orderBy("country")
+      },
+      Some(
+        """WITH gbp AS (SELECT l_orderkey, l_linenumber,
+          |    CAST(l_shipdate AS DATE) AS date,
+          |    l_extendedprice * (1 - l_discount) AS net FROM lineitem),
+          |eur AS (SELECT l_orderkey, l_linenumber, date,
+          |    net * 0.85 AS net_conv FROM gbp)
+          |SELECT n.n_name AS country, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(g.net AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+          |  CAST(SUM(CAST(e.net_conv AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_conv
+          |FROM gbp g
+          |JOIN eur e ON g.l_orderkey = e.l_orderkey
+          |  AND g.l_linenumber = e.l_linenumber AND g.date = e.date
+          |JOIN orders o ON g.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1 ORDER BY country""".stripMargin)),
+
+    Q("j9_coverage_anti",
+      "J9/J8 — coverage anti-join: ship dates with no order placed that " +
+        "day (FX-coverage analog, facts.py:210-221)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val shipDates = li.select(to_date(col("l_shipdate")).as("date")).distinct()
+        val orderDates = o.select(to_date(col("o_orderdate")).as("date")).distinct()
+        shipDates.join(orderDates, Seq("date"), "left_anti")
+          .agg(count(lit(1)).as("n_uncovered_dates"))
+      },
+      Some(
+        """SELECT COUNT(*) AS n_uncovered_dates FROM (
+          |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS date FROM lineitem) s
+          |LEFT JOIN (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders) o
+          |  ON s.date = o.date
+          |WHERE o.date IS NULL""".stripMargin)),
+
+    Q("g7_rate_stats",
+      "G7 — MIN/MAX/derived-AVG/COUNT(DISTINCT) stats over the " +
+        "forward-filled rate series (facts.py:224-231 analog)",
+      (s, d) => {
+        val r = rateSeries(s, d)
+        r.agg(count(lit(1)).as("n_days"),
+          countDistinct(col("rate")).as("n_distinct_rates"),
+          min(col("rate")).as("min_rate"),
+          max(col("rate")).as("max_rate"))
+          .withColumn("avg_rate_proxy",
+            (col("min_rate") + col("max_rate")) / 2)
+      },
+      Some(
+        s"""WITH rates AS ($RateSql)
+           |SELECT COUNT(*) AS n_days, COUNT(DISTINCT rate) AS n_distinct_rates,
+           |  MIN(rate) AS min_rate, MAX(rate) AS max_rate,
+           |  (MIN(rate) + MAX(rate)) / 2 AS avg_rate_proxy
+           |FROM rates""".stripMargin)),
+
+    Q("g8_quality_counts",
+      "G8/U1 — labeled UNION ALL of validation counts with WHERE " +
+        "(facts.py:523-545 analog)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        def branch(nm: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("violations"))
+            .select(lit(nm).as("check_name"), col("violations"))
+        branch("negative_quantity", li.filter(col("l_quantity") < 0))
+          .unionByName(branch("zero_or_negative_price",
+            li.filter(col("l_extendedprice") <= 0)))
+          .unionByName(branch("finished_orders",
+            o.filter(col("o_orderstatus") === "F")))
+          .orderBy("check_name")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'negative_quantity' AS check_name, COUNT(*) AS violations
+          |  FROM lineitem WHERE l_quantity < 0
+          |  UNION ALL
+          |  SELECT 'zero_or_negative_price', COUNT(*)
+          |  FROM lineitem WHERE l_extendedprice <= 0
+          |  UNION ALL
+          |  SELECT 'finished_orders', COUNT(*)
+          |  FROM orders WHERE o_orderstatus = 'F') t
+          |ORDER BY check_name""".stripMargin)),
+
+    Q("g10_segmented_flags",
+      "G10/M1/D3 — segmented analysis over boolean flags where one flag " +
+        "is computed M1-style (fold ALTER+UPDATE into a left-join flag; " +
+        "dimensions.py:79-94, facts.py:463-492)",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val b = o.agg(min(to_date($"o_orderdate")), max(to_date($"o_orderdate"))).head()
+        val cal = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
+          .withColumn("is_weekend", Functions.isWeekend($"date"))
+        // "holiday" set analog: first day of each month, attached via
+        // left join + IS NOT NULL flag (the M1 fold; no UPDATE in Spark).
+        val holidays = cal.select(trunc($"date", "month").as("holiday_date")).distinct()
+        val cal2 = cal.join(broadcast(holidays),
+            cal("date") === holidays("holiday_date"), "left")
+          .withColumn("is_month_start", $"holiday_date".isNotNull)
+          .drop("holiday_date")
+        o.withColumn("date", to_date($"o_orderdate"))
+          .join(broadcast(cal2), Seq("date"))
+          .groupBy($"is_weekend", $"is_month_start")
+          .agg(count(lit(1)).as("n_orders"),
+            Functions.dsum($"o_totalprice").as("revenue"))
+          .orderBy($"is_weekend", $"is_month_start")
+      },
+      Some(
+        """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+          |             MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+          |cal AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b),
+          |cal2 AS (SELECT c.date, EXTRACT(dow FROM c.date) IN (0, 6) AS is_weekend,
+          |    h.holiday_date IS NOT NULL AS is_month_start
+          |  FROM cal c LEFT JOIN (SELECT DISTINCT CAST(DATE_TRUNC('month', date) AS DATE) AS holiday_date FROM cal) h
+          |    ON c.date = h.holiday_date)
+          |SELECT c.is_weekend, c.is_month_start, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM orders o JOIN cal2 c ON CAST(o.o_orderdate AS DATE) = c.date
+          |GROUP BY 1, 2 ORDER BY is_weekend, is_month_start""".stripMargin)),
+
+    Q("u2_union_sheets",
+      "U2/S1 — multi-sheet ingestion analog: split source by priority " +
+        "prefix, tag each slice with source_sheet, unionByName back " +
+        "(retail_data.py:27-38)",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def sheet(nm: String, f: Column): DataFrame =
+          o.filter(f).withColumn("source_sheet", lit(nm))
+        val unioned = sheet("urgent", col("o_orderpriority").startsWith("1"))
+          .unionByName(sheet("high", col("o_orderpriority").startsWith("2")))
+          .unionByName(sheet("other", !col("o_orderpriority").startsWith("1") &&
+            !col("o_orderpriority").startsWith("2")))
+        unioned.groupBy(col("source_sheet"))
+          .agg(count(lit(1)).as("n_rows"),
+            Functions.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("source_sheet")
+      },
+      Some(
+        """SELECT source_sheet, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM (
+          |  SELECT *, 'urgent' AS source_sheet FROM orders WHERE o_orderpriority LIKE '1%'
+          |  UNION ALL
+          |  SELECT *, 'high' FROM orders WHERE o_orderpriority LIKE '2%'
+          |  UNION ALL
+          |  SELECT *, 'other' FROM orders
+          |  WHERE o_orderpriority NOT LIKE '1%' AND o_orderpriority NOT LIKE '2%') t
+          |GROUP BY 1 ORDER BY source_sheet""".stripMargin)),
+
+    Q("o3_ingest_dedup_sort",
+      "O3/X1 — ingestion-side dedup + sort (holidays dedup analog, " +
+        "holidays_data.py:44-46)",
+      (s, d) => t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("date"),
+          col("l_returnflag").as("flag"))
+        .dropDuplicates("date")
+        .select("date")
+        .orderBy("date"),
+      Some(
+        // dropDuplicates keeps an arbitrary row per key; projecting to the
+        // key alone makes the result deterministic = DISTINCT dates.
+        """SELECT DISTINCT CAST(l_shipdate AS DATE) AS date
+          |FROM lineitem ORDER BY date""".stripMargin)),
+
+    Q("w1p_forward_fill_partitioned",
+      "W1(partitioned)/J4 — per-event-type daily series forward-fill " +
+        "using the partitionCols path (the 100 TB-scalable variant of " +
+        "w1_forward_fill; parallel window per partition key)",
+      (s, d) => {
+        import s.implicits._
+        val e = Graft.events(s, d).withColumn("date", to_date($"ts"))
+        val b = e.agg(min($"date"), max($"date")).head()
+        val series = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
+          .crossJoin(e.select($"event_type").distinct())
+        val daily = e.groupBy($"date", $"event_type")
+          .agg(round(max($"value"), 2).as("v"))
+        val joined = series.join(daily, Seq("date", "event_type"), "left")
+        Functions.forwardFill(joined, "date", "v", "v_filled",
+            partitionCols = Seq("event_type"))
+          .select($"date", $"event_type", $"v_filled")
+          .orderBy($"date", $"event_type")
+      },
+      Some(
+        """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date, event_type, value FROM events),
+          |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM e),
+          |series AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b),
+          |grid AS (SELECT s.date, t.event_type FROM series s CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+          |daily AS (SELECT date, event_type, ROUND(MAX(value), 2) AS v FROM e GROUP BY 1, 2)
+          |SELECT g.date, g.event_type,
+          |  LAST_VALUE(dv.v IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.date
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+          |FROM grid g LEFT JOIN daily dv ON g.date = dv.date AND g.event_type = dv.event_type
+          |ORDER BY g.date, g.event_type""".stripMargin)),
+
+    Q("e1_hourly_window",
+      "D6/streaming-equivalent — tumbling 1-hour window aggregation over " +
+        "events (batch twin of the Structured Streaming query; also pins " +
+        "the TIMESTAMP_NS→µs conversion end-to-end)",
+      (s, d) => {
+        import s.implicits._
+        Graft.events(s, d)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            Functions.dsum($"value").as("total_value"))
+          .select($"window.start".as("hour_start"), $"event_type",
+            $"n_events", $"total_value")
+          .orderBy($"hour_start", $"event_type")
+      },
+      Some(
+        """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    Q("e2_json_extract",
+      "JSON path extraction from the events props column + grouped stats " +
+        "(training-pipeline metadata parsing)",
+      (s, d) => {
+        import s.implicits._
+        Graft.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"k").as("sum_k"),
+            min($"k").as("min_k"),
+            max($"k").as("max_k"),
+            countDistinct($"k").as("n_distinct_k"))
+          .orderBy($"event_type")
+      },
+      Some(
+        """SELECT event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e4_sessionize_batch",
+      "Sessionization via LAG + cumulative-sum windows partitioned by " +
+        "user (batch twin of the stateful streaming sessionizer; scales " +
+        "per user key)",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Graft.events(s, d)
+        val wUser = Window.partitionBy($"user_id").orderBy($"ts")
+        val sessions = e
+          .withColumn("prev_ts", lag($"ts", 1).over(wUser))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              (unix_micros($"ts") - unix_micros($"prev_ts")) > 30L * 60 * 1000000,
+              1L).otherwise(0L))
+          .withColumn("session_id",
+            sum($"new_session").over(
+              wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions.groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n"),
+            (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("dur_us"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"n").as("n_events"),
+            max($"dur_us").as("max_session_us"))
+          .orderBy($"user_id")
+      },
+      Some(
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |marked AS (SELECT user_id, ts,
+          |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30 * 60 * 1000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |sessions AS (SELECT user_id, ts,
+          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM marked),
+          |per_session AS (SELECT user_id, session_id, COUNT(*) AS n,
+          |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+          |  FROM sessions GROUP BY 1, 2)
+          |SELECT user_id, COUNT(*) AS n_sessions,
+          |  CAST(SUM(n) AS BIGINT) AS n_events,
+          |  MAX(dur_us) AS max_session_us
+          |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin))
+  )
+}

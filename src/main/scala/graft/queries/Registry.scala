@@ -17,7 +17,8 @@ final case class Q(
 object Registry {
   /** All registered query modules, in build order. */
   def modules: Seq[Seq[Q]] = Seq(
-    CoreQueries.all
+    CoreQueries.all,
+    PipelineQueries.all
   )
   lazy val all: Seq[Q] = modules.flatten
 }

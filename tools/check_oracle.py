@@ -70,6 +70,15 @@ def main():
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             n_fail += 1
             continue
+        # Mirror the driver's schema-sensitive hashing: a dtype mismatch
+        # (int vs object-of-str, datetime64 vs date-object) must fail even
+        # when str() renderings coincide.
+        dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                  for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            n_fail += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_fail += 1
