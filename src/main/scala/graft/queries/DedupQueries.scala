@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Deduplication operators for a training-data pipeline over the
+  * `documents` / `embeddings` tables: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Portability contract with the DuckDB oracle: all hashing goes through
+  * md5 hex strings (identical in both engines; lexicographic min on
+  * fixed-width lowercase hex == numeric min), and all floating-point
+  * reductions are left-folds in index order (`aggregate`/`zip_with` here,
+  * `list_reduce`/`list_zip` there) so doubles come out bit-identical.
+  *
+  * Scale design (100 TB):
+  *  - exact + fingerprint dedup are single hash-shuffles on the digest;
+  *  - MinHash runs as ONE map-side-combinable groupBy(doc) with 16 min()
+  *    aggregates, then candidate generation shuffles on (band, signature)
+  *    — never all-pairs;
+  *  - the exact-Jaccard and SimHash pair joins are verification passes,
+  *    bounded to a candidate sample (doc_id % 5 == 0) / blocked by lang,
+  *    the same blocking you'd run post-LSH at scale.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** Distinct 8-char shingles per doc: (doc_id, lang, s). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("i",
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(text, i, 8)").as("s"))
+      .distinct()
+
+  private val ShinglesSql: String =
+    """SELECT DISTINCT d.doc_id, d.lang, substring(d.text, g.i, 8) AS s
+      |FROM documents d, generate_series(1, 600) g(i)
+      |WHERE g.i <= greatest(length(d.text) - 7, 1)""".stripMargin
+
+  /** MinHash+LSH candidate pairs from a (doc_id, s) shingle frame:
+    * 16 md5-derived minhashes per doc (one map-combinable groupBy),
+    * 4 bands x 4 rows, pairs from band-signature collisions.
+    */
+  private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+    val minhashes = (0 until 16).map(i =>
+      min(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 16)).as(s"h$i"))
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(minhashes.head, minhashes.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      concat((0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+    val expl = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("bi", "sig")))
+    val a = expl.select(col("doc_id").as("doc_a"), col("bi"), col("sig"))
+    val b2 = expl.select(col("doc_id").as("doc_b"),
+      col("bi").as("bi_b"), col("sig").as("sig_b"))
+    a.join(b2, col("bi") === col("bi_b") && col("sig") === col("sig_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** DuckDB twin of [[lshCandidates]], reading shingles from `shRef`. */
+  private[queries] def LshCandidatesSql(shRef: String): String = {
+    val mins = (0 until 16)
+      .map(i => s"MIN(substr(md5(s || '#$i'), 1, 16)) AS h$i")
+      .mkString(", ")
+    val bands = (0 until 4)
+      .map(b => (0 until 4).map(j => s"h${4 * b + j}").mkString(" || ") +
+        s" AS band$b")
+      .mkString(", ")
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM (
+       |  SELECT doc_id, bi,
+       |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
+       |            WHEN 2 THEN band2 ELSE band3 END AS sig
+       |  FROM (SELECT doc_id, $bands
+       |        FROM (SELECT doc_id, $mins FROM $shRef GROUP BY doc_id) mh) bands,
+       |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n) a
+       |JOIN (
+       |  SELECT doc_id, bi,
+       |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
+       |            WHEN 2 THEN band2 ELSE band3 END AS sig
+       |  FROM (SELECT doc_id, $bands
+       |        FROM (SELECT doc_id, $mins FROM $shRef GROUP BY doc_id) mh) bands,
+       |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n) b
+       |  ON a.bi = b.bi AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Exact left-fold dot product of two float-array columns (index
+    * order, 0.0 init — mirrors DuckDB list_reduce over list_zip).
+    */
+  private def dot(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "0D, (acc, v) -> acc + v)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  def all: Seq[Q] = Seq(
+
+    Q("d1_exact_dedup",
+      "Exact dedup — md5 hash-groupBy, duplicate counts per source " +
+        "(the 100 TB baseline: one shuffle on the digest)",
+      (s, d) => t(s, d, "documents")
+        .withColumn("fp", md5(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_unique"))
+        .orderBy("source"),
+      Some(
+        """SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT md5(text)) AS n_unique,
+          |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+          |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("d2_ngram_jaccard",
+      "n-gram Jaccard dedup, full pipeline — MinHash+LSH candidate " +
+        "generation (sub-quadratic) then EXACT 8-gram Jaccard " +
+        "verification on candidates only, keeping pairs >= 0.5. This is " +
+        "the 100 TB shape: never all-pairs; the quadratic step touches " +
+        "only band-collision candidates. Catches the corpus's planted " +
+        "cross-lang/cross-source near-duplicates (jaccard up to 0.99).",
+      (s, d) => {
+        val sh = shingles(t(s, d, "documents")).select("doc_id", "s")
+        val cand = lshCandidates(sh).select("doc_a", "doc_b")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val aSh = sh.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+        val bSh = sh.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+        val inter = cand.join(aSh, Seq("doc_a"))
+          .join(bSh, Seq("doc_b"))
+          .filter(col("s_a") === col("s_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
+           |cand AS (${LshCandidatesSql("sh")}),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+           |              JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+           |  GROUP BY 1, 2)
+           |SELECT i.doc_a, i.doc_b,
+           |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+           |FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+           |             JOIN sizes sb ON i.doc_b = sb.doc_id
+           |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d3_minhash_lsh",
+      "MinHash+LSH near-dup candidates — 16 md5-derived minhashes per " +
+        "doc (one map-combinable groupBy), 4 bands x 4 rows, candidate " +
+        "pairs from band-signature collisions (the scale path: shuffles " +
+        "on (band, signature), never all-pairs)",
+      (s, d) => {
+        val sh = shingles(t(s, d, "documents")).select("doc_id", "s")
+        lshCandidates(sh).orderBy("doc_a", "doc_b")
+      },
+      Some(
+        s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw)
+           |SELECT * FROM (${LshCandidatesSql("sh")}) c
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d4_simhash",
+      "SimHash near-dup — 16-bit simhash from md5 token hashes " +
+        "(majority vote per bit), all pairs at hamming distance 0 " +
+        "(at scale: group-by on the simhash value, one shuffle, " +
+        "never all-pairs; hamming<=k via banding the signature)",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("tk"))
+          .withColumn("h", md5(col("tk")))
+        val sigExpr = (0 until 16).map { b =>
+          val k = b / 4; val j = b % 4
+          val nib = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
+          val bit = shiftright(nib, 3 - j).bitwiseAND(lit(1))
+          when(sum(bit * 2 - 1) > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sh = tok.groupBy(col("doc_id"))
+          .agg(sigExpr.cast("long").as("simhash"))
+        // hamming-0 pairs via equi-join on the signature (scale path),
+        // not an all-pairs scan.
+        val a = sh.select(col("doc_id").as("doc_a"), col("simhash"))
+        val b2 = sh.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"))
+        a.join(b2, col("simhash") === col("sim_b") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("simhash"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bits = (0 until 16).map { b =>
+          val k = b / 4; val j = b % 4
+          val nib = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+          s"CASE WHEN SUM((($nib // ${1 << (3 - j)}) % 2) * 2 - 1) > 0 " +
+            s"THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT d.doc_id, md5(t.tk) AS h
+           |  FROM documents d,
+           |    LATERAL UNNEST(string_split_regex(trim(d.text), '\\s+')) t(tk)),
+           |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |       FROM tok GROUP BY doc_id)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+           |FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    Q("d5_embedding_neardup",
+      "Embedding-cosine near-dup — pairs blocked by the deterministic " +
+        "random-hyperplane LSH bucket (the honest scale design: the " +
+        "quadratic scan runs within buckets only), exact left-fold dot " +
+        "products bit-identical to the oracle, cosine >= 0.35",
+      (s, d) => {
+        val e = SimilarityQueries
+          .withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+          col("embedding").as("ea"), col("norm").as("norm_a"))
+        val b = e.select(col("vec_id").as("vec_b"),
+          col("bucket").as("bucket_b"), col("embedding").as("eb"),
+          col("norm").as("norm_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+          .withColumn("cosine", dot("ea", "eb") / (col("norm_a") * col("norm_b")))
+          .filter(col("cosine") >= 0.35)
+          .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  ${SimilarityQueries.bucketSql("embedding")} AS bucket,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           |  ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin))
+  )
+}

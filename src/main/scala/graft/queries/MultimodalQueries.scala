@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Per-document features produced by the stubbed binary "decode" stage
+  * (see [[MultimodalQueries]] m2). The decode itself is a deterministic
+  * fake — this container ships no image/audio codecs — but the Spark
+  * plumbing (binary column, typed output schema, partition-parallel
+  * mapPartitions batches) is real.
+  */
+final case class DecodedFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    first_byte: Int,
+    last_byte: Int,
+    checksum: Long)
+
+/** Multimodal-column handling for a training-data pipeline: opaque
+  * `binary` payloads with typed metadata, and a decode/feature-extract
+  * stage as a partition-parallel typed transformation.
+  *
+  * The `documents.text` column stands in for raw media bytes (UTF-8
+  * encoded); real deployments swap the fake decoder for a codec call,
+  * keeping schema, batching, and partitioning identical. At 100 TB the
+  * payload column stays unprojected (column pruning keeps it out of
+  * every query that doesn't decode) and decode runs once per partition
+  * with no shuffle.
+  */
+object MultimodalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** documents with an opaque binary payload + typed metadata columns. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("media_kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .withColumn("media_width", (lit(32) + pmod(col("doc_id") * 7, lit(64))).cast("long"))
+      .withColumn("media_height", (lit(32) + pmod(col("doc_id") * 13, lit(64))).cast("long"))
+
+  def all: Seq[Q] = Seq(
+
+    Q("m1_binary_meta",
+      "Multimodal metadata — opaque binary payload column + typed " +
+        "metadata (kind/width/height), rolled up per kind; the payload " +
+        "is pruned out of the scan wherever it isn't decoded",
+      (s, d) => withPayload(t(s, d, "documents"))
+        .groupBy(col("media_kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload")).cast("long")).as("total_bytes"),
+          min(col("media_width")).as("min_width"),
+          max(col("media_height")).as("max_height"))
+        .orderBy("media_kind"),
+      Some(
+        """SELECT media_kind, COUNT(*) AS n_docs,
+          |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          |  MIN(media_width) AS min_width,
+          |  MAX(media_height) AS max_height
+          |FROM (
+          |  SELECT text,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+          |    32 + (doc_id * 7) % 64 AS media_width,
+          |    32 + (doc_id * 13) % 64 AS media_height
+          |  FROM documents) t
+          |GROUP BY 1 ORDER BY media_kind""".stripMargin)),
+
+    Q("m2_decode_features",
+      "Multimodal decode stub — partition-parallel mapPartitions over " +
+        "(doc_id, payload) producing typed features. The byte loop " +
+        "stands in for a codec; schema/batching/partitioning are real.",
+      (s, d) => {
+        import s.implicits._
+        val payloads = withPayload(t(s, d, "documents"))
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        // STUB decode: a real deployment would hand `bytes` to an image/
+        // audio codec here; this deterministic fake keeps the oracle exact.
+        val decoded = payloads.mapPartitions(_.map { case (id, bytes) =>
+          var sum = 0L
+          var k = 0
+          while (k < bytes.length) { sum += bytes(k) & 0xff; k += 1 }
+          DecodedFeatures(id, bytes.length.toLong,
+            bytes.head & 0xff, bytes.last & 0xff, sum)
+        })
+        decoded.toDF().orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+          |  CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, c) -> acc + c) AS BIGINT) AS checksum
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -18,7 +18,11 @@ object Registry {
   /** All registered query modules, in build order. */
   def modules: Seq[Seq[Q]] = Seq(
     CoreQueries.all,
-    PipelineQueries.all
+    PipelineQueries.all,
+    TextQueries.all,
+    DedupQueries.all,
+    SimilarityQueries.all,
+    MultimodalQueries.all
   )
   lazy val all: Seq[Q] = modules.flatten
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]` column).
+  *
+  * a1 is the exact baseline: brute-force cosine top-k for a query set,
+  * computed with index-order left-fold dot products so the score is
+  * bit-identical to the DuckDB oracle and ranks are fully deterministic.
+  *
+  * a2 is the scale path: random-hyperplane LSH — a deterministic
+  * seeded bucket signature per vector, candidates restricted to the
+  * query's bucket. At 100 TB the bucketed table is written
+  * partitioned-by-bucket so a query touches one partition (partition
+  * pruning), and multi-probe (flipping one signature bit) trades
+  * recall for fan-out. Recall vs a1 is asserted in AnnSpec.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  private def dot(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "0D, (acc, v) -> acc + v)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  val Dim = 64
+  val NPlanes = 4
+
+  /** Deterministic random hyperplanes (seed 42): NPlanes x Dim in ±1. */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** NPlanes-bit LSH bucket signature of an embedding column. */
+  def bucketCol(emb: String): org.apache.spark.sql.Column =
+    (0 until NPlanes).map { j =>
+      val proj = expr(
+        s"aggregate(zip_with($emb, __planes$j, (x, c) -> CAST(x AS DOUBLE) * c), " +
+          "0D, (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[bucketCol]]: the same plane literals and the same
+    * left-fold projection, so bucket assignments match bit-for-bit.
+    */
+  def bucketSql(emb: String): String =
+    (0 until NPlanes).map { j =>
+      val planeLit = planes(j)
+        .map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      val fold = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(list_zip($emb, $planeLit), " +
+        "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+      s"(CASE WHEN $fold >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Attach plane-literal columns then the bucket signature. */
+  def withBucket(df: DataFrame, emb: String): DataFrame = {
+    val withPlanes = (0 until NPlanes).foldLeft(df) { (d, j) =>
+      d.withColumn(s"__planes$j", array(planes(j).map(lit): _*))
+    }
+    withPlanes.withColumn("bucket", bucketCol(emb).cast("int"))
+      .drop((0 until NPlanes).map(j => s"__planes$j"): _*)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("a1_ann_bruteforce",
+      "ANN baseline — brute-force cosine top-10 for query vectors " +
+        "(vec_id < 5), exact fold dot products, deterministic ranks",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"))
+        val cand = e.select(col("vec_id"), col("embedding").as("ec"),
+          col("norm").as("norm_c"))
+        val scored = cand.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q
+           |      FROM e WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${dotSql("q.eq", "e.embedding")} / (q.norm_q * e.norm) AS cosine
+           |  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a2_ann_lsh_bucketed",
+      "ANN scale path — random-hyperplane LSH bucket signature (4 " +
+        "planes, seed 42), top-5 within the query's bucket. Approximate " +
+        "by design: no SQL oracle (driver records rows-only); recall vs " +
+        "a1 is asserted in AnnSpec.",
+      (s, d) => {
+        val e = withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket").as("bucket_q"))
+        val scored = e.join(broadcast(q),
+            col("bucket") === col("bucket_q") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}

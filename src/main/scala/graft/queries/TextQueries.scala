@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Functions, Graft}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting (whitespace + BPE-ish regex),
+  * quality scoring, language-ID heuristic, and document fingerprinting
+  * (md5 + polynomial rolling hash).
+  *
+  * All logic is deterministic and whole-stage-codegen-friendly (pure
+  * `org.apache.spark.sql.functions` expressions — no UDFs), so each query
+  * carries an exact DuckDB oracle. At 100 TB these are embarrassingly
+  * parallel scans: no shuffle except the final small-key aggregation.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** Language marker words; counted via the non-overlapping replace
+    * trick, identical semantics in Spark and DuckDB.
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " los "),
+    "fr" -> Seq(" le ", " et "))
+
+  private def occurrences(textCol: String, kw: String) =
+    ((length(col(textCol)) - length(replace(col(textCol), lit(kw)))) /
+      kw.length).cast("long")
+
+  private def occurrencesSql(kw: String): String =
+    s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS BIGINT)"
+
+  def all: Seq[Q] = Seq(
+
+    Q("t1_token_stats",
+      "Token counting — whitespace tokens + BPE-ish regex tokens per " +
+        "doc, rolled up per language (training-pipeline token budget)",
+      (s, d) => t(s, d, "documents")
+        .withColumn("ws_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("bpe_tokens",
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang"),
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+          |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    Q("t2_quality_score",
+      "Quality scoring — length / punctuation / token-count heuristics " +
+        "combined into a per-doc score, averaged per source",
+      (s, d) => {
+        val scored = t(s, d, "documents")
+          .withColumn("punct_chars",
+            length(col("text")) -
+              length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+          .withColumn("score",
+            when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
+              when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
+              when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            Functions.dsum(col("score")).as("total_score"))
+          .withColumn("avg_score", col("total_score") / col("n_docs"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS total_score,
+          |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_score
+          |FROM (
+          |  SELECT source,
+          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END) AS score
+          |  FROM documents) t
+          |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("t3_lang_id",
+      "Language-ID heuristic — per-language marker-word counts, argmax " +
+        "with a fixed tie-break, confusion matrix vs the labeled lang",
+      (s, d) => {
+        val scored = Markers.foldLeft(t(s, d, "documents")) {
+          case (df, (lg, kws)) =>
+            df.withColumn(s"s_$lg",
+              kws.map(occurrences("text", _)).reduce(_ + _))
+        }
+        val guess =
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr")
+        scored.withColumn("guess", guess)
+          .groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "guess")
+      },
+      Some {
+        val score = Markers.map { case (lg, kws) =>
+          s"(${kws.map(occurrencesSql).mkString(" + ")}) AS s_$lg"
+        }.mkString(", ")
+        s"""SELECT lang, guess, COUNT(*) AS n_docs FROM (
+           |  SELECT lang,
+           |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |         WHEN s_es >= s_fr THEN 'es'
+           |         ELSE 'fr' END AS guess
+           |  FROM (SELECT lang, text, $score FROM documents) raw) t
+           |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+      }),
+
+    Q("t4_fingerprint",
+      "Document fingerprinting — md5 digest + base-31 polynomial rolling " +
+        "hash (mod 1e9+7), uniqueness per source",
+      (s, d) => t(s, d, "documents")
+        .withColumn("fp_md5", md5(col("text")))
+        .withColumn("fp_roll", expr(
+          "aggregate(filter(split(text, ''), c -> c != ''), 0L, " +
+            "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp_md5")).as("n_md5"),
+          countDistinct(col("fp_roll")).as("n_roll"),
+          min(col("fp_roll")).as("min_roll"))
+        .orderBy("source"),
+      Some(
+        """SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT md5(text)) AS n_md5,
+          |  COUNT(DISTINCT fp_roll) AS n_roll,
+          |  MIN(fp_roll) AS min_roll
+          |FROM (
+          |  SELECT source, text,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+          |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+          |  FROM documents) t
+          |GROUP BY 1 ORDER BY source""".stripMargin))
+  )
+}
