@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table — the streaming twins of
+  * the batch queries `e1_hourly_window` (tumbling window + watermark) and
+  * `e4_sessionize_batch` (stateful sessionization via
+  * mapGroupsWithState).
+  *
+  * The reference is pure batch (SURVEY.md §2.12), so this module is the
+  * forward-looking extension: the same aggregation logic expressed as an
+  * incremental plan. At scale the file source is swapped for a
+  * partitioned log (Kafka/object-store listing); watermark + windowed agg
+  * shard state by (window, event_type) and sessionization shards by
+  * user_id, so state stores stay bounded per executor.
+  */
+object EventsStream {
+
+  /** events schema as written by the test harness, with ts read as long
+    * nanos (spark.sql.legacy.parquet.nanosAsLong=true).
+    */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet with the same ns→µs
+    * conversion as [[graft.engine.Graft.events]].
+    */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(EventsSchema)
+      // glob, not the bare file: the file stream source requires its
+      // basePath to be a directory.
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+
+  /** Tumbling 1-hour window counts per event type with a 1-hour
+    * watermark — the incremental twin of `e1_hourly_window`.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class SessionState(sessionCount: Long, lastTs: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization: counts 30-minute-gap sessions per user via
+    * mapGroupsWithState — the incremental twin of `e4_sessionize_batch`.
+    * (ProcessingTimeTimeout keeps state eviction explicit; with event
+    * time you'd use EventTimeTimeout + watermark.)
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var sessions = prev.sessionCount
+          var last = prev.lastTs
+          var n = 0L
+          // events within one micro-batch arrive unordered → sort by ts.
+          batch.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (last == Long.MinValue || e.ts_us - last > gapUs) sessions += 1
+            last = e.ts_us
+            n += 1
+          }
+          state.update(SessionState(sessions, last))
+          UserSessions(userId, sessions, n)
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, Registry}
+
+/** Dedup-suite behavior on the real testdata: the LSH candidate set must
+  * contain every genuinely-near-duplicate pair the exact verification
+  * confirms, and exact dedup must agree with a direct distinct count.
+  */
+class DedupSpec extends SparkTestBase {
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.run(spark, sfDir)
+
+  test("d2 verified near-dups are a subset of d3 LSH candidates") {
+    val cand = run("d3_minhash_lsh")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = run("d2_ngram_jaccard")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "planted near-dups should exist in testdata")
+    assert(verified.subsetOf(cand))
+  }
+
+  test("d2 jaccard values are in (0.5, 1]") {
+    val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
+    assert(js.forall(j => j > 0.5 && j <= 1.0))
+  }
+
+  test("d1 exact dedup matches a direct distinct count") {
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+    val direct = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(md5(col("text"))).as("u")).head()
+    val d1 = run("d1_exact_dedup")
+      .agg(sum("n_docs"), sum("n_unique")).head()
+    assert(d1.getLong(0) === direct.getLong(0))
+    assert(d1.getLong(1) === direct.getLong(1))
+  }
+
+  test("d4 simhash hamming-0 pairs include the highest-jaccard planted dup") {
+    val verified = run("d2_ngram_jaccard").orderBy(desc("jaccard"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sim = run("d4_simhash")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (verified.nonEmpty) assert(sim.contains(verified.head))
+  }
+}

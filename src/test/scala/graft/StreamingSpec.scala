@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.Registry
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{SessionEvent, UserSessions}
+
+/** Structured Streaming parity: the incremental plans must converge to
+  * the same answers as their batch twins once the source is exhausted.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming hourlyCounts == batch e1_hourly_window after availableNow") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventsStream.hourlyCounts(EventsStream.source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("hourly_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type")
+      .select("hour_start", "event_type", "n_events")
+      .collect().toSeq
+    val batch = Registry.all.find(_.name == "e1_hourly_window").get
+      .run(spark, sfDir)
+      .select("hour_start", "event_type", "n_events")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("stateful sessionize counts 30-min-gap sessions per user") {
+    val m = 60L * 1000000
+    val events = Seq(
+      SessionEvent(1, 0 * m), SessionEvent(1, 10 * m),   // session 1
+      SessionEvent(1, 50 * m),                            // gap 40min → 2
+      SessionEvent(2, 5 * m)).toDS()
+    val got = EventsStream.sessionize(events)
+      .collect().map(u => u.user_id -> u).toMap
+    assert(got(1L) === UserSessions(1, 2, 3))
+    assert(got(2L) === UserSessions(2, 1, 1))
+  }
+}
