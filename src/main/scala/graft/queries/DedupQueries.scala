@@ -19,39 +19,55 @@ import graft.engine.Graft
   *  - MinHash runs as ONE map-side-combinable groupBy(doc) with 16 min()
   *    aggregates, then candidate generation shuffles on (band, signature)
   *    — never all-pairs;
-  *  - the exact-Jaccard and SimHash pair joins are verification passes,
-  *    bounded to a candidate sample (doc_id % 5 == 0) / blocked by lang,
-  *    the same blocking you'd run post-LSH at scale.
+  *  - the exact-Jaccard pair join is a verification pass over LSH
+  *    candidates only (semi-join-pruned corpus), SimHash pairs come from
+  *    an equi-join on the signature, and embedding near-dups are blocked
+  *    by LSH bucket — the quadratic step never sees the full corpus.
   */
 object DedupQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
-  /** Distinct 8-char shingles per doc: (doc_id, lang, s). */
+  /** Distinct 12-char shingles per doc: (doc_id, lang, s). */
   private def shingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).distinct()
+
+  /** Non-distinct shingles — enough for MIN-based minhashing, skips the
+    * dedup shuffle.
+    */
+  private def shinglesRaw(docs: DataFrame): DataFrame =
     docs.withColumn("i",
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")))
+        explode(expr("sequence(1, greatest(length(text) - 11, 1))")))
       .select(col("doc_id"), col("lang"),
-        expr("substring(text, i, 8)").as("s"))
-      .distinct()
+        expr("substring(text, i, 12)").as("s"))
 
   private val ShinglesSql: String =
-    """SELECT DISTINCT d.doc_id, d.lang, substring(d.text, g.i, 8) AS s
+    """SELECT DISTINCT d.doc_id, d.lang, substring(d.text, g.i, 12) AS s
       |FROM documents d, generate_series(1, 600) g(i)
-      |WHERE g.i <= greatest(length(d.text) - 7, 1)""".stripMargin
+      |WHERE g.i <= greatest(length(d.text) - 11, 1)""".stripMargin
 
-  /** MinHash+LSH candidate pairs from a (doc_id, s) shingle frame:
-    * 16 md5-derived minhashes per doc (one map-combinable groupBy),
-    * 4 bands x 4 rows, pairs from band-signature collisions.
+  private val P = 1000000007L
+
+  /** MinHash+LSH candidate pairs from a (doc_id, s) shingle frame.
+    *
+    * ONE md5 per shingle (the hot-path cost), 16 minhashes derived by
+    * cheap arithmetic `(a_i*h + b_i) mod p` (codegen'd long math — 16x
+    * fewer digest evaluations than hashing per-function), aggregated in
+    * one map-combinable groupBy; 4 bands x 4 rows; candidates from
+    * band-signature collisions. Duplicate shingles don't change MIN, so
+    * callers may pass non-distinct shingles and skip that shuffle.
     */
   private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("s")), 1, 15), 16, 10)
+      .cast("long") % P
+    val hashed = sh.withColumn("hb", base)
     val minhashes = (0 until 16).map(i =>
-      min(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 16)).as(s"h$i"))
-    val mh = sh.groupBy(col("doc_id"))
+      min((col("hb") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
+    val mh = hashed.groupBy(col("doc_id"))
       .agg(minhashes.head, minhashes.tail: _*)
     val bandCols = (0 until 4).map(b =>
-      concat((0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+      concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
     val expl = mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("bi", "sig")))
     val a = expl.select(col("doc_id").as("doc_a"), col("bi"), col("sig"))
@@ -66,28 +82,25 @@ object DedupQueries {
   /** DuckDB twin of [[lshCandidates]], reading shingles from `shRef`. */
   private[queries] def LshCandidatesSql(shRef: String): String = {
     val mins = (0 until 16)
-      .map(i => s"MIN(substr(md5(s || '#$i'), 1, 16)) AS h$i")
+      .map(i => s"MIN((hb * ${2 * i + 1} + ${31 * i + 7}) % $P) AS h$i")
       .mkString(", ")
     val bands = (0 until 4)
-      .map(b => (0 until 4).map(j => s"h${4 * b + j}").mkString(" || ") +
-        s" AS band$b")
+      .map(b => "CONCAT_WS('|', " +
+        (0 until 4).map(j => s"h${4 * b + j}").mkString(", ") + s") AS band$b")
       .mkString(", ")
-    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-       |FROM (
-       |  SELECT doc_id, bi,
+    val mh = s"""SELECT doc_id, $mins
+       |FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hb
+       |      FROM $shRef) hashed
+       |GROUP BY doc_id""".stripMargin
+    val expl = s"""SELECT doc_id, bi,
        |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
        |            WHEN 2 THEN band2 ELSE band3 END AS sig
-       |  FROM (SELECT doc_id, $bands
-       |        FROM (SELECT doc_id, $mins FROM $shRef GROUP BY doc_id) mh) bands,
-       |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n) a
-       |JOIN (
-       |  SELECT doc_id, bi,
-       |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
-       |            WHEN 2 THEN band2 ELSE band3 END AS sig
-       |  FROM (SELECT doc_id, $bands
-       |        FROM (SELECT doc_id, $mins FROM $shRef GROUP BY doc_id) mh) bands,
-       |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n) b
-       |  ON a.bi = b.bi AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  FROM (SELECT doc_id, $bands FROM ($mh) mh) bands,
+       |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n""".stripMargin
+    s"""SELECT a.doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM (SELECT doc_id AS doc_a, bi, sig FROM ($expl) x) a
+       |JOIN ($expl) b
+       |  ON a.bi = b.bi AND a.sig = b.sig AND a.doc_a < b.doc_id
        |GROUP BY 1, 2""".stripMargin
   }
 
@@ -122,20 +135,31 @@ object DedupQueries {
 
     Q("d2_ngram_jaccard",
       "n-gram Jaccard dedup, full pipeline — MinHash+LSH candidate " +
-        "generation (sub-quadratic) then EXACT 8-gram Jaccard " +
+        "generation (sub-quadratic) then EXACT 12-gram Jaccard " +
         "verification on candidates only, keeping pairs >= 0.5. This is " +
         "the 100 TB shape: never all-pairs; the quadratic step touches " +
         "only band-collision candidates. Catches the corpus's planted " +
         "cross-lang/cross-source near-duplicates (jaccard up to 0.99).",
       (s, d) => {
-        val sh = shingles(t(s, d, "documents")).select("doc_id", "s")
-        val cand = lshCandidates(sh).select("doc_a", "doc_b")
+        val docs = t(s, d, "documents")
+        // cache: the candidate frame is tiny but feeds two consumers
+        // (pair verification + doc pruning); without it the whole
+        // shingle+minhash subtree runs twice.
+        val cand = lshCandidates(shinglesRaw(docs).select("doc_id", "s"))
+          .select("doc_a", "doc_b").cache()
+        // Verification only needs shingle sets of candidate docs — a
+        // broadcast semi-join prunes the corpus BEFORE the distinct
+        // shuffle (candidates are a vanishing fraction at scale).
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val sh = shinglesRaw(docs).select("doc_id", "s")
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val aSh = sh.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
-        val bSh = sh.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+        val bSh = sh.select(col("doc_id").as("doc_b2"), col("s").as("s_b"))
         val inter = cand.join(aSh, Seq("doc_a"))
-          .join(bSh, Seq("doc_b"))
-          .filter(col("s_a") === col("s_b"))
+          .join(bSh, col("doc_b") === col("doc_b2") && col("s_a") === col("s_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -147,8 +171,12 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(
-        s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
-           |cand AS (${LshCandidatesSql("sh")}),
+        s"""WITH sh_all AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
+           |cand AS (${LshCandidatesSql("sh_all")}),
+           |cand_docs AS (SELECT doc_a AS doc_id FROM cand
+           |              UNION SELECT doc_b FROM cand),
+           |sh AS (SELECT * FROM sh_all
+           |       WHERE doc_id IN (SELECT doc_id FROM cand_docs)),
            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
            |inter AS (
            |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
@@ -168,7 +196,7 @@ object DedupQueries {
         "pairs from band-signature collisions (the scale path: shuffles " +
         "on (band, signature), never all-pairs)",
       (s, d) => {
-        val sh = shingles(t(s, d, "documents")).select("doc_id", "s")
+        val sh = shinglesRaw(t(s, d, "documents")).select("doc_id", "s")
         lshCandidates(sh).orderBy("doc_a", "doc_b")
       },
       Some(
