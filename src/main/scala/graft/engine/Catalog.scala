@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Name → table registry over a parquet warehouse directory
+  * (SURVEY.md §2.1 S6-S7, S10-S11; §2.10 M2).
+  *
+  * The reference keeps all tables in one embedded DuckDB file and
+  * rebuilds with DROP-IF-EXISTS + CTAS (the src/models modules). The Spark
+  * analog: one directory per table under a warehouse root,
+  * `mode("overwrite")` subsuming the drop, and a temp view per table so
+  * both the DataFrame API and `spark.sql` address the catalog. At scale
+  * the warehouse root is an object-store prefix and saves pass
+  * `partitionBy` so downstream scans prune partitions.
+  */
+final class Catalog(val spark: SparkSession, val warehouse: String) {
+
+  /** S6/M2: CTAS — materialize and (re-)register. `sortBy` reproduces
+    * the reference's ORDER BY-in-CTAS clustering (O1: layout, not
+    * semantics); `partitionBy` is the 100 TB knob the reference lacks.
+    */
+  def save(name: String, df: DataFrame, sortBy: Seq[String] = Nil,
+           partitionBy: Seq[String] = Nil): DataFrame = {
+    val clustered = if (sortBy.nonEmpty) df.sortWithinPartitions(
+      sortBy.map(org.apache.spark.sql.functions.col): _*) else df
+    val writer = clustered.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$warehouse/$name")
+    val back = spark.read.parquet(s"$warehouse/$name")
+    back.createOrReplaceTempView(name)
+    back
+  }
+
+  /** S7: non-materialized view over the catalog. */
+  def createView(name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(name)
+    spark.table(name)
+  }
+
+  def table(name: String): DataFrame = spark.table(name)
+
+  /** S10: introspection — registered table names (SHOW TABLES analog). */
+  def tables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+
+  /** S10: DESCRIBE analog. */
+  def describe(name: String): Seq[(String, String)] =
+    spark.table(name).schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+
+  /** S11: database-file lifecycle — drop the warehouse directory. */
+  def dropWarehouse(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val root = new java.io.File(warehouse)
+    if (root.exists()) rm(root)
+  }
+}

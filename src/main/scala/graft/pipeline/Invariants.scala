@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Catalog
+
+/** The reference's inline validation barrage as a checkable suite
+  * (SURVEY.md §5): each check returns its violation count; the pipeline
+  * is healthy iff every count is zero.
+  */
+object Invariants {
+
+  /** All checks as one labeled frame (U1 shape: check_name, violations). */
+  def checkAll(cat: Catalog): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+
+    def branch(nm: String, violations: Long): DataFrame =
+      Seq((nm, violations)).toDF("check_name", "violations")
+
+    // Calendar continuity via LAG (dimensions.py:129-143).
+    val w = Window.orderBy("date")
+    val gaps = cat.table("dim_calendar")
+      .withColumn("prev", lag($"date", 1).over(w))
+      .filter($"prev".isNotNull && datediff($"date", $"prev") > 1)
+      .count()
+
+    // Referential integrity anti-joins (facts.py:114-150).
+    val fct = cat.table("fct_sales")
+    val orphanCal = fct.join(cat.table("dim_calendar"), Seq("date"), "left_anti").count()
+    val orphanProd = fct.join(cat.table("dim_product"), Seq("stock_code"), "left_anti").count()
+    val orphanCust = fct.join(cat.table("dim_customer"), Seq("customer_id"), "left_anti").count()
+
+    // FX coverage: every fact date has a rate (facts.py:210-221).
+    val uncovered = fct.select("date").distinct()
+      .join(cat.table("daily_fx_rates").filter($"rate".isNotNull),
+        Seq("date"), "left_anti").count()
+
+    // Conversion completeness: no NULL EUR amounts (facts.py:332-344).
+    val nullEur = cat.table("fct_sales_eur")
+      .filter($"net_amount_eur".isNull).count()
+
+    // Reconciliation: EUR == GBP / rate row-wise (facts.py:296-312) —
+    // checked with the exact identity, not the 10% tolerance, because we
+    // control both sides.
+    val mismatch = cat.table("fct_sales_eur")
+      .join(cat.table("daily_fx_rates"), Seq("date"))
+      .filter($"net_amount_eur" =!= $"net_amount" / $"rate").count()
+
+    branch("calendar_gaps", gaps)
+      .unionByName(branch("fct_orphan_calendar", orphanCal))
+      .unionByName(branch("fct_orphan_product", orphanProd))
+      .unionByName(branch("fct_orphan_customer", orphanCust))
+      .unionByName(branch("fx_uncovered_dates", uncovered))
+      .unionByName(branch("null_eur_amounts", nullEur))
+      .unionByName(branch("eur_gbp_mismatch", mismatch))
+  }
+}

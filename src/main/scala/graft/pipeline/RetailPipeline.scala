@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Catalog, Functions, Graft}
+
+/** The reference's end-to-end staged pipeline re-expressed over the
+  * testdata star schema: 8 materialization barriers (staging → dims →
+  * facts → rollup → view), mirroring `/root/reference/src/run.py:50-87`.
+  *
+  * The reference's dataflow is preserved — each phase writes a table the
+  * next phase re-scans (deliberate staged materialization, SURVEY.md §4)
+  * — while the operators inside each phase are idiomatic Spark: broadcast
+  * dim joins, window forward-fill, fold-mutation-into-join for the
+  * holiday flag, `mode` recomputed deterministically.
+  *
+  * Scale notes: facts write `partitionBy("year")` so date-ranged scans
+  * prune; dims are small by construction (broadcast in every join);
+  * the only large⋈large join (fct ⋈ fct_eur) shuffles both sides once on
+  * the composite key.
+  */
+object RetailPipeline {
+
+  /** Build every table; returns the catalog. Mirrors run.py's phase
+    * order, including the driver-side barriers where query results feed
+    * the next phase's plan (calendar + FX date bounds, SURVEY.md §3.1).
+    */
+  def build(spark: SparkSession, sfDir: String, warehouse: String): Catalog = {
+    import spark.implicits._
+    val cat = new Catalog(spark, warehouse)
+
+    // Phase 1 — staging (P1 renames, D1 casts; S1-analog ingestion is
+    // exercised separately via Sources).
+    val li = Graft.table(spark, sfDir, "lineitem")
+    val o = Graft.table(spark, sfDir, "orders")
+    val cu = Graft.table(spark, sfDir, "customer")
+    val na = Graft.table(spark, sfDir, "nation")
+    val pa = Graft.table(spark, sfDir, "part")
+    val raw = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
+      .select(
+        o("o_orderkey").as("invoice_no"),
+        li("l_partkey").as("stock_code"),
+        pa("p_name").as("description"),
+        li("l_quantity").as("qty"),
+        (li("l_extendedprice") * (lit(1) - li("l_discount")) / li("l_quantity"))
+          .as("unit_price"),
+        o("o_orderdate").as("invoice_ts"),
+        o("o_custkey").as("customer_id"),
+        o("o_orderstatus").as("status"))
+    cat.save("raw_sales", raw)
+
+    // Phase 2 — dimensions.
+    val b = cat.table("raw_sales")
+      .agg(min(to_date($"invoice_ts")), max(to_date($"invoice_ts"))).head()
+    val (lo, hi) = (b.getDate(0), b.getDate(1))          // driver barrier
+    val series = Functions.dateSeries(spark, lo, hi)
+    val holidays = series.select(trunc($"date", "month").as("holiday_date"))
+      .distinct()                                        // pseudo-holiday set
+    val calendar = series
+      .select($"date",
+        Functions.dowSun0($"date").cast("long").as("day_of_week"),
+        Functions.isWeekend($"date").as("is_weekend"),
+        Functions.isoYear($"date").cast("long").as("iso_year"),
+        Functions.isoWeek($"date").cast("long").as("iso_week"),
+        month($"date").cast("long").as("month"),
+        year($"date").cast("long").as("year"),
+        Functions.dayName($"date").as("day_name"),
+        Functions.monthName($"date").as("month_name"))
+      .join(broadcast(holidays), $"date" === $"holiday_date", "left")
+      .withColumn("is_holiday", $"holiday_date".isNotNull)  // M1 as join
+      .drop("holiday_date")
+    cat.save("dim_calendar", calendar, sortBy = Seq("date"))
+
+    val product = Functions.modeDet(
+        cat.table("raw_sales").filter($"stock_code".isNotNull),
+        Seq("stock_code"), "description", "description")
+      .join(cat.table("raw_sales").groupBy($"stock_code")
+        .agg(min(to_date($"invoice_ts")).as("first_seen"),
+          max(to_date($"invoice_ts")).as("last_seen")), Seq("stock_code"))
+    cat.save("dim_product", product, sortBy = Seq("stock_code"))
+
+    val customer = Functions.modeDet(
+        cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+          .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
+            na("n_name").as("country")),
+        Seq("customer_id"), "country", "country")
+    cat.save("dim_customer", customer, sortBy = Seq("customer_id"))
+
+    // Phase 3 — facts.
+    val fct = cat.table("raw_sales")
+      .withColumn("date", to_date($"invoice_ts"))
+      .filter($"stock_code".isNotNull && $"qty".isNotNull &&
+        $"unit_price".isNotNull)
+      .join(broadcast(cat.table("dim_calendar").select("date")), Seq("date"))
+      .join(broadcast(cat.table("dim_product").select("stock_code")),
+        Seq("stock_code"))
+      .withColumn("customer_id", coalesce($"customer_id", lit(-1L)))
+      .join(broadcast(cat.table("dim_customer").select("customer_id")),
+        Seq("customer_id"))
+      .withColumn("net_amount", $"qty" * $"unit_price")
+      .withColumn("year", year($"date").cast("int"))
+    cat.save("fct_sales", fct, sortBy = Seq("date", "invoice_no"),
+      partitionBy = Seq("year"))
+
+    // daily FX-style rates: sparse per-date value forward-filled over a
+    // gap-free series (J4 + W1).
+    val fb = cat.table("fct_sales").agg(min($"date"), max($"date")).head()
+    val rateDaily = o.groupBy(to_date($"o_orderdate").as("date"))
+      .agg((max($"o_totalprice") / 100000).as("rate_raw"))
+    val rates = Functions.forwardFill(
+        Functions.dateSeries(spark, fb.getDate(0), fb.getDate(1))
+          .join(rateDaily, Seq("date"), "left"),
+        "date", "rate_raw", "rate")
+      .select($"date", $"rate")
+    cat.save("daily_fx_rates", rates, sortBy = Seq("date"))
+
+    val eur = cat.table("fct_sales")
+      .join(broadcast(cat.table("daily_fx_rates")), Seq("date"))
+      .withColumn("net_amount_eur", $"net_amount" / $"rate")
+      .drop("rate")
+    cat.save("fct_sales_eur", eur, sortBy = Seq("date", "invoice_no"),
+      partitionBy = Seq("year"))
+
+    // Phase 4 — rollup: fct ⋈ fct_eur on the composite key (J6), dims
+    // re-attached (J7), 8-key-ish daily group (G5/G4).
+    val f = cat.table("fct_sales").as("f")
+    val fe = cat.table("fct_sales_eur")
+      .select($"invoice_no", $"stock_code", $"date", $"customer_id",
+        $"net_amount_eur").as("fe")
+    val agg = f.join(fe, Seq("invoice_no", "stock_code", "date", "customer_id"))
+      .join(broadcast(cat.table("dim_customer")), Seq("customer_id"))
+      .join(broadcast(cat.table("dim_calendar")
+        .select($"date", $"is_weekend", $"is_holiday", $"year".as("cal_year"),
+          $"month")), Seq("date"))
+      .groupBy($"date", $"country", $"cal_year".as("year"), $"month",
+        $"is_weekend", $"is_holiday")
+      .agg(
+        countDistinct(when($"status" =!= "F", $"invoice_no")).as("orders"),
+        count(lit(1)).as("items"),
+        Functions.dsum($"net_amount").as("net_revenue"),
+        Functions.dsum($"net_amount_eur").as("net_revenue_eur"))
+    cat.save("agg_country_day", agg, sortBy = Seq("date", "country"))
+
+    // Phase 5 — the monthly view (S7; G6/P8/P14).
+    val monthly = cat.table("agg_country_day")
+      .groupBy($"year", $"month", $"country")
+      .agg(countDistinct($"date").as("trading_days"),
+        sum($"orders").as("total_orders"),
+        Functions.dsum($"net_revenue").as("total_revenue"),
+        Functions.dsum($"net_revenue_eur").as("total_revenue_eur"))
+      .filter($"total_revenue" > 0)
+      .withColumn("avg_daily_revenue", $"total_revenue" / $"trading_days")
+      .withColumn("avg_order_value",
+        $"total_revenue" / when($"total_orders" =!= 0, $"total_orders"))
+    cat.createView("v_monthly_sales_summary", monthly)
+    cat
+  }
+}

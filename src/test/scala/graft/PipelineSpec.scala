@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.engine.{MultiSheetCsvSource, XmlFxSource}
+import graft.pipeline.{Invariants, RetailPipeline}
+
+/** End-to-end staged pipeline on sf0.001: builds the full star schema
+  * into a temp warehouse, asserts every invariant is zero, exercises
+  * catalog introspection + idempotent rebuild (M2), and drives the
+  * Source implementations (multi-sheet CSV union, ECB-shaped XML).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  test("full pipeline builds, invariants hold, rebuild is idempotent") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val cat = RetailPipeline.build(spark, sfDir, wh)
+    val expected = Seq("agg_country_day", "daily_fx_rates", "dim_calendar",
+      "dim_customer", "dim_product", "fct_sales", "fct_sales_eur",
+      "raw_sales")
+    assert(expected.toSet.subsetOf(cat.tables().toSet))
+
+    val inv = Invariants.checkAll(cat).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv.size === 7)
+    inv.foreach { case (name, v) => assert(v === 0L, s"invariant $name") }
+
+    val monthly = cat.table("v_monthly_sales_summary")
+    assert(monthly.count() > 0)
+    assert(cat.describe("fct_sales").exists(_._1 == "net_amount"))
+
+    // M2: rebuild over an existing warehouse must succeed and agree.
+    val n1 = cat.table("fct_sales").count()
+    val cat2 = RetailPipeline.build(spark, sfDir, wh)
+    assert(cat2.table("fct_sales").count() === n1)
+    cat.dropWarehouse()
+  }
+
+  test("multi-sheet CSV source tags and unions sheets with trim semantics") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val s1 = dir.resolve("a.csv")
+    val s2 = dir.resolve("b.csv")
+    Files.writeString(s1, "id,name\n1,  alpha  \n2,beta\n")
+    Files.writeString(s2, "id,name\n3,gamma\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = MultiSheetCsvSource(
+      Seq("sheet_a" -> s1.toString, "sheet_b" -> s2.toString), schema)
+      .load(spark)
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "alpha", "sheet_a"), (2L, "beta", "sheet_a"),
+      (3L, "gamma", "sheet_b")))
+  }
+
+  test("XML FX source validates currency and skips malformed observations") {
+    val f = Files.createTempFile("fx", ".xml")
+    Files.writeString(f,
+      """<DataSet>
+        |  <Series CURRENCY="GBP">
+        |    <Obs TIME_PERIOD="2024-01-02" OBS_VALUE="0.8654"/>
+        |    <Obs TIME_PERIOD="bogus" OBS_VALUE="0.9"/>
+        |    <Obs TIME_PERIOD="2024-01-03" OBS_VALUE="not-a-number"/>
+        |    <Obs TIME_PERIOD="2024-01-04" OBS_VALUE="0.8700"/>
+        |  </Series>
+        |</DataSet>""".stripMargin)
+    val df = XmlFxSource(f.toString).load(spark)
+    val rows = df.orderBy("date").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1)))
+    assert(rows.toSeq === Seq(("2024-01-02", 0.8654), ("2024-01-04", 0.87)))
+
+    val bad = Files.createTempFile("fx-bad", ".xml")
+    Files.writeString(bad,
+      """<DataSet><Series CURRENCY="USD">
+        |<Obs TIME_PERIOD="2024-01-02" OBS_VALUE="1.1"/>
+        |</Series></DataSet>""".stripMargin)
+    assertThrows[IllegalArgumentException] {
+      XmlFxSource(bad.toString).load(spark)
+    }
+  }
+}
