@@ -107,9 +107,7 @@ object DedupQueries {
   /** Exact left-fold dot product of two float-array columns (index
     * order, 0.0 init — mirrors DuckDB list_reduce over list_zip).
     */
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "0D, (acc, v) -> acc + v)")
+  private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +

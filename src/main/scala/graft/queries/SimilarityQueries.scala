@@ -23,9 +23,7 @@ object SimilarityQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "0D, (acc, v) -> acc + v)")
+  private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
@@ -43,9 +41,7 @@ object SimilarityQueries {
   /** NPlanes-bit LSH bucket signature of an embedding column. */
   def bucketCol(emb: String): org.apache.spark.sql.Column =
     (0 until NPlanes).map { j =>
-      val proj = expr(
-        s"aggregate(zip_with($emb, __planes$j, (x, c) -> CAST(x AS DOUBLE) * c), " +
-          "0D, (acc, v) -> acc + v)")
+      val proj = expr(s"graft_dot($emb, __planes$j)")
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -66,7 +62,7 @@ object SimilarityQueries {
   /** Attach plane-literal columns then the bucket signature. */
   def withBucket(df: DataFrame, emb: String): DataFrame = {
     val withPlanes = (0 until NPlanes).foldLeft(df) { (d, j) =>
-      d.withColumn(s"__planes$j", array(planes(j).map(lit): _*))
+      d.withColumn(s"__planes$j", array(planes(j).map(v => lit(v.toFloat)): _*))
     }
     withPlanes.withColumn("bucket", bucketCol(emb).cast("int"))
       .drop((0 until NPlanes).map(j => s"__planes$j"): _*)
