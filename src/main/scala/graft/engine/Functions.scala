@@ -86,6 +86,46 @@ object Functions {
     spark.sql(
       s"SELECT explode(sequence(date'$lo', date'$hi', interval 1 day)) AS date")
 
+  /** As-of join: attach to each left row the latest `valueCol` from
+    * `right` whose `timeCol` <= the left row's `timeCol`, per partition
+    * key — the time-series lookup DuckDB spells `ASOF JOIN` (the oracle
+    * twin). Composed from built-ins (union + partitioned running
+    * last-ignoreNulls window) rather than a custom physical operator:
+    * one shuffle on the partition key, no range join, no all-pairs.
+    * Within a timestamp tie the right row sorts first, so same-instant
+    * values are visible (>= semantics).
+    *
+    * At 100 TB the partition key keeps windows parallel (one per
+    * entity/currency); a keyless as-of degrades to a single-task window
+    * — pass at least one key for large inputs.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+               timeCol: String, valueCol: String, as: String): DataFrame = {
+    val l = left.withColumn("__is_left", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      (partitionCols.map(col) :+ col(timeCol) :+
+        col(valueCol).as("__v")): _*)
+      .withColumn("__is_left", lit(0))
+    val u = l.select(
+        (partitionCols.map(col) :+ col(timeCol) :+ col("__v") :+
+          col("__is_left") :+
+          struct(left.columns.map(col): _*).as("__row")): _*)
+      .unionByName(r.withColumn("__row",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          left.schema.fields))), allowMissingColumns = false)
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col(timeCol), col("__is_left"))
+             else Window.partitionBy(partitionCols.map(col): _*)
+               .orderBy(col(timeCol), col("__is_left")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val restored = left.columns.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(s"__row.$c"))
+    }
+    restored.select((left.columns.map(col) :+ col(as)): _*)
+  }
+
   /** Forward-fill `valueCol` down a date-ordered frame: the reference's
     * `LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY date ROWS UNBOUNDED
     * PRECEDING)` (`/root/reference/src/models/facts.py:191-194`).

@@ -456,6 +456,60 @@ object PipelineQueries {
           |SELECT user_id, COUNT(*) AS n_sessions,
           |  CAST(SUM(n) AS BIGINT) AS n_events,
           |  MAX(dur_us) AS max_session_us
-          |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin))
+          |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    Q("e5_skew_salted_distinct",
+      "Skew pattern — two-phase COUNT(DISTINCT) over a 5-value hot key: " +
+        "phase 1 dedups on (key, value) so the shuffle spreads by both " +
+        "columns, phase 2 counts per key; no single reducer ever holds a " +
+        "hot key's full value set (the salting shape for 100 TB skew)",
+      (s, d) => {
+        import s.implicits._
+        val e = Graft.events(s, d)
+        // phase 1: distinct on the compound key — Spark shuffles on
+        // (event_type, user_id), so the hot event_type fans out.
+        val phase1 = e.select($"event_type", $"user_id").distinct()
+        phase1.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy($"event_type")
+      },
+      Some(
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e6_asof_join",
+      "As-of join — each event picks the latest reference value at or " +
+        "before its date for its event_type (Functions.asofJoin: " +
+        "union + partitioned running window, one shuffle, no range " +
+        "join). Oracle uses DuckDB's native ASOF JOIN.",
+      (s, d) => {
+        import s.implicits._
+        val e = Graft.events(s, d).withColumn("date", to_date($"ts"))
+        // sparse reference series: per-type daily max over the first
+        // half of the month only — later events must look back.
+        val rates = e.filter(dayofmonth($"date") <= 15)
+          .groupBy($"event_type", $"date")
+          .agg(max($"value").as("ref_v"))
+        val joined = Functions.asofJoin(
+          e.select($"event_id", $"event_type", $"date", $"value"),
+          rates, Seq("event_type"), "date", "ref_v", "ref_v")
+        joined.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            Functions.dsum($"ref_v").as("total_ref"),
+            sum(when($"ref_v".isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_unmatched"))
+          .orderBy($"event_type")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, event_type,
+          |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date, value FROM events),
+          |rates AS (SELECT event_type, date, MAX(value) AS ref_v
+          |  FROM e WHERE EXTRACT(day FROM date) <= 15 GROUP BY 1, 2)
+          |SELECT e.event_type AS event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(r.ref_v AS DECIMAL(38,6))) AS DOUBLE) AS total_ref,
+          |  CAST(SUM(CASE WHEN r.ref_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+          |FROM e ASOF LEFT JOIN rates r
+          |  ON e.event_type = r.event_type AND e.date >= r.date
+          |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

@@ -135,6 +135,56 @@ object SimilarityQueries {
             col("vec_id"), col("cosine"))
           .orderBy("query_id", "rank")
       },
+      None),
+
+    Q("a3_ann_ivf",
+      "ANN scale path #2 — IVF with deterministic centroids (the first " +
+        "8 vectors act as coarse centroids; every vector is assigned to " +
+        "its nearest centroid in one broadcast pass), queries probe the " +
+        "2 nearest cells. Approximate: no SQL oracle; structural " +
+        "properties asserted in AnnSpec. At scale the inverted file is " +
+        "written partitioned-by-cell so a probe reads 2 partitions.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            col("norm").as("cnorm"))
+        // assignment: nearest centroid per vector (broadcast, 1 pass)
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("csim", dot("embedding", "ce") / (col("norm") * col("cnorm")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"))
+        // queries probe their 2 nearest cells
+        val probes = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", dot("eq", "ce") / (col("norm_q") * col("cnorm")))
+          .withColumn("crank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("csim").desc, col("cent_id"))))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("eq"), col("norm_q"),
+            col("cent_id").as("probe_cell"))
+        val scored = assigned.join(broadcast(probes),
+            col("cent_id") === col("probe_cell") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", dot("eq", "embedding") / (col("norm_q") * col("norm")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
       None)
   )
 }

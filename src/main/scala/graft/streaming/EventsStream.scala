@@ -54,6 +54,16 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the incremental twin of the batch hash-dedup (d1): state holds one
+    * key per event inside the watermark and is evicted past it, so
+    * memory stays bounded by the horizon, not the stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(sessionCount: Long, lastTs: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -24,6 +24,34 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a3 IVF results agree with exact cosines and stay within probed cells") {
+    val exact = run("a1_ann_bruteforce")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = run("a3_ann_ivf")
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (k, c) =>
+      exact.get(k).foreach(e => assert(e === c, s"cosine mismatch for $k"))
+    }
+  }
+
+  test("asofJoin picks the latest at-or-before value per key") {
+    import spark.implicits._
+    val left = Seq((1, "a", 5), (2, "a", 10), (3, "b", 7), (4, "a", 2))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 3, 30.0), ("a", 10, 100.0), ("b", 8, 80.0))
+      .toDF("k", "t", "v")
+    val got = graft.engine.Functions
+      .asofJoin(left, right, Seq("k"), "t", "v", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq === Seq(
+      (1, Some(30.0)),   // t=5 → latest a-rate at 3
+      (2, Some(100.0)),  // t=10 → same-instant rate visible (>=)
+      (3, None),         // t=7 → b-rate only at 8, nothing before
+      (4, None)))        // t=2 → before first a-rate
+  }
+
   test("bucket signatures are deterministic across evaluations") {
     val e = graft.engine.Graft.table(spark, sfDir, "embeddings")
     val b1 = SimilarityQueries.withBucket(e, "embedding")

@@ -33,6 +33,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming dedup by event_id preserves the distinct count") {
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    val q = EventsStream.dedupStream(EventsStream.source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream").count()
+    val batch = graft.engine.Graft.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(streamed === batch)
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     val m = 60L * 1000000
     val events = Seq(
