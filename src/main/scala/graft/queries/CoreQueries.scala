@@ -326,6 +326,39 @@ object CoreQueries {
            |FROM ($DailySql) daily
            |GROUP BY country ORDER BY revenue DESC, country LIMIT 5""".stripMargin)),
 
+    Q("g11_mom_growth",
+      "G11/W2(partitioned) — month-over-month revenue growth per " +
+        "country from the monthly summary (the dashboard's growth calc, " +
+        "analyze_monthly_sales.py:162-168, as a partitioned LAG window)",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"country").orderBy($"year", $"month")
+        monthlySummary(s, d)
+          .select($"year", $"month", $"country", $"total_revenue")
+          .withColumn("prev_revenue", lag($"total_revenue", 1).over(w))
+          .withColumn("growth_pct",
+            ($"total_revenue" - $"prev_revenue") / $"prev_revenue" * 100)
+          .filter($"prev_revenue".isNotNull)
+          .orderBy($"country", $"year", $"month")
+      },
+      Some(
+        s"""WITH daily AS ($DailySql),
+           |monthly AS (
+           |  SELECT EXTRACT(year FROM date) AS year, EXTRACT(month FROM date) AS month,
+           |    country,
+           |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+           |  FROM daily GROUP BY 1, 2, 3),
+           |flt AS (SELECT * FROM monthly WHERE total_revenue > 0),
+           |lagged AS (
+           |  SELECT year, month, country, total_revenue,
+           |    LAG(total_revenue) OVER (PARTITION BY country ORDER BY year, month) AS prev_revenue
+           |  FROM flt)
+           |SELECT year, month, country, total_revenue, prev_revenue,
+           |  (total_revenue - prev_revenue) / prev_revenue * 100 AS growth_pct
+           |FROM lagged WHERE prev_revenue IS NOT NULL
+           |ORDER BY country, year, month""".stripMargin)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")
