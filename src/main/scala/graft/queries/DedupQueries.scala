@@ -140,17 +140,21 @@ object DedupQueries {
         "cross-lang/cross-source near-duplicates (jaccard up to 0.99).",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // One shingle scan feeds both the LSH pass and the verification
+        // pass (persist beats recomputing the explode+substring over the
+        // corpus; at cluster scale this is a cheap MEMORY_AND_DISK stage).
+        val shRaw = shinglesRaw(docs).select("doc_id", "s").persist()
         // cache: the candidate frame is tiny but feeds two consumers
         // (pair verification + doc pruning); without it the whole
         // shingle+minhash subtree runs twice.
-        val cand = lshCandidates(shinglesRaw(docs).select("doc_id", "s"))
+        val cand = lshCandidates(shRaw)
           .select("doc_a", "doc_b").cache()
         // Verification only needs shingle sets of candidate docs — a
         // broadcast semi-join prunes the corpus BEFORE the distinct
         // shuffle (candidates are a vanishing fraction at scale).
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val sh = shinglesRaw(docs).select("doc_id", "s")
+        val sh = shRaw
           .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
