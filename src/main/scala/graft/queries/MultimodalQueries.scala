@@ -97,6 +97,37 @@ object MultimodalQueries {
           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           |    list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
           |    (acc, c) -> acc + c) AS BIGINT) AS checksum
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("m3_frame_sample",
+      "Multimodal frame sampling — every video payload yields one " +
+        "\"frame\" per 64-byte stride (window + first-byte digest per " +
+        "frame) via the same partition-parallel decode stub; a real " +
+        "deployment swaps the stride loop for codec keyframe extraction",
+      (s, d) => {
+        import s.implicits._
+        val payloads = withPayload(t(s, d, "documents"))
+          .filter(col("media_kind") === "video")
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        val frames = payloads.flatMap { case (id, bytes) =>
+          val stride = 64
+          (0 until bytes.length by stride).map { off =>
+            (id, (off / stride).toLong, bytes(off) & 0xff)
+          }
+        }.toDF("doc_id", "frame_no", "first_byte")
+        frames.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum($"first_byte".cast("long")).as("digest_sum"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST((octet_length(encode(text)) - 1) // 64 + 1 AS BIGINT) AS n_frames,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(generate_series(0, (octet_length(encode(text)) - 1) // 64),
+          |      f -> CAST(ascii(substr(text, f * 64 + 1, 1)) AS BIGINT))),
+          |    (acc, v) -> acc + v) AS BIGINT) AS digest_sum
+          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin))
   )
 }
