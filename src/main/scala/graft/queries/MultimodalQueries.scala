@@ -128,6 +128,39 @@ object MultimodalQueries {
           |    list_transform(generate_series(0, (octet_length(encode(text)) - 1) // 64),
           |      f -> CAST(ascii(substr(text, f * 64 + 1, 1)) AS BIGINT))),
           |    (acc, v) -> acc + v) AS BIGINT) AS digest_sum
-          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin))
+          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin)),
+
+    Q("m4_resize_meta",
+      "Multimodal resize stage — image payloads rescaled to fit a " +
+        "128x128 box preserving aspect ratio; pure metadata arithmetic " +
+        "here (the byte-level resample lives behind the same decode " +
+        "stub), grouped per target bucket",
+      (s, d) => {
+        import s.implicits._
+        val imgs = withPayload(t(s, d, "documents"))
+          .filter($"media_kind" === "image")
+        val scaled = imgs
+          .withColumn("scale",
+            lit(128.0) / greatest($"media_width", $"media_height"))
+          .withColumn("out_w", floor($"media_width" * $"scale").cast("long"))
+          .withColumn("out_h", floor($"media_height" * $"scale").cast("long"))
+        scaled.groupBy($"out_w")
+          .agg(count(lit(1)).as("n_images"),
+            min($"out_h").as("min_h"),
+            max($"out_h").as("max_h"))
+          .orderBy("out_w")
+      },
+      Some(
+        """SELECT out_w, COUNT(*) AS n_images,
+          |  MIN(out_h) AS min_h, MAX(out_h) AS max_h
+          |FROM (
+          |  SELECT CAST(FLOOR(w * s) AS BIGINT) AS out_w,
+          |         CAST(FLOOR(h * s) AS BIGINT) AS out_h
+          |  FROM (
+          |    SELECT w, h, 128.0 / GREATEST(w, h) AS s
+          |    FROM (SELECT 32 + (doc_id * 7) % 64 AS w,
+          |                 32 + (doc_id * 13) % 64 AS h
+          |          FROM documents WHERE doc_id % 3 = 0) dims) scaled) t
+          |GROUP BY 1 ORDER BY out_w""".stripMargin))
   )
 }

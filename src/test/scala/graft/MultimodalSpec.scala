@@ -7,6 +7,22 @@ import graft.queries.Registry
   */
 class MultimodalSpec extends SparkTestBase {
 
+  test("m3 frame counts match ceil(bytes/stride) for every video doc") {
+    val nBytes = graft.engine.Graft.table(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(3)) === 2)
+      .selectExpr("doc_id", "cast(length(cast(text as binary)) as long) as n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = Registry.all.find(_.name == "m3_frame_sample").get
+      .run(spark, sfDir).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val expect = (nBytes(r.getLong(0)) - 1) / 64 + 1
+      assert(r.getLong(1) === expect)
+    }
+  }
+
   test("m2 decode features match a driver-side recompute") {
     val docs = graft.engine.Graft.table(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
