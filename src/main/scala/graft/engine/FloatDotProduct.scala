@@ -38,6 +38,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  // A NULL element anywhere poisons the whole product, exactly like the
+  // interpreted fold (null product → null accumulator) and the oracle's
+  // list_reduce — returning a finite number for such rows would silently
+  // diverge.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +49,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -60,6 +65,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}
          |${ev.value} = $acc;

@@ -81,11 +81,18 @@ object RetailPipeline {
           max(to_date($"invoice_ts")).as("last_seen")), Seq("stock_code"))
     cat.save("dim_product", product, sortBy = Seq("stock_code"))
 
-    val customer = Functions.modeDet(
+    // The UNKNOWN (-1) surrogate row is always present, so facts whose
+    // customer_id coalesces to -1 survive the inner dim join instead of
+    // being silently dropped (dimensions.py:206 analog).
+    val customerReal = Functions.modeDet(
         cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
           .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
             na("n_name").as("country")),
         Seq("customer_id"), "country", "country")
+    val unknownRow = Seq((-1L, "UNKNOWN")).toDF("customer_id", "country")
+      .join(customerReal.filter($"customer_id" === -1L),
+        Seq("customer_id"), "left_anti")
+    val customer = customerReal.unionByName(unknownRow)
     cat.save("dim_customer", customer, sortBy = Seq("customer_id"))
 
     // Phase 3 — facts.

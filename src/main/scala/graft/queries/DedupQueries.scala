@@ -44,8 +44,8 @@ object DedupQueries {
 
   private val ShinglesSql: String =
     """SELECT DISTINCT d.doc_id, d.lang, substring(d.text, g.i, 12) AS s
-      |FROM documents d, generate_series(1, 600) g(i)
-      |WHERE g.i <= greatest(length(d.text) - 11, 1)""".stripMargin
+      |FROM documents d,
+      |  LATERAL UNNEST(range(1, greatest(length(d.text) - 11, 1) + 1)) g(i)""".stripMargin
 
   private val P = 1000000007L
 
@@ -163,13 +163,22 @@ object DedupQueries {
         val inter = cand.join(aSh, Seq("doc_a"))
           .join(bSh, col("doc_b") === col("doc_b2") && col("s_a") === col("s_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        inter
+        val result = inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .withColumn("jaccard",
             col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+        // The verified-pair set is tiny by design — materialize it so the
+        // persisted shingle/candidate frames can be released instead of
+        // pinning executor memory for the rest of the session.
+        val rows = result.collect()
+        val schema = result.schema
+        shRaw.unpersist(false)
+        cand.unpersist(false)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
           .orderBy("doc_a", "doc_b")
       },
       Some(

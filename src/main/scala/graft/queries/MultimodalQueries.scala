@@ -80,12 +80,20 @@ object MultimodalQueries {
           .as[(Long, Array[Byte])]
         // STUB decode: a real deployment would hand `bytes` to an image/
         // audio codec here; this deterministic fake keeps the oracle exact.
-        val decoded = payloads.mapPartitions(_.map { case (id, bytes) =>
-          var sum = 0L
-          var k = 0
-          while (k < bytes.length) { sum += bytes(k) & 0xff; k += 1 }
-          DecodedFeatures(id, bytes.length.toLong,
-            bytes.head & 0xff, bytes.last & 0xff, sum)
+        // Contract: the corpus is ASCII (bytes == code points) — the
+        // oracle computes over characters; non-ASCII data would need a
+        // byte-exact oracle. Empty/null payloads decode to all-zero
+        // features (matches ascii('') = 0 on the oracle side).
+        val decoded = payloads.mapPartitions(_.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          if (bytes.isEmpty) DecodedFeatures(id, 0L, 0, 0, 0L)
+          else {
+            var sum = 0L
+            var k = 0
+            while (k < bytes.length) { sum += bytes(k) & 0xff; k += 1 }
+            DecodedFeatures(id, bytes.length.toLong,
+              bytes.head & 0xff, bytes.last & 0xff, sum)
+          }
         })
         decoded.toDF().orderBy("doc_id")
       },
@@ -110,9 +118,12 @@ object MultimodalQueries {
           .filter(col("media_kind") === "video")
           .select(col("doc_id"), col("payload"))
           .as[(Long, Array[Byte])]
+        // Empty payloads yield zero frames and drop out of the per-doc
+        // aggregate — mirrored by the oracle's octet_length > 0 filter.
         val frames = payloads.flatMap { case (id, bytes) =>
           val stride = 64
-          (0 until bytes.length by stride).map { off =>
+          if (bytes == null) Nil
+          else (0 until bytes.length by stride).map { off =>
             (id, (off / stride).toLong, bytes(off) & 0xff)
           }
         }.toDF("doc_id", "frame_no", "first_byte")
@@ -128,7 +139,9 @@ object MultimodalQueries {
           |    list_transform(generate_series(0, (octet_length(encode(text)) - 1) // 64),
           |      f -> CAST(ascii(substr(text, f * 64 + 1, 1)) AS BIGINT))),
           |    (acc, v) -> acc + v) AS BIGINT) AS digest_sum
-          |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin)),
+          |FROM documents
+          |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+          |ORDER BY doc_id""".stripMargin)),
 
     Q("m4_resize_meta",
       "Multimodal resize stage — image payloads rescaled to fit a " +

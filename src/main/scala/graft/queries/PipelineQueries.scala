@@ -350,7 +350,7 @@ object PipelineQueries {
         val series = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
           .crossJoin(e.select($"event_type").distinct())
         val daily = e.groupBy($"date", $"event_type")
-          .agg(round(max($"value"), 2).as("v"))
+          .agg(max($"value").as("v"))
         val joined = series.join(daily, Seq("date", "event_type"), "left")
         Functions.forwardFill(joined, "date", "v", "v_filled",
             partitionCols = Seq("event_type"))
@@ -362,7 +362,7 @@ object PipelineQueries {
           |b AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM e),
           |series AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b),
           |grid AS (SELECT s.date, t.event_type FROM series s CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
-          |daily AS (SELECT date, event_type, ROUND(MAX(value), 2) AS v FROM e GROUP BY 1, 2)
+          |daily AS (SELECT date, event_type, MAX(value) AS v FROM e GROUP BY 1, 2)
           |SELECT g.date, g.event_type,
           |  LAST_VALUE(dv.v IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.date
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
@@ -468,7 +468,8 @@ object PipelineQueries {
         val e = Graft.events(s, d)
         // phase 1: distinct on the compound key — Spark shuffles on
         // (event_type, user_id), so the hot event_type fans out.
-        val phase1 = e.select($"event_type", $"user_id").distinct()
+        val phase1 = e.filter($"user_id".isNotNull)
+          .select($"event_type", $"user_id").distinct()
         phase1.groupBy($"event_type")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy($"event_type")

@@ -65,7 +65,7 @@ object TextQueries {
         val scored = t(s, d, "documents")
           .withColumn("punct_chars",
             length(col("text")) -
-              length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+              length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
           .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
           .withColumn("score",
             when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
@@ -84,7 +84,7 @@ object TextQueries {
           |FROM (
           |  SELECT source,
           |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
-          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
           |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END) AS score
           |  FROM documents) t
           |GROUP BY 1 ORDER BY source""".stripMargin)),

