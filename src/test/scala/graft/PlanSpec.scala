@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.Registry
+
+/** Plan-shape regression guards: the physical properties the 100 TB
+  * design depends on must survive refactors — broadcast dims, filters
+  * reaching the parquet scan, the composite fact join staying a real
+  * shuffle join when the inputs are too big to broadcast, partitioned
+  * (not single-task) windows, and whole-stage codegen around the native
+  * expression.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def df(name: String) =
+    Registry.all.find(_.name == name).get.run(spark, sfDir)
+
+  private def formatted(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("g5 rollup broadcasts both dimension joins") {
+    val p = formatted("g5_daily_country_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("p9 filter gauntlet pushes every predicate to the parquet scan") {
+    val p = formatted("p9_filter_gauntlet")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    Seq("l_shipdate", "In(l_linenumber", "l_returnflag", "IsNotNull(l_quantity)")
+      .foreach(f => assert(pushed.contains(f), s"missing pushed filter $f in: $pushed"))
+  }
+
+  test("j6 composite join shuffles when the fact sides can't broadcast") {
+    // sf0.001 fits under the broadcast threshold, which would hide the
+    // join strategy the query is designed around — disable it here.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted("j6_fact_variants_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("w1p window is partitioned, not single-task") {
+    val p = formatted("w1p_forward_fill_partitioned")
+    val windowLine = p.linesIterator.find(_.trim.startsWith("Arguments: [last"))
+      .orElse(p.linesIterator.find(_.contains("windowspecdefinition"))).get
+    assert(windowLine.contains("event_type"), windowLine)
+  }
+
+  test("graft_dot runs inside whole-stage codegen over the scan") {
+    // single-stage projection: AQE collapses multi-stage plans' inner
+    // trees in toString, hiding the codegen markers a1 itself carries.
+    val q = graft.engine.Graft.table(spark, sfDir, "embeddings")
+      .selectExpr("graft_dot(embedding, embedding) AS d")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft_dot") && l.trim.startsWith("*")), p.take(1200))
+  }
+
+  test("queries project only needed columns from wide tables") {
+    val p = formatted("g4_conditional_distinct")
+    val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scan.contains("o_orderkey") && scan.contains("o_orderstatus"))
+    assert(!scan.contains("o_totalprice") && !scan.contains("o_orderpriority"),
+      scan)
+  }
+}
