@@ -68,6 +68,61 @@ object EventsStream {
   final case class SessionState(sessionCount: Long, lastTs: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  final case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, dur_us: Long)
+
+  /** Production-shaped sessionizer: flatMapGroupsWithState with an
+    * event-time timeout — emits each session only once it CLOSES (a
+    * 30-minute gap observed, or the watermark passes the gap horizon and
+    * times the state out). State per user is one open session, evicted
+    * on timeout, so the store stays bounded by active users rather than
+    * stream length.
+    */
+  def sessionizeClosed(events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.timestamp_micros
+    val gapUs = 30L * 60 * 1000000
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon → close and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.last_us,
+              s.n_events, s.last_us - s.start_us))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            batch.toSeq.sortBy(_._2).foreach { case (_, tsUs, _) =>
+              open match {
+                case Some(s) if tsUs - s.last_us <= gapUs =>
+                  open = Some(s.copy(last_us = tsUs, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_us, s.last_us,
+                    s.n_events, s.last_us - s.start_us)
+                  open = Some(OpenSession(tsUs, tsUs, 1))
+                case None =>
+                  open = Some(OpenSession(tsUs, tsUs, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stateful sessionization: counts 30-minute-gap sessions per user via
     * mapGroupsWithState — the incremental twin of `e4_sessionize_batch`.
     * (ProcessingTimeTimeout keeps state eviction explicit; with event

@@ -50,6 +50,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState emits closed sessions matching the batch sessionizer") {
+    import org.apache.spark.sql.functions._
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val src = EventsStream.source(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    val q = EventsStream.sessionizeClosed(src)
+      .writeStream
+      .format("memory")
+      .queryName("closed_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    // one batch + final watermark advance: sessions still open at
+    // end-of-stream are not yet emitted, so streamed counts are a
+    // prefix of the batch session set — per user at most one open.
+    val streamed = spark.table("closed_sessions")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Registry.all.find(_.name == "e4_sessionize_batch").get
+      .run(spark, sfDir)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (u, n) =>
+      val total = batch(u)
+      assert(n == total || n == total - 1,
+        s"user $u: streamed $n closed vs batch $total sessions")
+    }
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     val m = 60L * 1000000
     val events = Seq(
