@@ -151,7 +151,15 @@ object RetailPipeline {
     cat.save("agg_country_day", agg, sortBy = Seq("date", "country"))
 
     // Phase 5 — the monthly view (S7; G6/P8/P14).
-    val monthly = cat.table("agg_country_day")
+    cat.createView("v_monthly_sales_summary",
+      monthlyFromAgg(spark, cat.table("agg_country_day")))
+    cat
+  }
+
+  private def monthlyFromAgg(spark: SparkSession,
+                             agg: DataFrame): DataFrame = {
+    import spark.implicits._
+    agg
       .groupBy($"year", $"month", $"country")
       .agg(countDistinct($"date").as("trading_days"),
         sum($"orders").as("total_orders"),
@@ -161,7 +169,55 @@ object RetailPipeline {
       .withColumn("avg_daily_revenue", $"total_revenue" / $"trading_days")
       .withColumn("avg_order_value",
         $"total_revenue" / when($"total_orders" =!= 0, $"total_orders"))
-    cat.createView("v_monthly_sales_summary", monthly)
-    cat
   }
+
+  /** The same 8-stage dataflow fused into ONE lazy plan — no
+    * materialization barriers, so Catalyst optimizes across every stage
+    * boundary (the alternative architecture SURVEY.md §4 notes would be
+    * faster but breaks the per-stage table contract; both are offered).
+    * Oracle-checked end-to-end by `pipe_monthly_summary`.
+    */
+  def monthlySummaryLazy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Graft.table(spark, sfDir, "lineitem")
+    val o = Graft.table(spark, sfDir, "orders")
+    val cu = Graft.table(spark, sfDir, "customer")
+    val na = Graft.table(spark, sfDir, "nation")
+    val pa = Graft.table(spark, sfDir, "part")
+    val raw = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
+      .select(
+        o("o_orderkey").as("invoice_no"),
+        li("l_partkey").as("stock_code"),
+        li("l_quantity").as("qty"),
+        (li("l_extendedprice") * (lit(1) - li("l_discount")) / li("l_quantity"))
+          .as("unit_price"),
+        to_date(o("o_orderdate")).as("date"),
+        o("o_custkey").as("customer_id"),
+        o("o_orderstatus").as("status"))
+      .withColumn("net_amount", $"qty" * $"unit_price")
+    val rates = o.groupBy(to_date($"o_orderdate").as("date"))
+      .agg((max($"o_totalprice") / 100000).as("rate"))
+    val country = cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+      .select(cu("c_custkey").as("customer_id"), na("n_name").as("country"))
+    val gbp = raw.select($"invoice_no", $"stock_code", $"date",
+      $"customer_id", $"status", $"net_amount")
+    val eur = raw.join(broadcast(rates), Seq("date"))
+      .select($"invoice_no", $"stock_code", $"date", $"customer_id",
+        ($"net_amount" / $"rate").as("net_amount_eur"))
+    val agg = gbp
+      .join(eur, Seq("invoice_no", "stock_code", "date", "customer_id"))
+      .join(broadcast(country), Seq("customer_id"))
+      .groupBy($"date", $"country",
+        year($"date").cast("long").as("year"),
+        month($"date").cast("long").as("month"))
+      .agg(
+        countDistinct(when($"status" =!= "F", $"invoice_no")).as("orders"),
+        count(lit(1)).as("items"),
+        Functions.dsum($"net_amount").as("net_revenue"),
+        Functions.dsum($"net_amount_eur").as("net_revenue_eur"))
+    monthlyFromAgg(spark, agg)
+  }
+
 }

@@ -511,6 +511,51 @@ object PipelineQueries {
           |  CAST(SUM(CASE WHEN r.ref_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
           |FROM e ASOF LEFT JOIN rates r
           |  ON e.event_type = r.event_type AND e.date >= r.date
-          |GROUP BY 1 ORDER BY event_type""".stripMargin))
+          |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("pipe_monthly_summary",
+      "End-to-end pipeline differential — the full 8-stage retail " +
+        "dataflow (staging, rate conversion, composite fact join with " +
+        "its faithful fan-out, country dims, daily rollup, monthly " +
+        "view) fused into one lazy Catalyst plan and hash-matched " +
+        "against a single DuckDB CTE chain",
+      (s, d) => graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d)
+        .orderBy("year", "month", "country"),
+      Some(
+        """WITH raw AS (
+          |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
+          |    CAST(o.o_orderdate AS DATE) AS date, o.o_custkey AS customer_id,
+          |    o.o_orderstatus AS status,
+          |    l.l_quantity * (l.l_extendedprice * (1 - l.l_discount) / l.l_quantity) AS net_amount
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN part p ON l.l_partkey = p.p_partkey),
+          |rates AS (SELECT CAST(o_orderdate AS DATE) AS date,
+          |    MAX(o_totalprice) / 100000 AS rate FROM orders GROUP BY 1),
+          |cc AS (SELECT c.c_custkey AS customer_id, n.n_name AS country
+          |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          |eur AS (SELECT r.invoice_no, r.stock_code, r.date, r.customer_id,
+          |    r.net_amount / rt.rate AS net_amount_eur
+          |  FROM raw r JOIN rates rt ON r.date = rt.date),
+          |agg AS (
+          |  SELECT g.date AS date, cc.country AS country,
+          |    EXTRACT(year FROM g.date) AS year, EXTRACT(month FROM g.date) AS month,
+          |    COUNT(DISTINCT CASE WHEN g.status != 'F' THEN g.invoice_no END) AS orders,
+          |    CAST(SUM(CAST(g.net_amount AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+          |    CAST(SUM(CAST(e.net_amount_eur AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_eur
+          |  FROM raw g
+          |  JOIN eur e ON g.invoice_no = e.invoice_no AND g.stock_code = e.stock_code
+          |    AND g.date = e.date AND g.customer_id = e.customer_id
+          |  JOIN cc ON g.customer_id = cc.customer_id
+          |  GROUP BY 1, 2, 3, 4),
+          |monthly AS (
+          |  SELECT year, month, country, COUNT(DISTINCT date) AS trading_days,
+          |    CAST(SUM(orders) AS BIGINT) AS total_orders,
+          |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+          |    CAST(SUM(CAST(net_revenue_eur AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue_eur
+          |  FROM agg GROUP BY 1, 2, 3)
+          |SELECT *, total_revenue / trading_days AS avg_daily_revenue,
+          |  total_revenue / NULLIF(total_orders, 0) AS avg_order_value
+          |FROM monthly WHERE total_revenue > 0
+          |ORDER BY year, month, country""".stripMargin))
   )
 }
