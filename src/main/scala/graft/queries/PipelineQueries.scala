@@ -513,6 +513,67 @@ object PipelineQueries {
           |  ON e.event_type = r.event_type AND e.date >= r.date
           |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    Q("g12_percentiles",
+      "Exact percentiles — median/p90 of event value per type (Spark " +
+        "exact percentile vs DuckDB quantile_cont, both linear " +
+        "interpolation). At 100 TB swap for approx_percentile and a " +
+        "tolerance check.",
+      (s, d) => {
+        import s.implicits._
+        Graft.events(s, d)
+          .groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some(
+        """SELECT event_type,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.9) AS p90,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("g13_rollup",
+      "GROUPING SETS — ROLLUP over (year, priority) with subtotal and " +
+        "grand-total rows (Expand-based plan; one shuffle)",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .withColumn("year", year(to_date($"o_orderdate")).cast("long"))
+          .rollup($"year", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            Functions.dsum($"o_totalprice").as("revenue"))
+          .orderBy($"year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some(
+        """SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year,
+          |  o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM orders
+          |GROUP BY ROLLUP(1, 2)
+          |ORDER BY year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("g14_pivot",
+      "Pivot — return-flag counts pivoted to columns per line status " +
+        "(fixed pivot values so the schema is static; conditional " +
+        "aggregation twin on the oracle side)",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"l_linestatus")
+      },
+      Some(
+        """SELECT l_linestatus,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS "A",
+          |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS "N",
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS "R"
+          |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
     Q("pipe_monthly_summary",
       "End-to-end pipeline differential — the full 8-stage retail " +
         "dataflow (staging, rate conversion, composite fact join with " +
