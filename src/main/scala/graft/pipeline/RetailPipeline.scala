@@ -31,25 +31,10 @@ object RetailPipeline {
 
     // Phase 1 — staging (P1 renames, D1 casts; S1-analog ingestion is
     // exercised separately via Sources).
-    val li = Graft.table(spark, sfDir, "lineitem")
     val o = Graft.table(spark, sfDir, "orders")
     val cu = Graft.table(spark, sfDir, "customer")
     val na = Graft.table(spark, sfDir, "nation")
-    val pa = Graft.table(spark, sfDir, "part")
-    val raw = li
-      .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
-      .select(
-        o("o_orderkey").as("invoice_no"),
-        li("l_partkey").as("stock_code"),
-        pa("p_name").as("description"),
-        li("l_quantity").as("qty"),
-        (li("l_extendedprice") * (lit(1) - li("l_discount")) / li("l_quantity"))
-          .as("unit_price"),
-        o("o_orderdate").as("invoice_ts"),
-        o("o_custkey").as("customer_id"),
-        o("o_orderstatus").as("status"))
-    cat.save("raw_sales", raw)
+    cat.save("raw_sales", rawSales(spark, sfDir))
 
     // Phase 2 — dimensions.
     val b = cat.table("raw_sales")
@@ -85,10 +70,7 @@ object RetailPipeline {
     // customer_id coalesces to -1 survive the inner dim join instead of
     // being silently dropped (dimensions.py:206 analog).
     val customerReal = Functions.modeDet(
-        cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
-          .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
-            na("n_name").as("country")),
-        Seq("customer_id"), "country", "country")
+        customerCountry(cu, na), Seq("customer_id"), "country", "country")
     val unknownRow = Seq((-1L, "UNKNOWN")).toDF("customer_id", "country")
       .join(customerReal.filter($"customer_id" === -1L),
         Seq("customer_id"), "left_anti")
@@ -114,8 +96,7 @@ object RetailPipeline {
     // daily FX-style rates: sparse per-date value forward-filled over a
     // gap-free series (J4 + W1).
     val fb = cat.table("fct_sales").agg(min($"date"), max($"date")).head()
-    val rateDaily = o.groupBy(to_date($"o_orderdate").as("date"))
-      .agg((max($"o_totalprice") / 100000).as("rate_raw"))
+    val rateDaily = dailyRates(o).withColumnRenamed("rate", "rate_raw")
     val rates = Functions.forwardFill(
         Functions.dateSeries(spark, fb.getDate(0), fb.getDate(1))
           .join(rateDaily, Seq("date"), "left"),
@@ -171,36 +152,62 @@ object RetailPipeline {
         $"total_revenue" / when($"total_orders" =!= 0, $"total_orders"))
   }
 
-  /** The same 8-stage dataflow fused into ONE lazy plan — no
-    * materialization barriers, so Catalyst optimizes across every stage
-    * boundary (the alternative architecture SURVEY.md §4 notes would be
-    * faster but breaks the per-stage table contract; both are offered).
-    * Oracle-checked end-to-end by `pipe_monthly_summary`.
+  /** Phase-1 staging frame shared by the staged build and the fused
+    * plan: one definition of the renames and the unit-price expression,
+    * so the two architectures cannot drift.
     */
-  def monthlySummaryLazy(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  private def rawSales(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Graft.table(spark, sfDir, "lineitem")
     val o = Graft.table(spark, sfDir, "orders")
-    val cu = Graft.table(spark, sfDir, "customer")
-    val na = Graft.table(spark, sfDir, "nation")
     val pa = Graft.table(spark, sfDir, "part")
-    val raw = li
-      .join(o, li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(pa), li("l_partkey") === pa("p_partkey"))
       .select(
         o("o_orderkey").as("invoice_no"),
         li("l_partkey").as("stock_code"),
+        pa("p_name").as("description"),
         li("l_quantity").as("qty"),
         (li("l_extendedprice") * (lit(1) - li("l_discount")) / li("l_quantity"))
           .as("unit_price"),
-        to_date(o("o_orderdate")).as("date"),
+        o("o_orderdate").as("invoice_ts"),
         o("o_custkey").as("customer_id"),
         o("o_orderstatus").as("status"))
+  }
+
+  /** One definition of the daily rate formula (shared). */
+  private def dailyRates(orders: DataFrame): DataFrame =
+    orders.groupBy(to_date(orders("o_orderdate")).as("date"))
+      .agg((max(orders("o_totalprice")) / 100000).as("rate"))
+
+  /** One definition of the customer→country lookup (shared). */
+  private def customerCountry(cu: DataFrame, na: DataFrame): DataFrame =
+    cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+      .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
+        na("n_name").as("country"))
+
+  /** The same 8-stage dataflow fused into ONE lazy plan — no
+    * materialization barriers, so Catalyst optimizes across every stage
+    * boundary (the alternative architecture SURVEY.md §4 notes would be
+    * faster but breaks the per-stage table contract; both are offered).
+    * Applies the SAME null-handling as the staged build: not-null
+    * filters on stock/qty/price, customer_id coalesced to -1, and the
+    * UNKNOWN-country fallback (left join + coalesce stands in for the
+    * always-present -1 dim row). Oracle-checked end-to-end by
+    * `pipe_monthly_summary`.
+    */
+  def monthlySummaryLazy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Graft.table(spark, sfDir, "orders")
+    val cu = Graft.table(spark, sfDir, "customer")
+    val na = Graft.table(spark, sfDir, "nation")
+    val raw = rawSales(spark, sfDir)
+      .filter($"stock_code".isNotNull && $"qty".isNotNull &&
+        $"unit_price".isNotNull)
+      .withColumn("date", to_date($"invoice_ts"))
+      .withColumn("customer_id", coalesce($"customer_id", lit(-1L)))
       .withColumn("net_amount", $"qty" * $"unit_price")
-    val rates = o.groupBy(to_date($"o_orderdate").as("date"))
-      .agg((max($"o_totalprice") / 100000).as("rate"))
-    val country = cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
-      .select(cu("c_custkey").as("customer_id"), na("n_name").as("country"))
+    val rates = dailyRates(o)
+    val country = customerCountry(cu, na)
     val gbp = raw.select($"invoice_no", $"stock_code", $"date",
       $"customer_id", $"status", $"net_amount")
     val eur = raw.join(broadcast(rates), Seq("date"))
@@ -208,7 +215,8 @@ object RetailPipeline {
         ($"net_amount" / $"rate").as("net_amount_eur"))
     val agg = gbp
       .join(eur, Seq("invoice_no", "stock_code", "date", "customer_id"))
-      .join(broadcast(country), Seq("customer_id"))
+      .join(broadcast(country), Seq("customer_id"), "left")
+      .withColumn("country", coalesce($"country", lit("UNKNOWN")))
       .groupBy($"date", $"country",
         year($"date").cast("long").as("year"),
         month($"date").cast("long").as("month"))

@@ -585,20 +585,23 @@ object PipelineQueries {
       Some(
         """WITH raw AS (
           |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
-          |    CAST(o.o_orderdate AS DATE) AS date, o.o_custkey AS customer_id,
+          |    CAST(o.o_orderdate AS DATE) AS date,
+          |    COALESCE(o.o_custkey, -1) AS customer_id,
           |    o.o_orderstatus AS status,
           |    l.l_quantity * (l.l_extendedprice * (1 - l.l_discount) / l.l_quantity) AS net_amount
           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-          |  JOIN part p ON l.l_partkey = p.p_partkey),
+          |  JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_partkey IS NOT NULL AND l.l_quantity IS NOT NULL
+          |    AND l.l_extendedprice * (1 - l.l_discount) / l.l_quantity IS NOT NULL),
           |rates AS (SELECT CAST(o_orderdate AS DATE) AS date,
           |    MAX(o_totalprice) / 100000 AS rate FROM orders GROUP BY 1),
-          |cc AS (SELECT c.c_custkey AS customer_id, n.n_name AS country
+          |cc AS (SELECT COALESCE(c.c_custkey, -1) AS customer_id, n.n_name AS country
           |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
           |eur AS (SELECT r.invoice_no, r.stock_code, r.date, r.customer_id,
           |    r.net_amount / rt.rate AS net_amount_eur
           |  FROM raw r JOIN rates rt ON r.date = rt.date),
           |agg AS (
-          |  SELECT g.date AS date, cc.country AS country,
+          |  SELECT g.date AS date, COALESCE(cc.country, 'UNKNOWN') AS country,
           |    EXTRACT(year FROM g.date) AS year, EXTRACT(month FROM g.date) AS month,
           |    COUNT(DISTINCT CASE WHEN g.status != 'F' THEN g.invoice_no END) AS orders,
           |    CAST(SUM(CAST(g.net_amount AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
@@ -606,7 +609,7 @@ object PipelineQueries {
           |  FROM raw g
           |  JOIN eur e ON g.invoice_no = e.invoice_no AND g.stock_code = e.stock_code
           |    AND g.date = e.date AND g.customer_id = e.customer_id
-          |  JOIN cc ON g.customer_id = cc.customer_id
+          |  LEFT JOIN cc ON g.customer_id = cc.customer_id
           |  GROUP BY 1, 2, 3, 4),
           |monthly AS (
           |  SELECT year, month, country, COUNT(DISTINCT date) AS trading_days,

@@ -105,7 +105,14 @@ object EventsStream {
             batch.toSeq.sortBy(_._2).foreach { case (_, tsUs, _) =>
               open match {
                 case Some(s) if tsUs - s.last_us <= gapUs =>
-                  open = Some(s.copy(last_us = tsUs, n_events = s.n_events + 1))
+                  // A late-but-within-watermark event from a later
+                  // micro-batch may precede the open session's bounds —
+                  // clamp instead of regressing them, or durations go
+                  // negative and the earlier timeout re-splits sessions.
+                  open = Some(s.copy(
+                    start_us = math.min(s.start_us, tsUs),
+                    last_us = math.max(s.last_us, tsUs),
+                    n_events = s.n_events + 1))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.start_us, s.last_us,
                     s.n_events, s.last_us - s.start_us)

@@ -45,7 +45,8 @@ class PlanSpec extends SparkTestBase {
   test("w1p window is partitioned, not single-task") {
     val p = formatted("w1p_forward_fill_partitioned")
     val windowLine = p.linesIterator.find(_.trim.startsWith("Arguments: [last"))
-      .orElse(p.linesIterator.find(_.contains("windowspecdefinition"))).get
+      .orElse(p.linesIterator.find(_.contains("windowspecdefinition")))
+      .getOrElse(fail(s"no window node found in plan:\n${p.take(1200)}"))
     assert(windowLine.contains("event_type"), windowLine)
   }
 

@@ -21,7 +21,7 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
     val streamed = spark.table("hourly_stream")
       .orderBy("hour_start", "event_type")
       .select("hour_start", "event_type", "n_events")
@@ -43,7 +43,7 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
     val streamed = spark.table("dedup_stream").count()
     val batch = graft.engine.Graft.events(spark, sfDir)
       .select("event_id").distinct().count()
@@ -64,7 +64,7 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not terminate in time")
     // one batch + final watermark advance: sessions still open at
     // end-of-stream are not yet emitted, so streamed counts are a
     // prefix of the batch session set — per user at most one open.
