@@ -26,8 +26,8 @@ object PipelineQueries {
     Graft.table(s, d, n)
 
   /** Daily "FX-rate"-shaped series derived from orders: per order date,
-    * rate = round(max(o_totalprice)/1e5, 6), forward-filled over the
-    * gap-free lineitem-shipdate span (daily_fx_rates analog,
+    * rate = max(o_totalprice)/1e5, forward-filled over the gap-free
+    * lineitem-shipdate span (daily_fx_rates analog,
     * /root/reference/src/models/facts.py:166-202: J4 + W1).
     */
   private def rateSeries(s: SparkSession, d: String): DataFrame = {
