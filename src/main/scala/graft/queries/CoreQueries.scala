@@ -359,6 +359,85 @@ object CoreQueries {
            |FROM lagged WHERE prev_revenue IS NOT NULL
            |ORDER BY country, year, month""".stripMargin)),
 
+    Q("w3_ranking",
+      "Ranking windows — rank, dense_rank, ntile, cume_dist, lead over " +
+        "nation partitions (the ranking family the reference never " +
+        "needed; completes the window-function surface)",
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+        c.select($"c_nationkey", $"c_custkey", $"c_acctbal")
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("next_bal", lead($"c_acctbal", 1).over(w))
+          .filter($"rnk" <= 3)
+          .orderBy($"c_nationkey", $"rnk")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT c_nationkey, c_custkey, c_acctbal,
+          |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+          |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+          |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          |    CUME_DIST() OVER w AS cd,
+          |    LEAD(c_acctbal, 1) OVER w AS next_bal
+          |  FROM customer
+          |  WINDOW w AS (PARTITION BY c_nationkey
+          |               ORDER BY c_acctbal DESC, c_custkey)) t
+          |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin)),
+
+    Q("u3_setops",
+      "INTERSECT / EXCEPT — nations with customers vs nations with " +
+        "suppliers (set-op surface beyond the reference's UNION ALL)",
+      (s, d) => {
+        val cn = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        val sn = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        val both = cn.intersect(sn).withColumn("set_op", lit("both"))
+        val custOnly = cn.except(sn).withColumn("set_op", lit("customers_only"))
+        both.unionByName(custOnly).orderBy("set_op", "nk")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT nk, 'both' AS set_op FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    INTERSECT SELECT s_nationkey FROM supplier) a
+          |  UNION ALL
+          |  SELECT nk, 'customers_only' FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    EXCEPT SELECT s_nationkey FROM supplier) b) t
+          |ORDER BY set_op, nk""".stripMargin)),
+
+    Q("e3_grouped_topk",
+      "Grouped top-k — top-3 users by total value per event type via a " +
+        "ranking window over an aggregate (WindowGroupLimit pushdown " +
+        "keeps per-key heaps instead of full sorts)",
+      (s, d) => {
+        import s.implicits._
+        val e = Graft.events(s, d)
+        val totals = e.groupBy($"event_type", $"user_id")
+          .agg(Functions.dsum($"value").as("total_value"),
+            count(lit(1)).as("n_events"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type")
+          .orderBy($"total_value".desc, $"user_id")
+        totals.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 3)
+          .orderBy($"event_type", $"rnk")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT event_type, user_id,
+          |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+          |    COUNT(*) AS n_events,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          |      ORDER BY CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) DESC, user_id) AS BIGINT) AS rnk
+          |  FROM events GROUP BY event_type, user_id) t
+          |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")
