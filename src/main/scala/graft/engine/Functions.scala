@@ -93,7 +93,10 @@ object Functions {
     * last-ignoreNulls window) rather than a custom physical operator:
     * one shuffle on the partition key, no range join, no all-pairs.
     * Within a timestamp tie the right row sorts first, so same-instant
-    * values are visible (>= semantics).
+    * values are visible (>= semantics). When multiple right rows share
+    * the same (key, time), the LARGEST value wins (the window ordering
+    * includes the value itself as a tie-break) — deterministic instead
+    * of partition-order-dependent.
     *
     * At 100 TB the partition key keeps windows parallel (one per
     * entity/currency); a keyless as-of degrades to a single-task window
@@ -101,6 +104,11 @@ object Functions {
     */
   def asofJoin(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
                timeCol: String, valueCol: String, as: String): DataFrame = {
+    val reserved = Seq("__v", "__is_left", "__row", as)
+    val clash = left.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofJoin: left frame columns ${clash.mkString(", ")} collide with " +
+        s"reserved/output names (${reserved.mkString(", ")})")
     val l = left.withColumn("__is_left", lit(1))
       .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
     val r = right.select(
@@ -114,9 +122,13 @@ object Functions {
       .unionByName(r.withColumn("__row",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.fields))), allowMissingColumns = false)
-    val w = (if (partitionCols.isEmpty) Window.orderBy(col(timeCol), col("__is_left"))
+    // Ordering by (time, side, value): right rows sort before the left
+    // row at the same instant, and equal-time right rows resolve by
+    // value so last() is deterministic even for duplicate (key, time).
+    val ord = Seq(col(timeCol), col("__is_left"), col("__v"))
+    val w = (if (partitionCols.isEmpty) Window.orderBy(ord: _*)
              else Window.partitionBy(partitionCols.map(col): _*)
-               .orderBy(col(timeCol), col("__is_left")))
+               .orderBy(ord: _*))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)

@@ -21,20 +21,38 @@ import graft.engine.{Catalog, Functions, Graft}
   */
 object RetailPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Build every table; returns the catalog. Mirrors run.py's phase
     * order, including the driver-side barriers where query results feed
     * the next phase's plan (calendar + FX date bounds, SURVEY.md §3.1).
+    *
+    * Per-stage observability (the reference logs row counts + previews
+    * after every CTAS, retail_data.py:72-89): each barrier records
+    * (stage, rows, elapsed_ms), logged as it completes and materialized
+    * as the `pipeline_build_report` table — one row per CTAS stage.
     */
   def build(spark: SparkSession, sfDir: String, warehouse: String): Catalog = {
     import spark.implicits._
     val cat = new Catalog(spark, warehouse)
+
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def stage(name: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val written = body
+      val rows = written.count()       // counts the materialized parquet
+      val ms = (System.nanoTime() - t0) / 1000000
+      log.info(s"pipeline stage $name: $rows rows in $ms ms")
+      report += ((name, rows, ms))
+      written
+    }
 
     // Phase 1 — staging (P1 renames, D1 casts; S1-analog ingestion is
     // exercised separately via Sources).
     val o = Graft.table(spark, sfDir, "orders")
     val cu = Graft.table(spark, sfDir, "customer")
     val na = Graft.table(spark, sfDir, "nation")
-    cat.save("raw_sales", rawSales(spark, sfDir))
+    stage("raw_sales") { cat.save("raw_sales", rawSales(spark, sfDir)) }
 
     // Phase 2 — dimensions.
     val b = cat.table("raw_sales")
@@ -56,7 +74,9 @@ object RetailPipeline {
       .join(broadcast(holidays), $"date" === $"holiday_date", "left")
       .withColumn("is_holiday", $"holiday_date".isNotNull)  // M1 as join
       .drop("holiday_date")
-    cat.save("dim_calendar", calendar, sortBy = Seq("date"))
+    stage("dim_calendar") {
+      cat.save("dim_calendar", calendar, sortBy = Seq("date"))
+    }
 
     val product = Functions.modeDet(
         cat.table("raw_sales").filter($"stock_code".isNotNull),
@@ -64,7 +84,9 @@ object RetailPipeline {
       .join(cat.table("raw_sales").groupBy($"stock_code")
         .agg(min(to_date($"invoice_ts")).as("first_seen"),
           max(to_date($"invoice_ts")).as("last_seen")), Seq("stock_code"))
-    cat.save("dim_product", product, sortBy = Seq("stock_code"))
+    stage("dim_product") {
+      cat.save("dim_product", product, sortBy = Seq("stock_code"))
+    }
 
     // The UNKNOWN (-1) surrogate row is always present, so facts whose
     // customer_id coalesces to -1 survive the inner dim join instead of
@@ -75,7 +97,9 @@ object RetailPipeline {
       .join(customerReal.filter($"customer_id" === -1L),
         Seq("customer_id"), "left_anti")
     val customer = customerReal.unionByName(unknownRow)
-    cat.save("dim_customer", customer, sortBy = Seq("customer_id"))
+    stage("dim_customer") {
+      cat.save("dim_customer", customer, sortBy = Seq("customer_id"))
+    }
 
     // Phase 3 — facts.
     val fct = cat.table("raw_sales")
@@ -90,8 +114,10 @@ object RetailPipeline {
         Seq("customer_id"))
       .withColumn("net_amount", $"qty" * $"unit_price")
       .withColumn("year", year($"date").cast("int"))
-    cat.save("fct_sales", fct, sortBy = Seq("date", "invoice_no"),
-      partitionBy = Seq("year"))
+    stage("fct_sales") {
+      cat.save("fct_sales", fct, sortBy = Seq("date", "invoice_no"),
+        partitionBy = Seq("year"))
+    }
 
     // daily FX-style rates: sparse per-date value forward-filled over a
     // gap-free series (J4 + W1).
@@ -102,17 +128,24 @@ object RetailPipeline {
           .join(rateDaily, Seq("date"), "left"),
         "date", "rate_raw", "rate")
       .select($"date", $"rate")
-    cat.save("daily_fx_rates", rates, sortBy = Seq("date"))
+    stage("daily_fx_rates") {
+      cat.save("daily_fx_rates", rates, sortBy = Seq("date"))
+    }
 
     val eur = cat.table("fct_sales")
       .join(broadcast(cat.table("daily_fx_rates")), Seq("date"))
       .withColumn("net_amount_eur", $"net_amount" / $"rate")
       .drop("rate")
-    cat.save("fct_sales_eur", eur, sortBy = Seq("date", "invoice_no"),
-      partitionBy = Seq("year"))
+    stage("fct_sales_eur") {
+      cat.save("fct_sales_eur", eur, sortBy = Seq("date", "invoice_no"),
+        partitionBy = Seq("year"))
+    }
 
     // Phase 4 — rollup: fct ⋈ fct_eur on the composite key (J6), dims
-    // re-attached (J7), 8-key-ish daily group (G5/G4).
+    // re-attached (J7), the full 8-key daily group the reference carries
+    // (facts.py:369-411: date, country + 6 calendar attrs — every attr
+    // is functionally determined by date, so the extra keys widen the
+    // table contract without changing group granularity) plus net_qty.
     val f = cat.table("fct_sales").as("f")
     val fe = cat.table("fct_sales_eur")
       .select($"invoice_no", $"stock_code", $"date", $"customer_id",
@@ -120,20 +153,26 @@ object RetailPipeline {
     val agg = f.join(fe, Seq("invoice_no", "stock_code", "date", "customer_id"))
       .join(broadcast(cat.table("dim_customer")), Seq("customer_id"))
       .join(broadcast(cat.table("dim_calendar")
-        .select($"date", $"is_weekend", $"is_holiday", $"year".as("cal_year"),
-          $"month")), Seq("date"))
-      .groupBy($"date", $"country", $"cal_year".as("year"), $"month",
-        $"is_weekend", $"is_holiday")
+        .select($"date", $"is_weekend", $"is_holiday", $"iso_week",
+          $"iso_year", $"year".as("cal_year"), $"month")), Seq("date"))
+      .groupBy($"date", $"country", $"is_weekend", $"is_holiday",
+        $"iso_week", $"iso_year", $"month", $"cal_year".as("year"))
       .agg(
         countDistinct(when($"status" =!= "F", $"invoice_no")).as("orders"),
         count(lit(1)).as("items"),
+        Functions.dsum($"qty").as("net_qty"),
         Functions.dsum($"net_amount").as("net_revenue"),
         Functions.dsum($"net_amount_eur").as("net_revenue_eur"))
-    cat.save("agg_country_day", agg, sortBy = Seq("date", "country"))
+    stage("agg_country_day") {
+      cat.save("agg_country_day", agg, sortBy = Seq("date", "country"))
+    }
 
     // Phase 5 — the monthly view (S7; G6/P8/P14).
     cat.createView("v_monthly_sales_summary",
       monthlyFromAgg(spark, cat.table("agg_country_day")))
+
+    cat.save("pipeline_build_report",
+      report.toSeq.toDF("stage", "rows", "elapsed_ms"))
     cat
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.engine.Graft
 
 /** Deduplication operators for a training-data pipeline over the
@@ -16,36 +17,46 @@ import graft.engine.Graft
   *
   * Scale design (100 TB):
   *  - exact + fingerprint dedup are single hash-shuffles on the digest;
+  *  - shingles are word 3-grams, not char k-grams: natural text has ~6x
+  *    fewer words than chars, so the per-shingle digest (the dedup hot
+  *    path — one md5 per shingle) costs ~6x less at equal dedup power;
   *  - MinHash runs as ONE map-side-combinable groupBy(doc) with 16 min()
   *    aggregates, then candidate generation shuffles on (band, signature)
   *    — never all-pairs;
   *  - the exact-Jaccard pair join is a verification pass over LSH
   *    candidates only (semi-join-pruned corpus), SimHash pairs come from
-  *    an equi-join on the signature, and embedding near-dups are blocked
-  *    by LSH bucket — the quadratic step never sees the full corpus.
+  *    an equi-join on 16-bit bands of a 64-bit signature, and embedding
+  *    near-dups are blocked by LSH bucket — the quadratic step never sees
+  *    the full corpus;
+  *  - nothing routes result rows through the driver: intermediate frames
+  *    are released via executor-side localCheckpoint, never collect().
   */
 object DedupQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
-  /** Distinct 12-char shingles per doc: (doc_id, lang, s). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, lang, s). */
   private def shingles(docs: DataFrame): DataFrame =
     shinglesRaw(docs).distinct()
 
-  /** Non-distinct shingles — enough for MIN-based minhashing, skips the
-    * dedup shuffle.
+  /** Non-distinct word-3-gram shingles — enough for MIN-based
+    * minhashing, skips the dedup shuffle. Documents shorter than 3 words
+    * yield one shingle (the whole text), so every doc survives.
     */
   private def shinglesRaw(docs: DataFrame): DataFrame =
-    docs.withColumn("i",
-        explode(expr("sequence(1, greatest(length(text) - 11, 1))")))
+    docs.withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("i",
+        explode(expr("sequence(1, greatest(size(w) - 2, 1))")))
       .select(col("doc_id"), col("lang"),
-        expr("substring(text, i, 12)").as("s"))
+        expr("concat_ws(' ', slice(w, i, 3))").as("s"))
 
   private val ShinglesSql: String =
-    """SELECT DISTINCT d.doc_id, d.lang, substring(d.text, g.i, 12) AS s
-      |FROM documents d,
-      |  LATERAL UNNEST(range(1, greatest(length(d.text) - 11, 1) + 1)) g(i)""".stripMargin
+    """SELECT DISTINCT t.doc_id, t.lang,
+      |  array_to_string(t.w[g.i:g.i+2], ' ') AS s
+      |FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+      |      FROM documents) t,
+      |  LATERAL UNNEST(range(1, greatest(len(t.w) - 2, 1) + 1)) g(i)""".stripMargin
 
   private val P = 1000000007L
 
@@ -104,6 +115,46 @@ object DedupQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** 64-bit SimHash per doc: one md5 per whitespace token, bit b of the
+    * signature set by the majority vote of bit b across token hashes
+    * (the first 16 hex nibbles supply 64 bits). 64 aggregate expressions
+    * in ONE map-side-combinable groupBy — a single shuffle on doc_id.
+    * Bits are disjoint so the long addition assembling the signature
+    * cannot overflow (bit 63's term is Long.MinValue, by design).
+    */
+  private def simhashDocs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val sigExpr = (0 until 64).map { b =>
+      val k = b / 4; val j = b % 4
+      val nib = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, 3 - j).bitwiseAND(lit(1))
+      when(sum(bit * 2 - 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(sigExpr.cast("long").as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhashDocs]] as a `tok AS (...), sh AS (...)`
+    * CTE pair (bit 63's addend prints as Long.MinValue; DuckDB widens
+    * the sum through HUGEINT and the final CAST lands back in BIGINT).
+    */
+  private val SimhashDocsSql: String = {
+    val bits = (0 until 64).map { b =>
+      val k = b / 4; val j = b % 4
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
+      s"CASE WHEN SUM((($nib // ${1 << (3 - j)}) % 2) * 2 - 1) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""tok AS (
+       |  SELECT d.doc_id, md5(t.tk) AS h
+       |  FROM documents d,
+       |    LATERAL UNNEST(string_split_regex(trim(d.text), '\\s+')) t(tk)),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |       FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
   /** Exact left-fold dot product of two float-array columns (index
     * order, 0.0 init — mirrors DuckDB list_reduce over list_zip).
     */
@@ -133,17 +184,19 @@ object DedupQueries {
 
     Q("d2_ngram_jaccard",
       "n-gram Jaccard dedup, full pipeline — MinHash+LSH candidate " +
-        "generation (sub-quadratic) then EXACT 12-gram Jaccard " +
+        "generation (sub-quadratic) then EXACT word-3-gram Jaccard " +
         "verification on candidates only, keeping pairs >= 0.5. This is " +
         "the 100 TB shape: never all-pairs; the quadratic step touches " +
         "only band-collision candidates. Catches the corpus's planted " +
-        "cross-lang/cross-source near-duplicates (jaccard up to 0.99).",
+        "cross-lang/cross-source near-duplicates.",
       (s, d) => {
         val docs = t(s, d, "documents")
         // One shingle scan feeds both the LSH pass and the verification
-        // pass (persist beats recomputing the explode+substring over the
-        // corpus; at cluster scale this is a cheap MEMORY_AND_DISK stage).
-        val shRaw = shinglesRaw(docs).select("doc_id", "s").persist()
+        // pass (persist beats recomputing the explode over the corpus;
+        // serialized level keeps the pinned footprint small so queries
+        // sharing the session aren't squeezed while this runs).
+        val shRaw = shinglesRaw(docs).select("doc_id", "s")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         // cache: the candidate frame is tiny but feeds two consumers
         // (pair verification + doc pruning); without it the whole
         // shingle+minhash subtree runs twice.
@@ -171,15 +224,16 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy("doc_a", "doc_b")
-        // The verified-pair set is tiny by design — materialize it so the
-        // persisted shingle/candidate frames can be released instead of
-        // pinning executor memory for the rest of the session.
-        val rows = result.collect()
-        val schema = result.schema
+        // Materialize the verified pairs EXECUTOR-side (localCheckpoint
+        // truncates the lineage) so the persisted shingle/candidate
+        // frames can be released eagerly instead of pinning memory for
+        // the rest of the session. Never collect(): at 100 TB the
+        // verified near-dup pair set is large (web corpora are 30-50%
+        // near-dup) and must not visit the driver.
+        val out = result.localCheckpoint(true)
         shRaw.unpersist(false)
         cand.unpersist(false)
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-          .orderBy("doc_a", "doc_b")
+        out
       },
       Some(
         s"""WITH sh_all AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
@@ -216,25 +270,13 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("d4_simhash",
-      "SimHash near-dup — 16-bit simhash from md5 token hashes " +
-        "(majority vote per bit), all pairs at hamming distance 0 " +
-        "(at scale: group-by on the simhash value, one shuffle, " +
-        "never all-pairs; hamming<=k via banding the signature)",
+      "SimHash near-dup — 64-bit simhash from md5 token hashes " +
+        "(majority vote per bit), all pairs at hamming distance 0 via an " +
+        "equi-join on the signature. 64 bits keep buckets sparse at " +
+        "corpus scale (a 16-bit signature has only 65k values and " +
+        "degenerates quadratic); hamming<=k is d4b via banding.",
       (s, d) => {
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("tk"))
-          .withColumn("h", md5(col("tk")))
-        val sigExpr = (0 until 16).map { b =>
-          val k = b / 4; val j = b % 4
-          val nib = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
-          val bit = shiftright(nib, 3 - j).bitwiseAND(lit(1))
-          when(sum(bit * 2 - 1) > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val sh = tok.groupBy(col("doc_id"))
-          .agg(sigExpr.cast("long").as("simhash"))
-        // hamming-0 pairs via equi-join on the signature (scale path),
-        // not an all-pairs scan.
+        val sh = simhashDocs(t(s, d, "documents"))
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash"))
         val b2 = sh.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"))
@@ -243,23 +285,51 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), col("simhash"))
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val bits = (0 until 16).map { b =>
-          val k = b / 4; val j = b % 4
-          val nib = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-          s"CASE WHEN SUM((($nib // ${1 << (3 - j)}) % 2) * 2 - 1) > 0 " +
-            s"THEN ${1L << b} ELSE 0 END"
-        }.mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT d.doc_id, md5(t.tk) AS h
-           |  FROM documents d,
-           |    LATERAL UNNEST(string_split_regex(trim(d.text), '\\s+')) t(tk)),
-           |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-           |       FROM tok GROUP BY doc_id)
+      Some(
+        s"""WITH $SimhashDocsSql
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
            |FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d4b_simhash_near",
+      "SimHash hamming<=3 near-dup — the 64-bit signature split into " +
+        "4 x 16-bit bands; <=3 differing bits corrupt at most 3 bands, " +
+        "so every hamming<=3 pair collides on at least one band " +
+        "(pigeonhole). Candidates come from the band equi-join (one " +
+        "shuffle on (band_index, band), never all-pairs), then the exact " +
+        "hamming distance bit_count(a XOR b) filters to <=3.",
+      (s, d) => {
+        val sh = simhashDocs(t(s, d, "documents"))
+        val banded = sh.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(k =>
+            shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
+            .as(Seq("k", "band")))
+        val a = banded.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sim_a"), col("k"), col("band"))
+        val b2 = banded.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sim_b"), col("k").as("k_b"),
+          col("band").as("band_b"))
+        a.join(b2, col("k") === col("k_b") && col("band") === col("band_b") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+              .cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        s"""WITH $SimhashDocsSql,
+           |banded AS (
+           |  SELECT doc_id, simhash, g.k,
+           |    (simhash >> (16 * g.k)) & 65535 AS band
+           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM banded a JOIN banded b
+           |  ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("d5_embedding_neardup",
       "Embedding-cosine near-dup — pairs blocked by the deterministic " +

@@ -81,9 +81,9 @@ object MultimodalQueries {
         // STUB decode: a real deployment would hand `bytes` to an image/
         // audio codec here; this deterministic fake keeps the oracle exact.
         // Contract: the corpus is ASCII (bytes == code points) — the
-        // oracle computes over characters; non-ASCII data would need a
-        // byte-exact oracle. Empty/null payloads decode to all-zero
-        // features (matches ascii('') = 0 on the oracle side).
+        // oracle computes over characters (with (?s) so newlines count
+        // too); non-ASCII data would need a byte-exact oracle. Empty/null
+        // payloads decode to all-zero features (ascii('') = 0 there).
         val decoded = payloads.mapPartitions(_.map { case (id, bytesOrNull) =>
           val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           if (bytes.isEmpty) DecodedFeatures(id, 0L, 0, 0, 0L)
@@ -103,7 +103,7 @@ object MultimodalQueries {
           |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
           |  CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+          |    list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(ascii(c) AS BIGINT))),
           |    (acc, c) -> acc + c) AS BIGINT) AS checksum
           |FROM documents ORDER BY doc_id""".stripMargin)),
 

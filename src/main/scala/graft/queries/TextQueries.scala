@@ -145,7 +145,7 @@ object TextQueries {
           |FROM (
           |  SELECT source, text,
           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+          |      list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(ascii(c) AS BIGINT))),
           |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
           |  FROM documents) t
           |GROUP BY 1 ORDER BY source""".stripMargin))

@@ -39,13 +39,24 @@ class DedupSpec extends SparkTestBase {
     assert(d1.getLong(1) === direct.getLong(1))
   }
 
-  test("d4 simhash hamming-0 pairs include the highest-jaccard planted dup") {
-    val verified = run("d2_ngram_jaccard").orderBy(desc("jaccard"))
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val sim = run("d4_simhash")
+  test("d4 simhash: exact-dup docs land at hamming 0, d4 is a subset of d4b") {
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+    val exactPairs = docs.as("a")
+      .join(docs.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h0 = run("d4_simhash")
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    if (verified.nonEmpty) assert(sim.contains(verified.head))
+    val near = run("d4b_simhash_near")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical text => identical tokens => identical 64-bit signature
+    assert(exactPairs.nonEmpty, "testdata should contain exact duplicates")
+    assert(exactPairs.subsetOf(h0))
+    // hamming-0 pairs collide on every band, so banding must find them
+    assert(h0.subsetOf(near))
   }
 }

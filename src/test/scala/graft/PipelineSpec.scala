@@ -29,6 +29,19 @@ class PipelineSpec extends SparkTestBase {
     assert(monthly.count() > 0)
     assert(cat.describe("fct_sales").exists(_._1 == "net_amount"))
 
+    // Full 8-key agg_country_day contract (facts.py:369-411): date,
+    // country + 6 calendar attrs, plus the net_qty measure.
+    val aggCols = cat.table("agg_country_day").columns.toSet
+    Seq("date", "country", "is_weekend", "is_holiday", "iso_week",
+      "iso_year", "month", "year", "net_qty").foreach(c =>
+      assert(aggCols.contains(c), s"agg_country_day missing $c"))
+
+    // Observability: one report row per CTAS stage, all with rows > 0.
+    val rep = cat.table("pipeline_build_report").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet === expected.toSet)
+    rep.foreach { case (s, n) => assert(n > 0L, s"stage $s wrote 0 rows") }
+
     // M2: rebuild over an existing warehouse must succeed and agree.
     val n1 = cat.table("fct_sales").count()
     val cat2 = RetailPipeline.build(spark, sfDir, wh)
