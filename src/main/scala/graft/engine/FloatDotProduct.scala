@@ -77,12 +77,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session extensions: registers `graft_dot` so any session created with
-  * `spark.sql.extensions=graft.engine.GraftExtensions` can call it from
-  * SQL and `expr(...)` — the public, cluster-safe registration path.
+/** Session extensions: registers `graft_dot` and `graft_strhash` so any
+  * session created with `spark.sql.extensions=graft.engine.GraftExtensions`
+  * can call them from SQL and `expr(...)` — the public, cluster-safe
+  * registration path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
@@ -90,4 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         FloatDotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_strhash"),
+      new ExpressionInfo(classOf[StringPolyHash].getName, "graft_strhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_strhash takes exactly 1 argument")
+        StringPolyHash(children.head)
+      }))
+  }
 }

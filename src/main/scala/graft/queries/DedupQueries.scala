@@ -9,10 +9,12 @@ import graft.engine.Graft
   * `documents` / `embeddings` tables: exact (hash-groupBy), n-gram
   * Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
   *
-  * Portability contract with the DuckDB oracle: all hashing goes through
-  * md5 hex strings (identical in both engines; lexicographic min on
-  * fixed-width lowercase hex == numeric min), and all floating-point
-  * reductions are left-folds in index order (`aggregate`/`zip_with` here,
+  * Portability contract with the DuckDB oracle: exact dedup and simhash
+  * hash through md5 hex strings (identical in both engines); the MinHash
+  * shingle hot path uses `graft_strhash`, the compiled base-31
+  * polynomial whose DuckDB twin is the `list_reduce(ascii)` fold proven
+  * portable by t4_fingerprint; all floating-point reductions are
+  * left-folds in index order (`aggregate`/`zip_with` here,
   * `list_reduce`/`list_zip` there) so doubles come out bit-identical.
   *
   * Scale design (100 TB):
@@ -28,8 +30,16 @@ import graft.engine.Graft
   *    an equi-join on 16-bit bands of a 64-bit signature, and embedding
   *    near-dups are blocked by LSH bucket — the quadratic step never sees
   *    the full corpus;
-  *  - nothing routes result rows through the driver: intermediate frames
-  *    are released via executor-side localCheckpoint, never collect().
+  *  - nothing routes result rows through the driver: large intermediates
+  *    are materialized to durable (warehouse) parquet, never collect()'d
+  *    and never pinned in executor block storage.
+  *
+  * Corpus assumption: shingling tokenizes on whitespace, so near-dup
+  * detection degrades to exact-match for whitespace-free text (CJK,
+  * URLs, minified blobs) — such docs yield a single whole-text shingle.
+  * Acceptable for the whitespace-tokenizable corpora this targets; a
+  * char-k-gram fallback (when `size(w) = 1` and the text is long) is the
+  * documented extension point for mixed corpora.
   */
 object DedupQueries {
 
@@ -62,17 +72,17 @@ object DedupQueries {
 
   /** MinHash+LSH candidate pairs from a (doc_id, s) shingle frame.
     *
-    * ONE md5 per shingle (the hot-path cost), 16 minhashes derived by
-    * cheap arithmetic `(a_i*h + b_i) mod p` (codegen'd long math — 16x
-    * fewer digest evaluations than hashing per-function), aggregated in
-    * one map-combinable groupBy; 4 bands x 4 rows; candidates from
+    * ONE `graft_strhash` per shingle (the hot-path cost — a compiled
+    * base-31 polynomial, far cheaper than an md5 digest + hex parse at
+    * corpus scale), 16 minhashes derived by cheap arithmetic
+    * `(a_i*h + b_i) mod p` (codegen'd long math — 16x fewer digest
+    * evaluations than hashing per-function), aggregated in one
+    * map-combinable groupBy; 4 bands x 4 rows; candidates from
     * band-signature collisions. Duplicate shingles don't change MIN, so
     * callers may pass non-distinct shingles and skip that shuffle.
     */
   private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
-    val base = conv(substring(md5(col("s")), 1, 15), 16, 10)
-      .cast("long") % P
-    val hashed = sh.withColumn("hb", base)
+    val hashed = sh.withColumn("hb", expr("graft_strhash(s)"))
     val minhashes = (0 until 16).map(i =>
       min((col("hb") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
     val mh = hashed.groupBy(col("doc_id"))
@@ -99,8 +109,13 @@ object DedupQueries {
       .map(b => "CONCAT_WS('|', " +
         (0 until 4).map(j => s"h${4 * b + j}").mkString(", ") + s") AS band$b")
       .mkString(", ")
+    // hb = the same base-31 polynomial `graft_strhash` computes (the
+    // t4_fingerprint portability contract: ascii() per char, left fold).
+    val hb = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_extract_all(s, '(?s).'), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
     val mh = s"""SELECT doc_id, $mins
-       |FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hb
+       |FROM (SELECT doc_id, $hb AS hb
        |      FROM $shRef) hashed
        |GROUP BY doc_id""".stripMargin
     val expl = s"""SELECT doc_id, bi,
@@ -122,7 +137,7 @@ object DedupQueries {
     * Bits are disjoint so the long addition assembling the signature
     * cannot overflow (bit 63's term is Long.MinValue, by design).
     */
-  private def simhashDocs(docs: DataFrame): DataFrame = {
+  private[graft] def simhashDocs(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tk"))
@@ -203,12 +218,15 @@ object DedupQueries {
         val cand = lshCandidates(shRaw)
           .select("doc_a", "doc_b").cache()
         // Verification only needs shingle sets of candidate docs — a
-        // broadcast semi-join prunes the corpus BEFORE the distinct
-        // shuffle (candidates are a vanishing fraction at scale).
+        // semi-join prunes the corpus BEFORE the distinct shuffle. No
+        // broadcast hint: at web-corpus near-dup rates (30-50%) the
+        // candidate-doc set is O(corpus), so forcing a broadcast OOMs
+        // at scale; AQE still picks a broadcast when the build side
+        // turns out genuinely small.
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val sh = shRaw
-          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .join(candDocs, Seq("doc_id"), "left_semi")
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val aSh = sh.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
@@ -224,16 +242,21 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy("doc_a", "doc_b")
-        // Materialize the verified pairs EXECUTOR-side (localCheckpoint
-        // truncates the lineage) so the persisted shingle/candidate
-        // frames can be released eagerly instead of pinning memory for
-        // the rest of the session. Never collect(): at 100 TB the
-        // verified near-dup pair set is large (web corpora are 30-50%
-        // near-dup) and must not visit the driver.
-        val out = result.localCheckpoint(true)
-        shRaw.unpersist(false)
-        cand.unpersist(false)
-        out
+        // Materialize the verified pairs to DURABLE storage (parquet
+        // write + re-read): cuts the lineage like a checkpoint does, so
+        // the shingle/candidate caches can be released eagerly, but
+        // unlike localCheckpoint the blocks are not pinned in executor
+        // storage for the session's lifetime, survive executor loss,
+        // and are compatible with dynamic allocation. At 100 TB the
+        // near-dup pair set is large (web corpora are 30-50% near-dup):
+        // it belongs in the warehouse, never in block storage or on the
+        // driver. (Here the tmpdir stands in for the warehouse root.)
+        val pairsDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_d2_verified_pairs"
+        result.write.mode("overwrite").parquet(pairsDir)
+        shRaw.unpersist(blocking = true)
+        cand.unpersist(blocking = true)
+        s.read.parquet(pairsDir)
       },
       Some(
         s"""WITH sh_all AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
