@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query-name filter for isolation runs
+    // (fresh-session timings of a subset, e.g. regression triage).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,21 +24,25 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () }
-    // A query that crashes is recorded with NEGATIVE elapsed time and
-    // listed under "failed" — a regression must never masquerade as a
-    // fast run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A query that crashes is recorded with a NULL timing and listed
+    // under "failed" — a regression must never masquerade as a fast run,
+    // and consumers summing/trending the queries map never silently mix
+    // failed-run timings into history.
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) Some(secs) else None)
+      }
+    val qs = results
+      .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ > 0).sum
+    val total = results.values.flatten.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -215,8 +215,16 @@ object DedupQueries {
         // cache: the candidate frame is tiny but feeds two consumers
         // (pair verification + doc pruning); without it the whole
         // shingle+minhash subtree runs twice.
+        // Materialize each cache with a single job before any plan fans
+        // out over it: the LSH band self-join reads shRaw from both
+        // sides, and cand feeds two consumers — without the forced
+        // population, concurrent tasks race to compute the same cached
+        // partitions (benign but wasteful double work, plus BlockManager
+        // "already exists" noise).
+        shRaw.count(): Unit
         val cand = lshCandidates(shRaw)
           .select("doc_a", "doc_b").cache()
+        cand.count(): Unit
         // Verification only needs shingle sets of candidate docs — a
         // semi-join prunes the corpus BEFORE the distinct shuffle. No
         // broadcast hint: at web-corpus near-dup rates (30-50%) the
