@@ -56,6 +56,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     spark.table(name)
   }
 
+  /** S7 (SQL-text path): create a view by executing a `.sql` file read
+    * from disk — the reference's exact mechanism
+    * (`/root/reference/analysis/analyze_monthly_sales.py:30-39` reads
+    * `sql/views/monthly_sales_summary.sql` and executes the text).
+    * The file must hold one CREATE [OR REPLACE] [TEMPORARY] VIEW
+    * statement (`--` comments fine; trailing semicolon stripped).
+    * Returns the created view.
+    */
+  def createViewFromSql(path: String): DataFrame = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stmt = text.trim.stripSuffix(";")
+    spark.sql(stmt)
+    val name = "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r
+      .findFirstMatchIn(stmt)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path does not contain a CREATE VIEW statement"))
+    spark.table(name)
+  }
+
   def table(name: String): DataFrame = spark.table(name)
 
   /** S10: introspection — registered table names (SHOW TABLES analog). */

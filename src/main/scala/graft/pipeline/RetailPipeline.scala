@@ -36,14 +36,17 @@ object RetailPipeline {
     import spark.implicits._
     val cat = new Catalog(spark, warehouse)
 
-    val report = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val report =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
     def stage(name: String)(body: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val written = body
+      val writeMs = (System.nanoTime() - t0) / 1000000 // the CTAS itself
       val rows = written.count()       // counts the materialized parquet
-      val ms = (System.nanoTime() - t0) / 1000000
-      log.info(s"pipeline stage $name: $rows rows in $ms ms")
-      report += ((name, rows, ms))
+      val countMs = (System.nanoTime() - t0) / 1000000 - writeMs
+      log.info(s"pipeline stage $name: $rows rows in $writeMs ms " +
+        s"(+$countMs ms count)")
+      report += ((name, rows, writeMs, countMs))
       written
     }
 
@@ -172,10 +175,18 @@ object RetailPipeline {
       monthlyFromAgg(spark, cat.table("agg_country_day")))
 
     cat.save("pipeline_build_report",
-      report.toSeq.toDF("stage", "rows", "elapsed_ms"))
+      report.toSeq.toDF("stage", "rows", "write_ms", "count_ms"))
     cat
   }
 
+  /** The reference view's full column contract
+    * (/root/reference/sql/views/monthly_sales_summary.sql:5-41):
+    * time keys + month_start_date, trading_days, total_orders,
+    * total_items, total_quantity, both revenue totals, and the derived
+    * avg_daily_revenue / avg_daily_orders / avg_order_value ratios
+    * (unrounded here — round(double, 2) is the one cross-engine
+    * midpoint hazard, SURVEY.md §7.4).
+    */
   private def monthlyFromAgg(spark: SparkSession,
                              agg: DataFrame): DataFrame = {
     import spark.implicits._
@@ -183,10 +194,16 @@ object RetailPipeline {
       .groupBy($"year", $"month", $"country")
       .agg(countDistinct($"date").as("trading_days"),
         sum($"orders").as("total_orders"),
+        sum($"items").as("total_items"),
+        Functions.dsum($"net_qty").as("total_quantity"),
         Functions.dsum($"net_revenue").as("total_revenue"),
         Functions.dsum($"net_revenue_eur").as("total_revenue_eur"))
       .filter($"total_revenue" > 0)
+      .withColumn("month_start_date",
+        make_date($"year".cast("int"), $"month".cast("int"), lit(1)))
       .withColumn("avg_daily_revenue", $"total_revenue" / $"trading_days")
+      .withColumn("avg_daily_orders",
+        $"total_orders".cast("double") / $"trading_days")
       .withColumn("avg_order_value",
         $"total_revenue" / when($"total_orders" =!= 0, $"total_orders"))
   }
@@ -248,7 +265,7 @@ object RetailPipeline {
     val rates = dailyRates(o)
     val country = customerCountry(cu, na)
     val gbp = raw.select($"invoice_no", $"stock_code", $"date",
-      $"customer_id", $"status", $"net_amount")
+      $"customer_id", $"status", $"qty", $"net_amount")
     val eur = raw.join(broadcast(rates), Seq("date"))
       .select($"invoice_no", $"stock_code", $"date", $"customer_id",
         ($"net_amount" / $"rate").as("net_amount_eur"))
@@ -262,6 +279,7 @@ object RetailPipeline {
       .agg(
         countDistinct(when($"status" =!= "F", $"invoice_no")).as("orders"),
         count(lit(1)).as("items"),
+        Functions.dsum($"qty").as("net_qty"),
         Functions.dsum($"net_amount").as("net_revenue"),
         Functions.dsum($"net_amount_eur").as("net_revenue_eur"))
     monthlyFromAgg(spark, agg)

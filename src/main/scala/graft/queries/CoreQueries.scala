@@ -75,10 +75,33 @@ object CoreQueries {
       .filter($"total_revenue" > 0)
       .withColumn("avg_daily_revenue",
         round($"total_revenue" / $"trading_days", 2))
+      .withColumn("avg_daily_orders",
+        round($"total_orders".cast("double") / $"trading_days", 2))
       .withColumn("avg_order_value",
         round($"total_revenue" / when($"total_orders" =!= 0, $"total_orders"), 2))
       .orderBy($"year", $"month", $"country")
   }
+
+  /** Shared DuckDB oracle for the monthly view shape — used by both
+    * g6_monthly_summary (DataFrame path) and s7_view_from_sql (SQL-text
+    * view path): the two must hash-match the same oracle.
+    */
+  private val MonthlySql: String =
+    s"""WITH daily AS ($DailySql),
+       |monthly AS (
+       |  SELECT EXTRACT(year FROM date) AS year, EXTRACT(month FROM date) AS month,
+       |    CAST(DATE_TRUNC('month', date) AS DATE) AS month_start_date, country,
+       |    COUNT(DISTINCT date) AS trading_days,
+       |    CAST(SUM(orders) AS BIGINT) AS total_orders,
+       |    CAST(SUM(items) AS BIGINT) AS total_items,
+       |    CAST(SUM(CAST(net_qty AS DECIMAL(38,6))) AS DOUBLE) AS total_quantity,
+       |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+       |  FROM daily GROUP BY 1, 2, 3, 4)
+       |SELECT *, ROUND(total_revenue / trading_days, 2) AS avg_daily_revenue,
+       |  ROUND(total_orders / trading_days, 2) AS avg_daily_orders,
+       |  ROUND(total_revenue / NULLIF(total_orders, 0), 2) AS avg_order_value
+       |FROM monthly WHERE total_revenue > 0
+       |ORDER BY year, month, country""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -86,21 +109,87 @@ object CoreQueries {
       "G6/P8/P14/D2/D6 — monthly re-aggregation of the daily rollup " +
         "(v_monthly_sales_summary analog)",
       (s, d) => monthlySummary(s, d),
+      Some(MonthlySql)),
+
+    Q("s7_view_from_sql",
+      "S7 (SQL-text path) — the monthly view created by executing a " +
+        "dialect-adjusted .sql file read from disk, exactly like the " +
+        "reference (analyze_monthly_sales.py:30-39 reads and executes " +
+        "sql/views/monthly_sales_summary.sql); output hash-matches the " +
+        "same oracle as g6_monthly_summary",
+      (s, d) => {
+        import s.implicits._
+        dailyCountryRollup(s, d).createOrReplaceTempView("agg_country_day")
+        val view = new graft.engine.Catalog(s, "/tmp/graft-s7-unused")
+          .createViewFromSql("sql/views/monthly_sales_summary.sql")
+        view.orderBy($"year", $"month", $"country")
+      },
+      Some(MonthlySql)),
+
+    Q("r1_top_products_by_revenue",
+      "README 'Top Products by Revenue' analog " +
+        "(/root/reference/README.md:152-163): product-dim join, " +
+        "returns excluded, top-10 products by revenue with line-item " +
+        "counts (broadcast dim + TakeOrderedAndProject)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        li.filter(col("l_returnflag") =!= "R" && col("l_quantity") > 0)
+          .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(li("l_partkey").as("stock_code"),
+            p("p_name").as("description"))
+          .agg(
+            Functions.dsum(li("l_extendedprice") * (lit(1) - li("l_discount")))
+              .as("total_revenue"),
+            count(lit(1)).as("line_items"))
+          .orderBy(col("total_revenue").desc, col("stock_code"))
+          .limit(10)
+      },
       Some(
-        s"""WITH daily AS ($DailySql),
-           |monthly AS (
-           |  SELECT EXTRACT(year FROM date) AS year, EXTRACT(month FROM date) AS month,
-           |    CAST(DATE_TRUNC('month', date) AS DATE) AS month_start_date, country,
-           |    COUNT(DISTINCT date) AS trading_days,
-           |    CAST(SUM(orders) AS BIGINT) AS total_orders,
-           |    CAST(SUM(items) AS BIGINT) AS total_items,
-           |    CAST(SUM(CAST(net_qty AS DECIMAL(38,6))) AS DOUBLE) AS total_quantity,
-           |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
-           |  FROM daily GROUP BY 1, 2, 3, 4)
-           |SELECT *, ROUND(total_revenue / trading_days, 2) AS avg_daily_revenue,
-           |  ROUND(total_revenue / NULLIF(total_orders, 0), 2) AS avg_order_value
-           |FROM monthly WHERE total_revenue > 0
-           |ORDER BY year, month, country""".stripMargin)),
+        """SELECT l.l_partkey AS stock_code, p.p_name AS description,
+          |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+          |  COUNT(*) AS line_items
+          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |WHERE l.l_returnflag != 'R' AND l.l_quantity > 0
+          |GROUP BY 1, 2
+          |ORDER BY total_revenue DESC, stock_code LIMIT 10""".stripMargin)),
+
+    Q("r2_customer_geo_analysis",
+      "README 'Customer Geographic Analysis' analog " +
+        "(/root/reference/README.md:166-177): customer-dim join, " +
+        "returns excluded, per-country distinct customers, revenue, and " +
+        "average transaction value (computed as exact-sum / count, not " +
+        "AVG(double), so the result is partitioning-independent)",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        li.filter(col("l_returnflag") =!= "R")
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name").as("country"))
+          .agg(
+            countDistinct(o("o_custkey")).as("customers"),
+            Functions.dsum(li("l_extendedprice") * (lit(1) - li("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_transactions"))
+          .withColumn("avg_transaction", col("revenue") / col("n_transactions"))
+          .orderBy(col("revenue").desc, col("country"))
+      },
+      Some(
+        """SELECT n.n_name AS country,
+          |  COUNT(DISTINCT o.o_custkey) AS customers,
+          |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_transactions,
+          |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_transaction
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE l.l_returnflag != 'R'
+          |GROUP BY 1 ORDER BY revenue DESC, country""".stripMargin)),
 
     Q("g5_daily_country_rollup",
       "G5/G4/J1-J3/P6/P7 — 2-key day×country rollup with conditional " +

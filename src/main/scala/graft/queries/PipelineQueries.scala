@@ -459,10 +459,12 @@ object PipelineQueries {
           |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
     Q("e5_skew_salted_distinct",
-      "Skew pattern — two-phase COUNT(DISTINCT) over a 5-value hot key: " +
-        "phase 1 dedups on (key, value) so the shuffle spreads by both " +
-        "columns, phase 2 counts per key; no single reducer ever holds a " +
-        "hot key's full value set (the salting shape for 100 TB skew)",
+      "Skew pattern #1: the COMPOUND-KEY REWRITE (not a literal salt — " +
+        "see e7_salted_agg for the explicit-salt variant) — two-phase " +
+        "COUNT(DISTINCT) over a 5-value hot key: phase 1 dedups on " +
+        "(key, value) so the shuffle spreads by both columns, phase 2 " +
+        "counts per key; no single reducer ever holds a hot key's full " +
+        "value set",
       (s, d) => {
         import s.implicits._
         val e = Graft.events(s, d)
@@ -476,6 +478,35 @@ object PipelineQueries {
       },
       Some(
         """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("e7_salted_agg",
+      "Skew pattern #2: TRUE SALTED two-stage aggregation over the " +
+        "5-value hot event_type key — an explicit salt = " +
+        "pmod(xxhash64(event_id), 16) spreads each hot key across 16 " +
+        "reducers for the partial aggregate; the final stage combines " +
+        "the 16 partials per key. The salt is internal (the result is " +
+        "salt-invariant), so the oracle is the plain aggregate; sums " +
+        "stay DECIMAL(38,6) through BOTH stages so re-association " +
+        "cannot perturb the double result.",
+      (s, d) => {
+        import s.implicits._
+        val e = Graft.events(s, d)
+        val salted = e.withColumn("salt",
+          pmod(xxhash64($"event_id"), lit(16)))
+        val partial = salted
+          .groupBy($"event_type", $"salt")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(
+              org.apache.spark.sql.types.DecimalType(38, 6))).as("v"))
+        partial.groupBy($"event_type")
+          .agg(sum($"n").as("n_events"),
+            sum($"v").cast("double").as("total_value"))
+          .orderBy($"event_type")
+      },
+      Some(
+        """SELECT event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     Q("e6_asof_join",
@@ -587,7 +618,7 @@ object PipelineQueries {
           |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
           |    CAST(o.o_orderdate AS DATE) AS date,
           |    COALESCE(o.o_custkey, -1) AS customer_id,
-          |    o.o_orderstatus AS status,
+          |    o.o_orderstatus AS status, l.l_quantity AS qty,
           |    l.l_quantity * (l.l_extendedprice * (1 - l.l_discount) / l.l_quantity) AS net_amount
           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           |  JOIN part p ON l.l_partkey = p.p_partkey
@@ -604,6 +635,8 @@ object PipelineQueries {
           |  SELECT g.date AS date, COALESCE(cc.country, 'UNKNOWN') AS country,
           |    EXTRACT(year FROM g.date) AS year, EXTRACT(month FROM g.date) AS month,
           |    COUNT(DISTINCT CASE WHEN g.status != 'F' THEN g.invoice_no END) AS orders,
+          |    COUNT(*) AS items,
+          |    CAST(SUM(CAST(g.qty AS DECIMAL(38,6))) AS DOUBLE) AS net_qty,
           |    CAST(SUM(CAST(g.net_amount AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
           |    CAST(SUM(CAST(e.net_amount_eur AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_eur
           |  FROM raw g
@@ -614,10 +647,14 @@ object PipelineQueries {
           |monthly AS (
           |  SELECT year, month, country, COUNT(DISTINCT date) AS trading_days,
           |    CAST(SUM(orders) AS BIGINT) AS total_orders,
+          |    CAST(SUM(items) AS BIGINT) AS total_items,
+          |    CAST(SUM(CAST(net_qty AS DECIMAL(38,6))) AS DOUBLE) AS total_quantity,
           |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
           |    CAST(SUM(CAST(net_revenue_eur AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue_eur
           |  FROM agg GROUP BY 1, 2, 3)
-          |SELECT *, total_revenue / trading_days AS avg_daily_revenue,
+          |SELECT *, make_date(year, month, 1) AS month_start_date,
+          |  total_revenue / trading_days AS avg_daily_revenue,
+          |  total_orders / trading_days AS avg_daily_orders,
           |  total_revenue / NULLIF(total_orders, 0) AS avg_order_value
           |FROM monthly WHERE total_revenue > 0
           |ORDER BY year, month, country""".stripMargin))

@@ -15,8 +15,10 @@ import graft.engine.Graft
   * seeded bucket signature per vector, candidates restricted to the
   * query's bucket. At 100 TB the bucketed table is written
   * partitioned-by-bucket so a query touches one partition (partition
-  * pruning), and multi-probe (flipping one signature bit) trades
-  * recall for fan-out. Recall vs a1 is asserted in AnnSpec.
+  * pruning). a2b is the multi-probe variant: each query additionally
+  * probes the NPlanes buckets one flipped signature bit away, trading
+  * candidate fan-out for recall. Recall vs a1 is asserted in AnnSpec
+  * for both.
   */
 object SimilarityQueries {
 
@@ -123,6 +125,40 @@ object SimilarityQueries {
             col("norm").as("norm_q"), col("bucket").as("bucket_q"))
         val scored = e.join(broadcast(q),
             col("bucket") === col("bucket_q") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("a2b_ann_multiprobe",
+      "ANN scale path, multi-probe variant — each query probes its own " +
+        "bucket PLUS the 4 buckets at Hamming distance 1 in signature " +
+        "space (one flipped hyperplane bit), trading 5x candidate " +
+        "fan-out for recall: near neighbors that fall just on the other " +
+        "side of one hyperplane are recovered. Approximate: no SQL " +
+        "oracle; AnnSpec asserts recall vs a1 is >= the single-bucket " +
+        "a2 and candidate coverage strictly grows.",
+      (s, d) => {
+        val e = withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val probeMasks = lit(0) +: (0 until NPlanes).map(j => lit(1 << j))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket").as("bucket_q"))
+          .withColumn("probe",
+            explode(array(probeMasks.map(m =>
+              col("bucket_q").bitwiseXOR(m)): _*)))
+        val scored = e.join(broadcast(q),
+            col("bucket") === col("probe") &&
               col("vec_id") =!= col("query_id"))
           .withColumn("cosine",
             dot("eq", "embedding") / (col("norm_q") * col("norm")))

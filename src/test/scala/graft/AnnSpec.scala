@@ -35,6 +35,32 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a2b multi-probe recall vs a1 top-5 is >= single-bucket a2") {
+    def top5(name: String): Map[Long, Set[Long]] = run(name).collect()
+      .filter(_.getLong(1) <= 5)
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top5("a1_ann_bruteforce")
+    val a2 = top5("a2_ann_lsh_bucketed")
+    val a2b = top5("a2b_ann_multiprobe")
+    def hits(m: Map[Long, Set[Long]]): Int =
+      exact.keys.toSeq.map(q =>
+        m.getOrElse(q, Set.empty).intersect(exact(q)).size).sum
+    assert(a2b.nonEmpty)
+    // the probe set is a superset of the single bucket, so an exact-top5
+    // member can only be displaced by another exact-top5 member — recall
+    // is monotonically non-decreasing.
+    assert(hits(a2b) >= hits(a2),
+      s"multi-probe recall ${hits(a2b)} < single-bucket ${hits(a2)}")
+    // and multi-probe cosines agree with the exact baseline on overlap
+    val exactCos = run("a1_ann_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    run("a2b_ann_multiprobe").collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2)))
+        .foreach(e => assert(e === r.getDouble(3)))
+    }
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val left = Seq((1, "a", 5), (2, "a", 10), (3, "b", 7), (4, "a", 2))

@@ -29,6 +29,15 @@ class PipelineSpec extends SparkTestBase {
     assert(monthly.count() > 0)
     assert(cat.describe("fct_sales").exists(_._1 == "net_amount"))
 
+    // Full reference view column contract
+    // (/root/reference/sql/views/monthly_sales_summary.sql:5-41).
+    val monthlyCols = monthly.columns.toSet
+    Seq("year", "month", "month_start_date", "country", "trading_days",
+      "total_orders", "total_items", "total_quantity", "total_revenue",
+      "total_revenue_eur", "avg_daily_revenue", "avg_daily_orders",
+      "avg_order_value").foreach(c =>
+      assert(monthlyCols.contains(c), s"monthly view missing $c"))
+
     // Full 8-key agg_country_day contract (facts.py:369-411): date,
     // country + 6 calendar attrs, plus the net_qty measure.
     val aggCols = cat.table("agg_country_day").columns.toSet

@@ -60,6 +60,15 @@ class PlanSpec extends SparkTestBase {
       l.contains("graft_dot") && l.trim.startsWith("*")), p.take(1200))
   }
 
+  test("e7 salted aggregate is a real two-stage plan over the salt") {
+    val p = formatted("e7_salted_agg")
+    // stage 1 groups on (event_type, salt), stage 2 on event_type alone;
+    // both survive as distinct hash aggregates with an exchange between.
+    assert(p.contains("salt"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert("Exchange".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
   test("queries project only needed columns from wide tables") {
     val p = formatted("g4_conditional_distinct")
     val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString
