@@ -94,9 +94,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_strhash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_strhash"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "graft_strhash takes exactly 1 argument")
-        StringPolyHash(children.head)
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => new StringPolyHash(s)
+        case Seq(s, b) => StringPolyHash(s, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_strhash takes 1 or 2 arguments: (string[, base])")
       }))
   }
 }

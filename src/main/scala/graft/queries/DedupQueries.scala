@@ -9,13 +9,14 @@ import graft.engine.Graft
   * `documents` / `embeddings` tables: exact (hash-groupBy), n-gram
   * Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
   *
-  * Portability contract with the DuckDB oracle: exact dedup and simhash
-  * hash through md5 hex strings (identical in both engines); the MinHash
-  * shingle hot path uses `graft_strhash`, the compiled base-31
-  * polynomial whose DuckDB twin is the `list_reduce(ascii)` fold proven
-  * portable by t4_fingerprint; all floating-point reductions are
-  * left-folds in index order (`aggregate`/`zip_with` here,
-  * `list_reduce`/`list_zip` there) so doubles come out bit-identical.
+  * Portability contract with the DuckDB oracle: exact dedup hashes
+  * through md5 hex strings (identical in both engines); the MinHash
+  * shingle and SimHash token hot paths use `graft_strhash`, the
+  * compiled polynomial whose DuckDB twin is the `list_reduce(ascii)`
+  * fold proven portable by t4_fingerprint; all floating-point
+  * reductions are left-folds in index order (`aggregate`/`zip_with`
+  * here, `list_reduce`/`list_zip` there) so doubles come out
+  * bit-identical.
   *
   * Scale design (100 TB):
   *  - exact + fingerprint dedup are single hash-shuffles on the digest;
@@ -130,22 +131,28 @@ object DedupQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
-  /** 64-bit SimHash per doc: one md5 per whitespace token, bit b of the
-    * signature set by the majority vote of bit b across token hashes
-    * (the first 16 hex nibbles supply 64 bits). 64 aggregate expressions
-    * in ONE map-side-combinable groupBy — a single shuffle on doc_id.
-    * Bits are disjoint so the long addition assembling the signature
-    * cannot overflow (bit 63's term is Long.MinValue, by design).
+  /** 64-bit SimHash per doc: three compiled `graft_strhash` poly-hashes
+    * per whitespace token (bases 31/131/257 — independent-enough hash
+    * families, each supplying 30/30/4 of the 64 vote bits since the mod
+    * is ~2^30), bit b of the signature set by the majority vote of that
+    * hash bit across token hashes. Pure long bit math per vote (the md5
+    * predecessor paid a digest + 64 hex substring/conv extractions per
+    * token). 64 aggregate expressions in ONE map-side-combinable
+    * groupBy — a single shuffle on doc_id. Bits are disjoint so the
+    * long addition assembling the signature cannot overflow (bit 63's
+    * term is Long.MinValue, by design).
     */
   private[graft] def simhashDocs(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tk"))
-      .withColumn("h", md5(col("tk")))
+      .withColumn("h1", expr("graft_strhash(tk, 31)"))
+      .withColumn("h2", expr("graft_strhash(tk, 131)"))
+      .withColumn("h3", expr("graft_strhash(tk, 257)"))
     val sigExpr = (0 until 64).map { b =>
-      val k = b / 4; val j = b % 4
-      val nib = conv(substring(col("h"), k + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(nib, 3 - j).bitwiseAND(lit(1))
+      val (h, off) =
+        if (b < 30) ("h1", b) else if (b < 60) ("h2", b - 30) else ("h3", b - 60)
+      val bit = shiftright(col(h), off).bitwiseAND(lit(1L)).cast("int")
       when(sum(bit * 2 - 1) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(sigExpr.cast("long").as("simhash"))
@@ -156,14 +163,18 @@ object DedupQueries {
     * the sum through HUGEINT and the final CAST lands back in BIGINT).
     */
   private val SimhashDocsSql: String = {
+    def fold(base: Int) =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_extract_all(t.tk, '(?s).'), " +
+        s"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * $base + c) % 1000000007)"
     val bits = (0 until 64).map { b =>
-      val k = b / 4; val j = b % 4
-      val nib = s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1)"
-      s"CASE WHEN SUM((($nib // ${1 << (3 - j)}) % 2) * 2 - 1) > 0 " +
+      val (h, off) =
+        if (b < 30) ("h1", b) else if (b < 60) ("h2", b - 30) else ("h3", b - 60)
+      s"CASE WHEN SUM((($h // ${1L << off}) % 2) * 2 - 1) > 0 " +
         s"THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
     s"""tok AS (
-       |  SELECT d.doc_id, md5(t.tk) AS h
+       |  SELECT d.doc_id, ${fold(31)} AS h1, ${fold(131)} AS h2, ${fold(257)} AS h3
        |  FROM documents d,
        |    LATERAL UNNEST(string_split_regex(trim(d.text), '\\s+')) t(tk)),
        |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
@@ -301,8 +312,8 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("d4_simhash",
-      "SimHash near-dup — 64-bit simhash from md5 token hashes " +
-        "(majority vote per bit), all pairs at hamming distance 0 via an " +
+      "SimHash near-dup — 64-bit simhash from compiled poly-hash token " +
+        "digests (majority vote per bit), all pairs at hamming 0 via an " +
         "equi-join on the signature. 64 bits keep buckets sparse at " +
         "corpus scale (a 16-bit signature has only 65k values and " +
         "degenerates quadratic); hamming<=k is d4b via banding.",
