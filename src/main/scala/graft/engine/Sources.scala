@@ -9,11 +9,12 @@ import org.apache.spark.sql.types.StructType
   * The reference ingests three raw formats with driver-side Python
   * (multi-sheet Excel via pandas, ECB SDMX XML via ElementTree, legacy
   * XLS) and registers each as a staged table
-  * (the references src/ingestion modules). This container ships no
-  * Excel codec, so spreadsheet-shaped inputs stage through
-  * [[MultiSheetCsvSource]] (same schema + sheet-tag semantics); the XML
-  * path is real (scala-xml, driver-side — the file is tiny in the
-  * reference: 739 observations).
+  * (the reference's src/ingestion modules). The `.xlsx` path is real
+  * byte-level ingestion with no external codec ([[XlsxSource]]: zip +
+  * OOXML parse); the XML path is real (scala-xml, driver-side — the
+  * file is tiny in the reference: 739 observations). Legacy binary
+  * `.xls` (BIFF8) has no codec in this container and stages through
+  * [[MultiSheetCsvSource]] (same schema + sheet-tag semantics).
   */
 trait Source {
   /** Load this source as a DataFrame (driver-side parse allowed for
@@ -92,5 +93,94 @@ final case class InMemorySource(df: DataFrame, name: String) extends Source {
   def load(spark: SparkSession): DataFrame = {
     df.createOrReplaceTempView(name)
     spark.table(name)
+  }
+}
+
+/** S1 (byte-level): genuine multi-sheet `.xlsx` ingestion with NO
+  * external codec — an .xlsx file is a zip of OOXML XML parts, so this
+  * reads the workbook's sheet catalog, relationship map, shared-string
+  * table, and each sheet's cell grid with `java.util.zip` + scala-xml,
+  * driver-side (raw spreadsheets are small — the reference's full
+  * retail workbook is ~1M rows in a few tens of MB; at 100 TB raw data
+  * lands as CSV/parquet and this path is the compatibility shim, like
+  * the reference's own pandas read).
+  *
+  * Mirrors `pd.read_excel(sheet_name=None)` semantics
+  * (`/root/reference/src/ingestion/retail_data.py:27-38`): every sheet
+  * is read in workbook order, tagged with `source_sheet`, and
+  * vertically unioned; row 1 is the header; string cells are trimmed
+  * and empty/missing cells are NULL (the engine's documented
+  * NULL-not-'nan' contract, SURVEY.md §7.4). Cells are decoded per the
+  * OOXML `t` attribute: `s` (shared string), `inlineStr`, `str`
+  * (formula result), `b` (boolean), default numeric. Values surface as
+  * strings and are cast to the caller's schema by column name.
+  */
+final case class XlsxSource(path: String, schema: StructType) extends Source {
+
+  def load(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      def part(name: String): Option[scala.xml.Elem] =
+        Option(zip.getEntry(name)).map(e =>
+          scala.xml.XML.load(zip.getInputStream(e)))
+      val workbook = part("xl/workbook.xml")
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path is not an xlsx: missing xl/workbook.xml"))
+      // r:id → worksheet part path (the rels map; scala-xml keys are
+      // local names, so the prefixed r:id attribute matches key "id").
+      val rels = part("xl/_rels/workbook.xml.rels").toSeq
+        .flatMap(_ \ "Relationship")
+        .map(r => (r \@ "Id") -> (r \@ "Target").stripPrefix("/xl/"))
+        .toMap
+      val shared = part("xl/sharedStrings.xml").toSeq
+        .flatMap(_ \ "si")
+        .map(si => (si \\ "t").map(_.text).mkString)
+        .toIndexedSeq
+      val sheets = (workbook \ "sheets" \ "sheet").map { s =>
+        val rid = s.attributes.iterator
+          .collectFirst { case a if a.key == "id" && a.isPrefixed => a.value.text }
+          .getOrElse("")
+        (s \@ "name") -> rels.getOrElse(rid, "")
+      }.filter(_._2.nonEmpty)
+      require(sheets.nonEmpty, s"no sheets found in $path")
+
+      val frames = sheets.map { case (sheetName, target) =>
+        val sheetXml = part(s"xl/$target").getOrElse(
+          throw new IllegalArgumentException(s"missing part xl/$target"))
+        val grid = (sheetXml \ "sheetData" \ "row").map { row =>
+          (row \ "c").flatMap { c =>
+            val ref = c \@ "r"
+            val colIdx = ref.takeWhile(_.isLetter)
+              .foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+            val v = (c \@ "t") match {
+              case "s" => (c \ "v").headOption
+                .flatMap(n => shared.lift(n.text.trim.toInt))
+              case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
+              case "b" => (c \ "v").headOption
+                .map(n => if (n.text.trim == "1") "true" else "false")
+              case _ => (c \ "v").headOption.map(_.text) // str / numeric
+            }
+            v.map(colIdx -> _)
+          }.toMap
+        }
+        require(grid.nonEmpty, s"sheet $sheetName is empty")
+        val header = grid.head
+        val width = (header.keys ++ grid.tail.flatMap(_.keys)).max + 1
+        val names = (0 until width).map(i =>
+          header.getOrElse(i, s"_c$i").trim)
+        val rows = grid.tail.map(cells =>
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until width).map(i => cells.get(i).map(_.trim).orNull)))
+        val rawSchema = StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)))
+        val raw = spark.createDataFrame(rows.asJava, rawSchema)
+        raw.select(schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+          .withColumn("source_sheet", lit(sheetName))
+      }
+      frames.reduce(_ unionByName _)
+    } finally zip.close()
   }
 }

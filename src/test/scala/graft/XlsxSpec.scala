@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.types._
+import graft.engine.XlsxSource
+
+/** Byte-level xlsx ingestion: the spec hand-assembles a real two-sheet
+  * OOXML zip (shared strings, inline strings, numerics, booleans, a
+  * skipped cell) and asserts XlsxSource reproduces
+  * pd.read_excel(sheet_name=None) semantics — all sheets read, tagged,
+  * unioned, header row consumed, strings trimmed, missing cells NULL,
+  * values cast to the caller's schema.
+  */
+class XlsxSpec extends SparkTestBase {
+
+  private def writeXlsx(): String = {
+    val f = Files.createTempFile("graft", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets>
+        |    <sheet name="Year 2009-2010" sheetId="1" r:id="rId1"/>
+        |    <sheet name="Year 2010-2011" sheetId="2" r:id="rId2"/>
+        |  </sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <si><t>invoice</t></si>
+        |  <si><t>qty</t></si>
+        |  <si><t>desc</t></si>
+        |  <si><t>  WHITE MUG  </t></si>
+        |  <si><r><t>RED </t></r><r><t>LANTERN</t></r></si>
+        |</sst>""".stripMargin)
+    // sheet1: header + 2 rows; row 3 omits the desc cell entirely (NULL)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="s"><v>2</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2" t="inlineStr"><is><t>INV-1</t></is></c>
+        |      <c r="B2"><v>6</v></c>
+        |      <c r="C2" t="s"><v>3</v></c>
+        |    </row>
+        |    <row r="3">
+        |      <c r="A3" t="inlineStr"><is><t>INV-2</t></is></c>
+        |      <c r="B3"><v>12</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    // sheet2: one row, rich-text shared string + boolean-typed qty cell
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="s"><v>2</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2" t="str"><v>INV-3</v></c>
+        |      <c r="B2"><v>3</v></c>
+        |      <c r="C2" t="s"><v>4</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    zos.close()
+    f.toString
+  }
+
+  test("XlsxSource reads all sheets byte-level: tags, unions, trims, casts") {
+    val schema = StructType(Seq(
+      StructField("invoice", StringType),
+      StructField("qty", LongType),
+      StructField("desc", StringType)))
+    val df = XlsxSource(writeXlsx(), schema).load(spark)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("invoice", "qty", "desc", "source_sheet"))
+    val rows = df.orderBy("invoice").collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      ("INV-1", 6L, "WHITE MUG", "Year 2009-2010"),
+      ("INV-2", 12L, null, "Year 2009-2010"),
+      ("INV-3", 3L, "RED LANTERN", "Year 2010-2011")))
+  }
+
+  test("XlsxSource rejects a zip without a workbook part") {
+    val f = Files.createTempFile("notx", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    zos.putNextEntry(new ZipEntry("hello.txt"))
+    zos.write("hi".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val schema = StructType(Seq(StructField("a", StringType)))
+    assertThrows[IllegalArgumentException] {
+      XlsxSource(f.toString, schema).load(spark)
+    }
+  }
+}
