@@ -22,7 +22,9 @@ import graft.engine.Graft
   *  - exact + fingerprint dedup are single hash-shuffles on the digest;
   *  - shingles are word 3-grams, not char k-grams: natural text has ~6x
   *    fewer words than chars, so the per-shingle digest (the dedup hot
-  *    path — one md5 per shingle) costs ~6x less at equal dedup power;
+  *    path — one compiled `graft_strhash` per shingle) costs ~6x less
+  *    at equal dedup power, and shingles collapse to their 8-byte
+  *    digest at the source so no downstream shuffle moves strings;
   *  - MinHash runs as ONE map-side-combinable groupBy(doc) with 16 min()
   *    aggregates, then candidate generation shuffles on (band, signature)
   *    — never all-pairs;
@@ -47,10 +49,6 @@ object DedupQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, lang, s). */
-  private def shingles(docs: DataFrame): DataFrame =
-    shinglesRaw(docs).distinct()
-
   /** Non-distinct word-3-gram shingles — enough for MIN-based
     * minhashing, skips the dedup shuffle. Documents shorter than 3 words
     * yield one shingle (the whole text), so every doc survives.
@@ -62,31 +60,44 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"),
         expr("concat_ws(' ', slice(w, i, 3))").as("s"))
 
-  private val ShinglesSql: String =
-    """SELECT DISTINCT t.doc_id, t.lang,
-      |  array_to_string(t.w[g.i:g.i+2], ' ') AS s
-      |FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+  /** Shingles reduced to their compiled poly-hash digest at the source:
+    * (doc_id, h). Every downstream shuffle, distinct, persist, and
+    * equality join in d2/d3 then moves 8-byte longs instead of shingle
+    * strings — at corpus scale the digest IS the shingle identity (both
+    * engines hash identically, so Jaccard over digests matches the
+    * oracle bit-for-bit; cross-shingle collisions are ~n²/2p per doc,
+    * identical on both sides by construction).
+    */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).select(col("doc_id"), expr("graft_strhash(s)").as("h"))
+
+  private val ShinglesRawSql: String =
+    """SELECT t.doc_id, array_to_string(t.w[g.i:g.i+2], ' ') AS s
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       |      FROM documents) t,
       |  LATERAL UNNEST(range(1, greatest(len(t.w) - 2, 1) + 1)) g(i)""".stripMargin
 
+  /** DuckDB twin of [[hashedShingles]] (the t4-proven base-31 fold). */
+  private val HashedShinglesSql: String =
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_extract_all(s, '(?s).'), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007) AS h " +
+      s"FROM ($ShinglesRawSql) raw"
+
   private val P = 1000000007L
 
-  /** MinHash+LSH candidate pairs from a (doc_id, s) shingle frame.
-    *
-    * ONE `graft_strhash` per shingle (the hot-path cost — a compiled
-    * base-31 polynomial, far cheaper than an md5 digest + hex parse at
-    * corpus scale), 16 minhashes derived by cheap arithmetic
-    * `(a_i*h + b_i) mod p` (codegen'd long math — 16x fewer digest
-    * evaluations than hashing per-function), aggregated in one
-    * map-combinable groupBy; 4 bands x 4 rows; candidates from
-    * band-signature collisions. Duplicate shingles don't change MIN, so
-    * callers may pass non-distinct shingles and skip that shuffle.
+  /** MinHash+LSH candidate pairs from a hashed (doc_id, h) shingle
+    * frame: 16 minhashes derived from the digest by cheap arithmetic
+    * `(a_i*h + b_i) mod p` (codegen'd long math — one digest, 16
+    * derived functions), aggregated in one map-combinable groupBy;
+    * 4 bands x 4 rows; candidates from band-signature collisions.
+    * Duplicate shingles don't change MIN, so callers may pass
+    * non-distinct shingles and skip that shuffle.
     */
   private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("hb", expr("graft_strhash(s)"))
     val minhashes = (0 until 16).map(i =>
-      min((col("hb") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
-    val mh = hashed.groupBy(col("doc_id"))
+      min((col("h") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
+    val mh = sh.groupBy(col("doc_id"))
       .agg(minhashes.head, minhashes.tail: _*)
     val bandCols = (0 until 4).map(b =>
       concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
@@ -101,23 +112,19 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** DuckDB twin of [[lshCandidates]], reading shingles from `shRef`. */
+  /** DuckDB twin of [[lshCandidates]], reading hashed shingles
+    * (doc_id, h) from `shRef`.
+    */
   private[queries] def LshCandidatesSql(shRef: String): String = {
     val mins = (0 until 16)
-      .map(i => s"MIN((hb * ${2 * i + 1} + ${31 * i + 7}) % $P) AS h$i")
+      .map(i => s"MIN((h * ${2 * i + 1} + ${31 * i + 7}) % $P) AS h$i")
       .mkString(", ")
     val bands = (0 until 4)
       .map(b => "CONCAT_WS('|', " +
         (0 until 4).map(j => s"h${4 * b + j}").mkString(", ") + s") AS band$b")
       .mkString(", ")
-    // hb = the same base-31 polynomial `graft_strhash` computes (the
-    // t4_fingerprint portability contract: ascii() per char, left fold).
-    val hb = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(regexp_extract_all(s, '(?s).'), " +
-      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
     val mh = s"""SELECT doc_id, $mins
-       |FROM (SELECT doc_id, $hb AS hb
-       |      FROM $shRef) hashed
+       |FROM $shRef
        |GROUP BY doc_id""".stripMargin
     val expl = s"""SELECT doc_id, bi,
        |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
@@ -213,19 +220,17 @@ object DedupQueries {
         "generation (sub-quadratic) then EXACT word-3-gram Jaccard " +
         "verification on candidates only, keeping pairs >= 0.5. This is " +
         "the 100 TB shape: never all-pairs; the quadratic step touches " +
-        "only band-collision candidates. Catches the corpus's planted " +
-        "cross-lang/cross-source near-duplicates.",
+        "only band-collision candidates, and every shuffle moves 8-byte " +
+        "shingle digests, not shingle strings. Catches the corpus's " +
+        "planted cross-lang/cross-source near-duplicates.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        // One shingle scan feeds both the LSH pass and the verification
-        // pass (persist beats recomputing the explode over the corpus;
-        // serialized level keeps the pinned footprint small so queries
-        // sharing the session aren't squeezed while this runs).
-        val shRaw = shinglesRaw(docs).select("doc_id", "s")
+        // One hashed-shingle scan feeds both the LSH pass and the
+        // verification pass (persist beats recomputing the explode over
+        // the corpus; serialized level keeps the pinned footprint small
+        // — and it is (long, long) rows, not strings).
+        val shRaw = hashedShingles(docs)
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        // cache: the candidate frame is tiny but feeds two consumers
-        // (pair verification + doc pruning); without it the whole
-        // shingle+minhash subtree runs twice.
         // Materialize each cache with a single job before any plan fans
         // out over it: the LSH band self-join reads shRaw from both
         // sides, and cand feeds two consumers — without the forced
@@ -248,10 +253,10 @@ object DedupQueries {
           .join(candDocs, Seq("doc_id"), "left_semi")
           .distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val aSh = sh.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
-        val bSh = sh.select(col("doc_id").as("doc_b2"), col("s").as("s_b"))
+        val aSh = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"))
+        val bSh = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
         val inter = cand.join(aSh, Seq("doc_a"))
-          .join(bSh, col("doc_b") === col("doc_b2") && col("s_a") === col("s_b"))
+          .join(bSh, col("doc_b") === col("doc_b2") && col("h_a") === col("h_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
         val result = inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -278,17 +283,17 @@ object DedupQueries {
         s.read.parquet(pairsDir)
       },
       Some(
-        s"""WITH sh_all AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw),
-           |cand AS (${LshCandidatesSql("sh_all")}),
+        s"""WITH hs AS ($HashedShinglesSql),
+           |cand AS (${LshCandidatesSql("hs")}),
            |cand_docs AS (SELECT doc_a AS doc_id FROM cand
            |              UNION SELECT doc_b FROM cand),
-           |sh AS (SELECT * FROM sh_all
+           |sh AS (SELECT DISTINCT doc_id, h FROM hs
            |       WHERE doc_id IN (SELECT doc_id FROM cand_docs)),
            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
            |inter AS (
            |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
            |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-           |              JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+           |              JOIN sh b ON b.doc_id = c.doc_b AND a.h = b.h
            |  GROUP BY 1, 2)
            |SELECT i.doc_a, i.doc_b,
            |  CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
@@ -298,17 +303,18 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("d3_minhash_lsh",
-      "MinHash+LSH near-dup candidates — 16 md5-derived minhashes per " +
-        "doc (one map-combinable groupBy), 4 bands x 4 rows, candidate " +
-        "pairs from band-signature collisions (the scale path: shuffles " +
-        "on (band, signature), never all-pairs)",
+      "MinHash+LSH near-dup candidates — one compiled digest per " +
+        "shingle, 16 derived minhashes per doc (one map-combinable " +
+        "groupBy), 4 bands x 4 rows, candidate pairs from " +
+        "band-signature collisions (the scale path: shuffles on " +
+        "(band, signature), never all-pairs)",
       (s, d) => {
-        val sh = shinglesRaw(t(s, d, "documents")).select("doc_id", "s")
+        val sh = hashedShingles(t(s, d, "documents"))
         lshCandidates(sh).orderBy("doc_a", "doc_b")
       },
       Some(
-        s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM ($ShinglesSql) raw)
-           |SELECT * FROM (${LshCandidatesSql("sh")}) c
+        s"""WITH hs AS ($HashedShinglesSql)
+           |SELECT * FROM (${LshCandidatesSql("hs")}) c
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("d4_simhash",
