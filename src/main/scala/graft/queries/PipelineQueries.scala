@@ -565,6 +565,36 @@ object PipelineQueries {
           |  COUNT(*) AS n
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    Q("g12b_percentiles_approx",
+      "Approximate percentiles — the documented 100 TB swap for g12: " +
+        "approx_percentile (t-digest-style sketch, mergeable across " +
+        "partitions, bounded memory) instead of the exact sort-based " +
+        "percentile. Approximate by design: no SQL oracle (driver " +
+        "records rows-only); ApproxSpec asserts agreement with the " +
+        "exact g12 within the sketch's accuracy bound.",
+      (s, d) => {
+        import s.implicits._
+        Graft.events(s, d)
+          .groupBy($"event_type")
+          .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+            expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      None),
+
+    Q("x2b_approx_count_distinct",
+      "Approximate COUNT(DISTINCT) — the 100 TB swap for exact distinct " +
+        "counts (X2): HyperLogLog++ sketches merge map-side with no " +
+        "Expand explosion and bounded memory per key. Approximate by " +
+        "design: no SQL oracle; ApproxSpec asserts relative error vs " +
+        "the exact counts is within the configured rsd.",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders_approx"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_suppliers_approx")),
+      None),
+
     Q("g13_rollup",
       "GROUPING SETS — ROLLUP over (year, priority) with subtotal and " +
         "grand-total rows (Expand-based plan; one shuffle)",
