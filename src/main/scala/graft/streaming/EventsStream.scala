@@ -64,6 +64,30 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (the enrichment shape):
+    * pairs each left event with same-user right events from the
+    * preceding 10 minutes. Both sides carry watermarks and the join
+    * predicate carries the time range, so Spark can bound the join
+    * state: buffered rows are evicted once the watermark passes their
+    * last possible match — state is O(rate × interval + watermark), not
+    * O(stream). At scale this is the click⋈impression pattern joined
+    * without unbounded buffers; the batch twin is the same join over
+    * the static table (parity in StreamingSpec).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.select(col("event_id").as("a_id"),
+        col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "30 minutes")
+    val b = right.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_type").as("b_type"))
+      .withWatermark("b_ts", "30 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr("interval 10 minutes") &&
+        col("b_ts") < col("a_ts"))
+  }
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(sessionCount: Long, lastTs: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -83,6 +83,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val ckpt = Files.createTempDirectory("graft-ckpt4").toString
+    val q = EventsStream.intervalJoin(
+        EventsStream.source(spark, sfDir),
+        EventsStream.source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("interval_join_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not terminate in time")
+    val streamed = spark.table("interval_join_stream").count()
+    val e = graft.engine.Graft.events(spark, sfDir)
+    val batch = EventsStream.intervalJoin(e, e).count()
+    assert(streamed > 0, "interval join found no pairs in testdata")
+    assert(streamed === batch)
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     val m = 60L * 1000000
     val events = Seq(
