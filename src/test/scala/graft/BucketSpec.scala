@@ -6,8 +6,33 @@ import graft.engine.{Catalog, Graft}
 /** Bucketed co-located join: writing both sides bucketed+sorted on the
   * join key must eliminate the shuffle — the join plan contains no
   * Exchange below the SortMergeJoin, and results match the plain join.
+  * Plus the ANN-store layout claim: a bucket-partitioned embedding
+  * table must prune probes to the probed partition.
   */
 class BucketSpec extends SparkTestBase {
+
+  test("bucket-partitioned ANN store prunes the scan to the probed bucket") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft-annstore").toString
+    val e = graft.queries.SimilarityQueries
+      .withBucket(Graft.table(spark, sfDir, "embeddings"), "embedding")
+    e.write.mode("overwrite").partitionBy("bucket").parquet(wh)
+    val store = spark.read.parquet(wh)
+    val probe = store.filter(col("bucket") === 3)
+    // the bucket predicate must land in PartitionFilters (directory
+    // pruning), not PushedFilters (row-group filtering within files)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"), plan.take(800))
+    // and the scan's runtime metrics confirm only the probed partition's
+    // files were read — strictly fewer than the whole store's
+    probe.collect() // drives THIS queryExecution so its metrics populate
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+    val probedFiles = scan.metrics("numFiles").value
+    assert(probedFiles > 0 && probedFiles < store.inputFiles.length,
+      s"probe read $probedFiles files of ${store.inputFiles.length}")
+  }
 
   test("bucketed fact-fact join plans without a shuffle and matches plain join") {
     val wh = Files.createTempDirectory("graft-bkt").toString
