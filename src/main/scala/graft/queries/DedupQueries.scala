@@ -99,8 +99,12 @@ object DedupQueries {
       min((col("h") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
     val mh = sh.groupBy(col("doc_id"))
       .agg(minhashes.head, minhashes.tail: _*)
+    // One row per (doc, band); the band signature stays FOUR LONGS (a
+    // struct), never a concatenated string — the band self-join is the
+    // big shuffle of this pipeline and 4 longs beat a ~40-char string
+    // on the wire, with exact (collision-free) band equality.
     val bandCols = (0 until 4).map(b =>
-      concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+      struct((0 until 4).map(j => col(s"h${4 * b + j}").as(s"k$j")): _*))
     val expl = mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("bi", "sig")))
     val a = expl.select(col("doc_id").as("doc_a"), col("bi"), col("sig"))
@@ -113,28 +117,27 @@ object DedupQueries {
   }
 
   /** DuckDB twin of [[lshCandidates]], reading hashed shingles
-    * (doc_id, h) from `shRef`.
+    * (doc_id, h) from `shRef` (band key = four minhash columns, matching
+    * the struct-keyed Spark join).
     */
   private[queries] def LshCandidatesSql(shRef: String): String = {
     val mins = (0 until 16)
       .map(i => s"MIN((h * ${2 * i + 1} + ${31 * i + 7}) % $P) AS h$i")
       .mkString(", ")
-    val bands = (0 until 4)
-      .map(b => "CONCAT_WS('|', " +
-        (0 until 4).map(j => s"h${4 * b + j}").mkString(", ") + s") AS band$b")
-      .mkString(", ")
     val mh = s"""SELECT doc_id, $mins
        |FROM $shRef
        |GROUP BY doc_id""".stripMargin
-    val expl = s"""SELECT doc_id, bi,
-       |    CASE bi WHEN 0 THEN band0 WHEN 1 THEN band1
-       |            WHEN 2 THEN band2 ELSE band3 END AS sig
-       |  FROM (SELECT doc_id, $bands FROM ($mh) mh) bands,
+    val sel = (0 until 4).map(j =>
+      "CASE bi " + (0 until 4).map(b => s"WHEN $b THEN h${4 * b + j}")
+        .mkString(" ") + s" END AS k$j").mkString(", ")
+    val expl = s"""SELECT doc_id, bi, $sel
+       |  FROM ($mh) mh,
        |       (SELECT UNNEST([0, 1, 2, 3]) AS bi) n""".stripMargin
-    s"""SELECT a.doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-       |FROM (SELECT doc_id AS doc_a, bi, sig FROM ($expl) x) a
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM ($expl) a
        |JOIN ($expl) b
-       |  ON a.bi = b.bi AND a.sig = b.sig AND a.doc_a < b.doc_id
+       |  ON a.bi = b.bi AND a.k0 = b.k0 AND a.k1 = b.k1
+       |  AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
   }
 
