@@ -327,7 +327,15 @@ object DedupQueries {
         "corpus scale (a 16-bit signature has only 65k values and " +
         "degenerates quadratic); hamming<=k is d4b via banding.",
       (s, d) => {
-        val sh = simhashDocs(t(s, d, "documents"))
+        // Materialize the per-doc signature table once (2 longs per
+        // doc): the self-join reads it from parquet on both sides
+        // instead of running the token-explode 64-vote aggregation
+        // twice — the warehouse pattern for a signature index at scale.
+        val sigDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_d4_sigs"
+        simhashDocs(t(s, d, "documents"))
+          .write.mode("overwrite").parquet(sigDir)
+        val sh = s.read.parquet(sigDir)
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash"))
         val b2 = sh.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"))
@@ -350,7 +358,13 @@ object DedupQueries {
         "shuffle on (band_index, band), never all-pairs), then the exact " +
         "hamming distance bit_count(a XOR b) filters to <=3.",
       (s, d) => {
-        val sh = simhashDocs(t(s, d, "documents"))
+        // Same signature-table materialization as d4: compute the
+        // 64-vote aggregation once, band-join against the parquet.
+        val sigDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_d4b_sigs"
+        simhashDocs(t(s, d, "documents"))
+          .write.mode("overwrite").parquet(sigDir)
+        val sh = s.read.parquet(sigDir)
         val banded = sh.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(k =>
             shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
