@@ -120,8 +120,13 @@ object CoreQueries {
       (s, d) => {
         import s.implicits._
         dailyCountryRollup(s, d).createOrReplaceTempView("agg_country_day")
+        // resolve the view file independent of the working directory
+        val rel = "sql/views/monthly_sales_summary.sql"
+        val path = Seq(rel, s"/root/repo/$rel")
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .getOrElse(rel)
         val view = new graft.engine.Catalog(s, "/tmp/graft-s7-unused")
-          .createViewFromSql("sql/views/monthly_sales_summary.sql")
+          .createViewFromSql(path)
         view.orderBy($"year", $"month", $"country")
       },
       Some(MonthlySql)),

@@ -1,0 +1,83 @@
+package graft
+
+import java.time.{DayOfWeek, LocalDate}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.Functions
+
+/** Property-based checks: ScalaCheck generates adversarial inputs, a
+  * driver-side reference implementation supplies ground truth, and one
+  * batched Spark job per property compares every sample (per-sample
+  * Spark jobs would be prohibitively slow).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+
+  test("property: graft_strhash equals the reference fold on random strings") {
+    val gen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    val strs = samples(gen, 300)
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = strs.toDF("s")
+      .withColumn("h", expr("graft_strhash(s)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (s, h) => assert(h === ref(s), s"input '$s'") }
+  }
+
+  test("property: calendar shims match java.time on random dates") {
+    // ±100 years around the epoch, covering pre-1970 and leap years
+    val gen = Gen.chooseNum(-36500L, 36500L)
+    val days = samples(gen, 400).distinct
+    val df = days.map(d => java.sql.Date.valueOf(LocalDate.ofEpochDay(d)))
+      .toDF("date")
+      .select($"date",
+        Functions.dowSun0($"date").as("dow"),
+        Functions.isWeekend($"date").as("wknd"),
+        Functions.isoYear($"date").cast("int").as("iy"),
+        Functions.isoWeek($"date").cast("int").as("iw"))
+      .collect()
+    df.foreach { r =>
+      val ld = r.getDate(0).toLocalDate
+      val expectedDow = ld.getDayOfWeek.getValue % 7 // ISO Mon=1..Sun=7 → Sun=0
+      assert(r.getInt(1) === expectedDow, s"dow $ld")
+      assert(r.getBoolean(2) === (ld.getDayOfWeek == DayOfWeek.SATURDAY ||
+        ld.getDayOfWeek == DayOfWeek.SUNDAY), s"weekend $ld")
+      val wf = java.time.temporal.IsoFields.WEEK_BASED_YEAR
+      assert(r.getInt(3) === ld.get(wf), s"isoYear $ld")
+      assert(r.getInt(4) ===
+        ld.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR),
+        s"isoWeek $ld")
+    }
+  }
+
+  test("property: partitioned forwardFill equals a per-key scanLeft") {
+    // random sparse per-key series: (key, idx, Option[value])
+    val gen = for {
+      key <- Gen.chooseNum(0, 4)
+      idx <- Gen.chooseNum(0, 30)
+      v <- Gen.option(Gen.chooseNum(-1000, 1000).map(_.toDouble))
+    } yield (key, idx, v)
+    val rows = samples(gen, 500)
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, idx)
+    val df = rows.toDF("k", "i", "v")
+    val filled = Functions.forwardFill(df, "i", "v", "f", Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // reference: per key, scan in idx order carrying the last non-null
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      var last: Option[Double] = None
+      g.sortBy(_._2).foreach { case (_, i, v) =>
+        if (v.isDefined) last = v
+        assert(filled((k, i)) === last, s"key $k idx $i")
+      }
+    }
+  }
+}
