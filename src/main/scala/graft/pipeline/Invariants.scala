@@ -48,6 +48,23 @@ object Invariants {
       .join(cat.table("daily_fx_rates"), Seq("date"))
       .filter($"net_amount_eur" =!= $"net_amount" / $"rate").count()
 
+    // Aggregate quality (facts.py:523-555): no negative order or item
+    // counts in the rollup.
+    val negAgg = cat.table("agg_country_day")
+      .filter($"orders" < 0 || $"items" < 0).count()
+
+    // The reference's relative-error formula ported verbatim
+    // (facts.py:544: ABS(a-b)/NULLIF(b,0) > 0.1), applied row-wise:
+    // the implied conversion rate net/net_eur must sit within 10% of
+    // the day's rate. (The hardcoded 0.8654 average is GBP/EUR-specific;
+    // the row-wise day rate is its testdata analog.)
+    val relErr = cat.table("fct_sales_eur")
+      .join(cat.table("daily_fx_rates"), Seq("date"))
+      .filter($"net_amount_eur" =!= 0)
+      .filter(abs($"net_amount" / $"net_amount_eur" - $"rate") /
+        when($"rate" =!= 0, $"rate") > 0.1)
+      .count()
+
     branch("calendar_gaps", gaps)
       .unionByName(branch("fct_orphan_calendar", orphanCal))
       .unionByName(branch("fct_orphan_product", orphanProd))
@@ -55,5 +72,7 @@ object Invariants {
       .unionByName(branch("fx_uncovered_dates", uncovered))
       .unionByName(branch("null_eur_amounts", nullEur))
       .unionByName(branch("eur_gbp_mismatch", mismatch))
+      .unionByName(branch("negative_agg_counts", negAgg))
+      .unionByName(branch("fx_rel_error_gt_10pct", relErr))
   }
 }

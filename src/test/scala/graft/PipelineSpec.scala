@@ -22,7 +22,7 @@ class PipelineSpec extends SparkTestBase {
 
     val inv = Invariants.checkAll(cat).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(inv.size === 7)
+    assert(inv.size === 9)
     inv.foreach { case (name, v) => assert(v === 0L, s"invariant $name") }
 
     val monthly = cat.table("v_monthly_sales_summary")
