@@ -21,23 +21,36 @@ object CoreQueries {
     * `agg_country_day` re-expressed (facts.py:369-412). Exercises J1-J3
     * (broadcast dims), G4 (conditional distinct), G5 (multi-key group),
     * P6 (CASE), P7 (arithmetic).
+    *
+    * Scale shape: lineitem is PRE-AGGREGATED per order key before the
+    * big join (Catalyst cannot push an aggregate through a join on its
+    * own), so the orderkey shuffle moves one compact row per order
+    * instead of every line item — ~4x fewer shuffle rows at TPC-H
+    * ratios, more at 100 TB. Results are bit-identical to the flat
+    * join+group the oracle runs: the per-order partials stay exact
+    * DECIMAL(38,6), and exact decimal sums are associative.
     */
   def dailyCountryRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val perOrder = li.groupBy(li("l_orderkey"))
+      .agg(count(lit(1)).as("line_items"),
+        sum(li("l_quantity").cast(dec)).as("qty_dec"),
+        sum((li("l_extendedprice") * (lit(1) - li("l_discount"))).cast(dec))
+          .as("net_dec"))
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(to_date(o("o_orderdate")).as("date"), n("n_name").as("country"))
       .agg(
         countDistinct(when(not(o("o_orderstatus").startsWith("F")),
           o("o_orderkey"))).as("orders"),
-        count(lit(1)).as("items"),
-        Functions.dsum(li("l_quantity")).as("net_qty"),
-        Functions.dsum(li("l_extendedprice") * (lit(1) - li("l_discount")))
-          .as("net_revenue"))
+        sum(col("line_items")).as("items"),
+        sum(col("qty_dec")).cast("double").as("net_qty"),
+        sum(col("net_dec")).cast("double").as("net_revenue"))
   }
 
   private val DailySql: String =
