@@ -183,16 +183,22 @@ object CoreQueries {
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
-        li.filter(col("l_returnflag") =!= "R")
-          .join(o, li("l_orderkey") === o("o_orderkey"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+        // same pre-aggregation shape as dailyCountryRollup: filter and
+        // reduce lineitem per order before the big join
+        val perOrder = li.filter(col("l_returnflag") =!= "R")
+          .groupBy(li("l_orderkey"))
+          .agg(count(lit(1)).as("line_items"),
+            sum((li("l_extendedprice") * (lit(1) - li("l_discount"))).cast(dec))
+              .as("net_dec"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(n("n_name").as("country"))
           .agg(
             countDistinct(o("o_custkey")).as("customers"),
-            Functions.dsum(li("l_extendedprice") * (lit(1) - li("l_discount")))
-              .as("revenue"),
-            count(lit(1)).as("n_transactions"))
+            sum(col("net_dec")).cast("double").as("revenue"),
+            sum(col("line_items")).as("n_transactions"))
           .withColumn("avg_transaction", col("revenue") / col("n_transactions"))
           .orderBy(col("revenue").desc, col("country"))
       },
