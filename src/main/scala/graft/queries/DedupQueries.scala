@@ -230,10 +230,11 @@ object DedupQueries {
         val docs = t(s, d, "documents")
         // One hashed-shingle scan feeds both the LSH pass and the
         // verification pass (persist beats recomputing the explode over
-        // the corpus; serialized level keeps the pinned footprint small
-        // — and it is (long, long) rows, not strings).
+        // the corpus). Plain MEMORY_AND_DISK: the rows are two longs —
+        // 16 bytes — so the serialized level would only add encode/
+        // decode CPU on every downstream pass for no footprint win.
         val shRaw = hashedShingles(docs)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // Materialize each cache with a single job before any plan fans
         // out over it: the LSH band self-join reads shRaw from both
         // sides, and cand feeds two consumers — without the forced
