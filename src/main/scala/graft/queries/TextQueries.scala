@@ -123,6 +123,42 @@ object TextQueries {
            |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
       }),
 
+    Q("t5_hash_split",
+      "Deterministic train/val/test split — every doc lands in a split " +
+        "by a pure function of its id (graft_strhash mod 100: 80/10/10), " +
+        "so the assignment is reproducible across runs, machines, and " +
+        "engine versions, needs no shuffle or stored split table, and " +
+        "any worker can answer 'which split?' locally — the way a " +
+        "100 TB corpus is split for training",
+      (s, d) => {
+        val split = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+        t(s, d, "documents")
+          .withColumn("split",
+            when(split < 80, "train").when(split < 90, "val")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("split")
+      },
+      Some(
+        """SELECT split, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  COUNT(DISTINCT lang) AS n_langs
+          |FROM (
+          |  SELECT lang, n_chars,
+          |    CASE WHEN h % 100 < 80 THEN 'train'
+          |         WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+          |  FROM (
+          |    SELECT lang, n_chars,
+          |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'),
+          |          c -> CAST(ascii(c) AS BIGINT))),
+          |        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          |    FROM documents) hashed) t
+          |GROUP BY 1 ORDER BY split""".stripMargin)),
+
     Q("t4_fingerprint",
       "Document fingerprinting — md5 digest + base-31 polynomial rolling " +
         "hash (mod 1e9+7), uniqueness per source",
