@@ -114,6 +114,12 @@ final case class InMemorySource(df: DataFrame, name: String) extends Source {
   * OOXML `t` attribute: `s` (shared string), `inlineStr`, `str`
   * (formula result), `b` (boolean), default numeric. Values surface as
   * strings and are cast to the caller's schema by column name.
+  *
+  * Limitation (documented): date/time cells stored as Excel serial
+  * numbers surface as their raw numeric text — decoding them requires
+  * styles.xml number-format resolution, which this minimal reader
+  * omits; stage date columns as ISO strings (or post-process the
+  * serial) when producing xlsx for this path.
   */
 final case class XlsxSource(path: String, schema: StructType) extends Source {
 

@@ -49,6 +49,15 @@ object DedupQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
+  /** Session-scoped scratch path for materialized intermediates (the
+    * warehouse stand-in): keyed by application id so concurrent
+    * sessions on one machine never clobber each other's tables, and a
+    * fresh session never reads a stale one.
+    */
+  private def scratch(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_" +
+      s"${s.sparkContext.applicationId}/$name"
+
   /** Non-distinct word-3-gram shingles — enough for MIN-based
     * minhashing, skips the dedup shuffle. Documents shorter than 3 words
     * yield one shingle (the whole text), so every doc survives.
@@ -279,8 +288,7 @@ object DedupQueries {
         // near-dup pair set is large (web corpora are 30-50% near-dup):
         // it belongs in the warehouse, never in block storage or on the
         // driver. (Here the tmpdir stands in for the warehouse root.)
-        val pairsDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_d2_verified_pairs"
+        val pairsDir = scratch(s, "d2_verified_pairs")
         result.write.mode("overwrite").parquet(pairsDir)
         shRaw.unpersist(blocking = true)
         cand.unpersist(blocking = true)
@@ -332,8 +340,7 @@ object DedupQueries {
         // doc): the self-join reads it from parquet on both sides
         // instead of running the token-explode 64-vote aggregation
         // twice — the warehouse pattern for a signature index at scale.
-        val sigDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_d4_sigs"
+        val sigDir = scratch(s, "d4_sigs")
         simhashDocs(t(s, d, "documents"))
           .write.mode("overwrite").parquet(sigDir)
         val sh = s.read.parquet(sigDir)
@@ -361,8 +368,7 @@ object DedupQueries {
       (s, d) => {
         // Same signature-table materialization as d4: compute the
         // 64-vote aggregation once, band-join against the parquet.
-        val sigDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_d4b_sigs"
+        val sigDir = scratch(s, "d4b_sigs")
         simhashDocs(t(s, d, "documents"))
           .write.mode("overwrite").parquet(sigDir)
         val sh = s.read.parquet(sigDir)
