@@ -18,12 +18,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: pay session/codegen/parquet-reader init outside the timers
-    // so the first measured query isn't charged ~5s of JVM warmup.
-    try {
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      spark.read.parquet(s"$sfDir/documents.parquet").count()
-    } catch { case _: Throwable => () }
+    // Warmup: pay session/codegen init and every table's parquet footer
+    // read outside the timers, so the first query to touch a given
+    // table isn't charged its open cost (map-order is arbitrary).
+    graft.engine.Graft.TableNames.foreach { n =>
+      try { graft.engine.Graft.table(spark, sfDir, n).count(): Unit }
+      catch { case _: Throwable => () }
+    }
     // A query that crashes is recorded with a NULL timing and listed
     // under "failed" — a regression must never masquerade as a fast run,
     // and consumers summing/trending the queries map never silently mix
