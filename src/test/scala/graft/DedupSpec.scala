@@ -28,6 +28,23 @@ class DedupSpec extends SparkTestBase {
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
   }
 
+  test("null and empty texts survive the dedup operators without crashing") {
+    import spark.implicits._
+    // degenerate corpus: null text, empty text, whitespace-only, normal
+    val weird = Seq(
+      (1L, Option.empty[String]),
+      (2L, Some("")),
+      (3L, Some("   ")),
+      (4L, Some("a normal document with several words here")))
+      .toDF("doc_id", "text")
+    // simhash: null/empty docs produce no tokens and drop out; the
+    // normal doc survives with a signature.
+    val sigs = DedupQueries.simhashDocs(weird).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(sigs.contains(4L))
+    assert(!sigs.contains(1L), "null text must not produce a signature")
+  }
+
   test("d1 exact dedup matches a direct distinct count") {
     val docs = graft.engine.Graft.table(spark, sfDir, "documents")
     val direct = docs.agg(

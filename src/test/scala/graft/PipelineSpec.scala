@@ -58,6 +58,16 @@ class PipelineSpec extends SparkTestBase {
     cat.dropWarehouse()
   }
 
+  test("createViewFromSql rejects files without a CREATE VIEW statement") {
+    val f = Files.createTempFile("notaview", ".sql")
+    Files.writeString(f, "SELECT 1 AS x")
+    val cat = new graft.engine.Catalog(spark,
+      Files.createTempDirectory("graft-wh2").toString)
+    assertThrows[IllegalArgumentException] {
+      cat.createViewFromSql(f.toString)
+    }
+  }
+
   test("multi-sheet CSV source tags and unions sheets with trim semantics") {
     val dir = Files.createTempDirectory("graft-csv")
     val s1 = dir.resolve("a.csv")
