@@ -155,10 +155,14 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
         val sheetXml = part(s"xl/$target").getOrElse(
           throw new IllegalArgumentException(s"missing part xl/$target"))
         val grid = (sheetXml \ "sheetData" \ "row").map { row =>
-          (row \ "c").flatMap { c =>
-            val ref = c \@ "r"
-            val colIdx = ref.takeWhile(_.isLetter)
-              .foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+          (row \ "c").zipWithIndex.flatMap { case (c, pos) =>
+            // OOXML allows cells without an r= ref (positional); fall
+            // back to the cell's position in the row for those.
+            val letters = (c \@ "r").takeWhile(_.isLetter)
+            val colIdx =
+              if (letters.isEmpty) pos
+              else letters.foldLeft(0)(
+                (acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
             val v = (c \@ "t") match {
               case "s" => (c \ "v").headOption
                 .flatMap(n => shared.lift(n.text.trim.toInt))

@@ -100,6 +100,36 @@ class XlsxSpec extends SparkTestBase {
       ("INV-3", 3L, "RED LANTERN", "Year 2010-2011")))
   }
 
+  test("XlsxSource handles cells without r= refs positionally") {
+    val f = Files.createTempFile("graft-noref", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |  <row><c t="inlineStr"><is><t>k</t></is></c>
+        |       <c t="inlineStr"><is><t>v</t></is></c></row>
+        |  <row><c t="inlineStr"><is><t>x</t></is></c><c><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val rows = XlsxSource(f.toString, schema).load(spark).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "x" && rows.head.getLong(1) === 7L)
+  }
+
   test("XlsxSource rejects a zip without a workbook part") {
     val f = Files.createTempFile("notx", ".xlsx")
     val zos = new ZipOutputStream(Files.newOutputStream(f))
