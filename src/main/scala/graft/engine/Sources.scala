@@ -96,6 +96,33 @@ final case class InMemorySource(df: DataFrame, name: String) extends Source {
   }
 }
 
+/** JSONL (newline-delimited JSON) document source — the raw format web
+  * corpora actually arrive in. Reads with an explicit schema (inference
+  * is a full extra pass at 100 TB) in PERMISSIVE mode: malformed lines
+  * don't kill the 10-hour ingest job; they land in the
+  * `_corrupt_record` column for quarantine, mirroring the reference's
+  * skip-and-warn XML semantics (fx_data.py:85-87) at file scale.
+  * `dropCorrupt` routes them out (count them first for observability).
+  */
+final case class JsonlSource(
+    path: String,
+    schema: StructType,
+    dropCorrupt: Boolean = false) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    if (dropCorrupt) raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    else raw
+  }
+}
+
 /** S1 (byte-level): genuine multi-sheet `.xlsx` ingestion with NO
   * external codec — an .xlsx file is a zip of OOXML XML parts, so this
   * reads the workbook's sheet catalog, relationship map, shared-string

@@ -86,6 +86,32 @@ class PipelineSpec extends SparkTestBase {
       (3L, "gamma", "sheet_b")))
   }
 
+  test("JSONL source quarantines malformed lines and keeps good rows") {
+    val f = Files.createTempFile("docs", ".jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "bonjour", "lang": "fr"}
+        |{not json at all
+        |{"doc_id": 3, "text": "hallo", "lang": "de"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    // Spark disallows filtering solely on the internal corrupt-record
+    // column straight off the reader; materialize first (its own
+    // documented pattern).
+    val all = graft.engine.JsonlSource(f.toString, schema).load(spark).cache()
+    try {
+      assert(all.filter(all("_corrupt_record").isNotNull).count() === 1)
+    } finally all.unpersist(): Unit
+    val clean = graft.engine.JsonlSource(f.toString, schema,
+      dropCorrupt = true).load(spark)
+    assert(clean.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(clean.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
   test("XML FX source validates currency and skips malformed observations") {
     val f = Files.createTempFile("fx", ".xml")
     Files.writeString(f,
