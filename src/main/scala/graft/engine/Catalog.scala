@@ -17,13 +17,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** S6/M2: CTAS — materialize and (re-)register. `sortBy` reproduces
     * the reference's ORDER BY-in-CTAS clustering (O1: layout, not
-    * semantics); `partitionBy` is the 100 TB knob the reference lacks.
+    * semantics); `partitionBy` and `codec` are the 100 TB knobs the
+    * reference lacks — zstd trades ~2x smaller cold storage (and scan
+    * I/O) for slightly more write CPU than the snappy default; sorted
+    * clustering additionally tightens parquet min/max row-group stats
+    * for scan skipping.
     */
   def save(name: String, df: DataFrame, sortBy: Seq[String] = Nil,
-           partitionBy: Seq[String] = Nil): DataFrame = {
+           partitionBy: Seq[String] = Nil,
+           codec: String = "snappy"): DataFrame = {
     val clustered = if (sortBy.nonEmpty) df.sortWithinPartitions(
       sortBy.map(org.apache.spark.sql.functions.col): _*) else df
     val writer = clustered.write.mode("overwrite")
+      .option("compression", codec)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(s"$warehouse/$name")
     val back = spark.read.parquet(s"$warehouse/$name")

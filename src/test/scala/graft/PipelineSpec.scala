@@ -58,6 +58,19 @@ class PipelineSpec extends SparkTestBase {
     cat.dropWarehouse()
   }
 
+  test("Catalog.save honors the compression codec knob") {
+    val wh = Files.createTempDirectory("graft-codec").toString
+    val cat = new graft.engine.Catalog(spark, wh)
+    import spark.implicits._
+    val back = cat.save("zc", Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      codec = "zstd")
+    assert(back.count() === 2)
+    val files = new java.io.File(s"$wh/zc").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains("zstd")),
+      files.mkString(", "))
+  }
+
   test("createViewFromSql rejects files without a CREATE VIEW statement") {
     val f = Files.createTempFile("notaview", ".sql")
     Files.writeString(f, "SELECT 1 AS x")
