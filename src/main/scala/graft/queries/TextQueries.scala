@@ -159,6 +159,57 @@ object TextQueries {
           |    FROM documents) hashed) t
           |GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    Q("t6_tfidf_topterms",
+      "TF-IDF keyword extraction — term frequency per (doc, token) " +
+        "joined to corpus document frequency, top-3 scoring terms per " +
+        "doc for the first 20 docs. Uses the log-free idf ratio " +
+        "(tf * N/df) so the score is exact integer-ratio arithmetic on " +
+        "both engines (ln() is a libm call whose last ulp can differ " +
+        "across runtimes — unacceptable in a hash-matched contract). " +
+        "Scale shape: tf and df are both map-combinable groupBys; the " +
+        "df join broadcasts only under AQE when the vocabulary is " +
+        "small, else shuffles on token.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tk"))
+        val tf = tok.groupBy(col("doc_id"), col("tk"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tok.select(col("doc_id"), col("tk")).distinct()
+          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+        val scored = tf.join(df_, Seq("tk"))
+          .withColumn("score",
+            col("tf").cast("double") * lit(n.toDouble) / col("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tk"))
+        scored.filter(col("doc_id") < 20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("tk"), col("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, t.tk
+          |  FROM documents, LATERAL UNNEST(string_split_regex(trim(text), '\s+')) t(tk)),
+          |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT tk, COUNT(*) AS df
+          |       FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+          |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.tk,
+          |    CAST(tf.tf AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n) / df.df AS score
+          |  FROM tf JOIN df ON tf.tk = df.tk),
+          |ranked AS (
+          |  SELECT doc_id, tk, score,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY score DESC, tk) AS BIGINT) AS rnk
+          |  FROM scored WHERE doc_id < 20)
+          |SELECT doc_id, rnk, tk, score FROM ranked
+          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     Q("t4_fingerprint",
       "Document fingerprinting — md5 digest + base-31 polynomial rolling " +
         "hash (mod 1e9+7), uniqueness per source",
