@@ -92,6 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_kgram_hashes"),
+      new ExpressionInfo(classOf[KgramHashes].getName, "graft_kgram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_kgram_hashes takes exactly 2 arguments: (string, k)")
+        KgramHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_strhash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_strhash"),
       (children: Seq[Expression]) => children match {

@@ -403,6 +403,69 @@ object DedupQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("d6_winnowing_decontam",
+      "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the " +
+        "MOSS scheme) — per doc: char-8-gram rolling hashes, then the " +
+        "minimum of each 4-hash window, distinct minima as the doc's " +
+        "fingerprint set. Guarantees any shared substring of length " +
+        ">= 11 chars produces a shared fingerprint — the " +
+        "decontamination primitive (find training docs overlapping an " +
+        "eval set). Fingerprints present in > 10 docs are dropped first " +
+        "(the standard winnowing practice for boilerplate, and the " +
+        "thing that bounds the pair join: a corpus-wide hot fingerprint " +
+        "would otherwise fan out quadratically). Candidate pairs = " +
+        "docs sharing >= 3 surviving fingerprints, via one shuffle on " +
+        "the fingerprint value — never all-pairs.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // all 8-gram hashes in one compiled O(len) rolling pass
+        // (graft_kgram_hashes), then per-window minima (w = 4)
+        val withHs = docs.withColumn("hs",
+          expr("graft_kgram_hashes(text, 8)"))
+        val fps = withHs.select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(size(hs) - 3, 1)), " +
+              "j -> array_min(slice(hs, j, 4)))"))).as("fp"))
+        val rare = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") <= 10)
+          .select("fp")
+        val pruned = fps.join(rare, Seq("fp"), "left_semi")
+        val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(substr(text, CAST(i AS INTEGER), 8), '(?s).'), " +
+          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+        s"""WITH hs AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+           |      i -> $fold) AS h
+           |  FROM documents),
+           |wins AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+           |      j -> list_min(h[j:j+3])) AS w
+           |  FROM hs),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, f.fp
+           |  FROM wins, LATERAL UNNEST(w) f(fp)),
+           |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10),
+           |pruned AS (SELECT * FROM fps WHERE fp IN (SELECT fp FROM rare))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  COUNT(*) AS n_shared
+           |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     Q("d5_embedding_neardup",
       "Embedding-cosine near-dup — pairs blocked by the deterministic " +
         "random-hyperplane LSH bucket (the honest scale design: the " +

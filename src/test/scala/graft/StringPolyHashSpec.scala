@@ -23,6 +23,29 @@ class StringPolyHashSpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("graft_kgram_hashes rolling pass == per-substring refolds on real text") {
+    val diff = graft.engine.Graft.table(spark, sfDir, "documents")
+      .select($"text".as("s"))
+      .withColumn("rolled", expr("graft_kgram_hashes(s, 8)"))
+      .withColumn("refolded", expr(
+        "transform(sequence(1, greatest(length(s) - 7, 1)), " +
+          "i -> graft_strhash(substring(s, i, 8)))"))
+      .filter(not($"rolled" === $"refolded"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("graft_kgram_hashes short-string clamp and fixed values") {
+    val got = Seq("ab", "abcd").toDF("s")
+      .select(expr("graft_kgram_hashes(s, 3)")).collect()
+    // "ab" shorter than k: one hash of the whole string
+    assert(got(0).getSeq[Long](0) === Seq(97L * 31 + 98))
+    // "abcd": hashes of "abc" and "bcd"
+    val abc = (97L * 31 + 98) * 31 + 99
+    val bcd = (98L * 31 + 99) * 31 + 100
+    assert(got(1).getSeq[Long](0) === Seq(abc, bcd))
+  }
+
   test("graft_strhash fixed values, empty string, and null propagation") {
     val got = Seq(Some("a"), Some("ab"), Some(""), None).toDF("s")
       .select(expr("graft_strhash(s)")).collect()
