@@ -426,11 +426,16 @@ object DedupQueries {
           explode(array_distinct(expr(
             "transform(sequence(1, greatest(size(hs) - 3, 1)), " +
               "j -> array_min(slice(hs, j, 4)))"))).as("fp"))
-        val rare = fps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") <= 10)
-          .select("fp")
-        val pruned = fps.join(rare, Seq("fp"), "left_semi")
+        // hot-fingerprint prune as a count-over-window: ONE shuffle on
+        // fp (vs groupBy + semi-join = two extra passes over the
+        // exploded frame), and the pair join that follows needs the
+        // same fp partitioning.
+        val wFp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))
+        val pruned = fps
+          .withColumn("nd", count(lit(1)).over(wFp))
+          .filter(col("nd") <= 10)
+          .drop("nd")
         val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
         val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
         a.join(b, Seq("fp"))
@@ -457,8 +462,11 @@ object DedupQueries {
            |fps AS (
            |  SELECT DISTINCT doc_id, f.fp
            |  FROM wins, LATERAL UNNEST(w) f(fp)),
-           |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10),
-           |pruned AS (SELECT * FROM fps WHERE fp IN (SELECT fp FROM rare))
+           |pruned AS (
+           |  SELECT doc_id, fp FROM (
+           |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
+           |    FROM fps) c
+           |  WHERE nd <= 10)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  COUNT(*) AS n_shared
            |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
