@@ -35,6 +35,18 @@ class StringPolyHashSpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("graft_kgram_hashes matches refolds on non-ASCII text too") {
+    val diff = Seq("héllo wörld, naïve café", "日本語のテキストです",
+      "mixed ascii と 日本語 text").toDF("s")
+      .withColumn("rolled", expr("graft_kgram_hashes(s, 8)"))
+      .withColumn("refolded", expr(
+        "transform(sequence(1, greatest(length(s) - 7, 1)), " +
+          "i -> graft_strhash(substring(s, i, 8)))"))
+      .filter(not($"rolled" === $"refolded"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("graft_kgram_hashes short-string clamp and fixed values") {
     val got = Seq("ab", "abcd").toDF("s")
       .select(expr("graft_kgram_hashes(s, 3)")).collect()
