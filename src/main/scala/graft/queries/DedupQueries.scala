@@ -46,6 +46,8 @@ import graft.engine.Graft
   */
 object DedupQueries {
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
 
@@ -66,7 +68,7 @@ object DedupQueries {
     docs.withColumn("w", split(trim(col("text")), "\\s+"))
       .withColumn("i",
         explode(expr("sequence(1, greatest(size(w) - 2, 1))")))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         expr("concat_ws(' ', slice(w, i, 3))").as("s"))
 
   /** Shingles reduced to their compiled poly-hash digest at the source:
@@ -200,6 +202,63 @@ object DedupQueries {
        |       FROM tok GROUP BY doc_id)""".stripMargin
   }
 
+  /** The full d2 pipeline over any (doc_id, text) frame — LSH candidate
+    * generation then exact digest-set Jaccard verification, pairs
+    * >= 0.5. Extracted so the catches-planted-near-dups property is
+    * provable on an in-code fixture (DedupSpec) instead of assuming the
+    * testdata corpus contains near-dups.
+    *
+    * Plan notes: ONE hashed-shingle scan feeds both passes
+    * (MEMORY_AND_DISK persist of 16-byte rows; each cache is populated
+    * by a single job before the plan fans out, else concurrent
+    * consumers race to compute the same partitions). The candidate-doc
+    * semi-join carries NO broadcast hint — at web-corpus near-dup rates
+    * (30-50%) that set is O(corpus) and a forced broadcast OOMs; AQE
+    * still broadcasts when it is genuinely small. Verified pairs are
+    * materialized to DURABLE parquet (cuts lineage like a checkpoint,
+    * but releasable, executor-loss-safe, dynamic-allocation-compatible)
+    * so both caches unpersist before the frame is returned; at 100 TB
+    * the pair set belongs in the warehouse, never in executor block
+    * storage and never on the driver.
+    */
+  private[graft] def ngramJaccardPairs(s: SparkSession,
+                                       docs: DataFrame): DataFrame = {
+    val shRaw = hashedShingles(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shRaw.count(): Unit
+    val cand = lshCandidates(shRaw)
+      .select("doc_a", "doc_b").cache()
+    cand.count(): Unit
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shRaw
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val aSh = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"))
+    val bSh = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
+    val inter = cand.join(aSh, Seq("doc_a"))
+      .join(bSh, col("doc_b") === col("doc_b2") && col("h_a") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+    // unique per invocation: two calls in one session (e.g. the real
+    // corpus and a spec fixture) must not clobber each other's output
+    // while a returned frame is still being consumed
+    val pairsDir = scratch(s,
+      s"d2_verified_pairs_${DedupQueries.runSeq.incrementAndGet()}")
+    result.write.mode("overwrite").parquet(pairsDir)
+    shRaw.unpersist(blocking = true)
+    cand.unpersist(blocking = true)
+    s.read.parquet(pairsDir)
+  }
+
   /** Exact left-fold dot product of two float-array columns (index
     * order, 0.0 init — mirrors DuckDB list_reduce over list_zip).
     */
@@ -235,65 +294,7 @@ object DedupQueries {
         "only band-collision candidates, and every shuffle moves 8-byte " +
         "shingle digests, not shingle strings. Catches the corpus's " +
         "planted cross-lang/cross-source near-duplicates.",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        // One hashed-shingle scan feeds both the LSH pass and the
-        // verification pass (persist beats recomputing the explode over
-        // the corpus). Plain MEMORY_AND_DISK: the rows are two longs —
-        // 16 bytes — so the serialized level would only add encode/
-        // decode CPU on every downstream pass for no footprint win.
-        val shRaw = hashedShingles(docs)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // Materialize each cache with a single job before any plan fans
-        // out over it: the LSH band self-join reads shRaw from both
-        // sides, and cand feeds two consumers — without the forced
-        // population, concurrent tasks race to compute the same cached
-        // partitions (benign but wasteful double work, plus BlockManager
-        // "already exists" noise).
-        shRaw.count(): Unit
-        val cand = lshCandidates(shRaw)
-          .select("doc_a", "doc_b").cache()
-        cand.count(): Unit
-        // Verification only needs shingle sets of candidate docs — a
-        // semi-join prunes the corpus BEFORE the distinct shuffle. No
-        // broadcast hint: at web-corpus near-dup rates (30-50%) the
-        // candidate-doc set is O(corpus), so forcing a broadcast OOMs
-        // at scale; AQE still picks a broadcast when the build side
-        // turns out genuinely small.
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val sh = shRaw
-          .join(candDocs, Seq("doc_id"), "left_semi")
-          .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val aSh = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"))
-        val bSh = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
-        val inter = cand.join(aSh, Seq("doc_a"))
-          .join(bSh, col("doc_b") === col("doc_b2") && col("h_a") === col("h_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        val result = inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard",
-            col("i").cast("double") / (col("na") + col("nb") - col("i")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
-        // Materialize the verified pairs to DURABLE storage (parquet
-        // write + re-read): cuts the lineage like a checkpoint does, so
-        // the shingle/candidate caches can be released eagerly, but
-        // unlike localCheckpoint the blocks are not pinned in executor
-        // storage for the session's lifetime, survive executor loss,
-        // and are compatible with dynamic allocation. At 100 TB the
-        // near-dup pair set is large (web corpora are 30-50% near-dup):
-        // it belongs in the warehouse, never in block storage or on the
-        // driver. (Here the tmpdir stands in for the warehouse root.)
-        val pairsDir = scratch(s, "d2_verified_pairs")
-        result.write.mode("overwrite").parquet(pairsDir)
-        shRaw.unpersist(blocking = true)
-        cand.unpersist(blocking = true)
-        s.read.parquet(pairsDir)
-      },
+      (s, d) => ngramJaccardPairs(s, t(s, d, "documents")),
       Some(
         s"""WITH hs AS ($HashedShinglesSql),
            |cand AS (${LshCandidatesSql("hs")}),

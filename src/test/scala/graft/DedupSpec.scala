@@ -19,8 +19,29 @@ class DedupSpec extends SparkTestBase {
     val verified = run("d2_ngram_jaccard")
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(verified.nonEmpty, "planted near-dups should exist in testdata")
     assert(verified.subsetOf(cand))
+  }
+
+  test("d2 catches a planted near-duplicate pair (in-code fixture)") {
+    import spark.implicits._
+    // two docs sharing ~90% of their word sequence, one unrelated —
+    // proven on a fixture so the property never depends on whether the
+    // generated corpus happens to contain near-dups at this scale.
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val near = (1 to 27).map(i => s"token$i").mkString(" ") +
+      " tail28 tail29 tail30"
+    val fixture = Seq(
+      (101L, base), (102L, near),
+      (103L, "a completely different short document about engines"))
+      .toDF("doc_id", "text")
+    val pairs = DedupQueries.ngramJaccardPairs(spark, fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs.contains((101L, 102L)),
+      s"planted near-dup not found; got ${pairs.keys}")
+    assert(pairs((101L, 102L)) >= 0.5 && pairs((101L, 102L)) < 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 103L || p._2 == 103L),
+      "unrelated doc must not pair")
   }
 
   test("d2 jaccard values are in (0.5, 1]") {
