@@ -58,6 +58,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: asofJoin equals the naive latest-at-or-before lookup") {
+    val leftGen = for {
+      key <- Gen.chooseNum(0, 3)
+      tm <- Gen.chooseNum(0, 50)
+    } yield (key, tm)
+    val rightGen = for {
+      key <- Gen.chooseNum(0, 3)
+      tm <- Gen.chooseNum(0, 50)
+      v <- Gen.chooseNum(-100, 100).map(_.toDouble)
+    } yield (key, tm, v)
+    val lRows = samples(leftGen, 120).distinct.zipWithIndex
+      .map { case ((k, tm), id) => (id.toLong, k, tm) }
+    val rRows = samples(rightGen, 80)
+    val left = lRows.toDF("id", "k", "t")
+    val right = rRows.toDF("k", "t", "v")
+    val got = graft.engine.Functions
+      .asofJoin(left, right, Seq("k"), "t", "v", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // naive reference: latest right value at-or-before; ties on (k, t)
+    // resolve to the LARGEST value (the documented determinism rule)
+    lRows.foreach { case (id, k, tm) =>
+      val candidates = rRows.filter(r => r._1 == k && r._2 <= tm)
+      val expected =
+        if (candidates.isEmpty) None
+        else {
+          val maxT = candidates.map(_._2).max
+          Some(candidates.filter(_._2 == maxT).map(_._3).max)
+        }
+      assert(got(id) === expected, s"row id=$id k=$k t=$tm")
+    }
+  }
+
   test("property: partitioned forwardFill equals a per-key scanLeft") {
     // random sparse per-key series: (key, idx, Option[value])
     val gen = for {
