@@ -37,6 +37,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     back
   }
 
+  /** Append rows to an existing table (creating it if absent) and
+    * re-register — the incremental-ingest primitive `save`'s overwrite
+    * semantics can't express.
+    */
+  def append(name: String, df: DataFrame): DataFrame = {
+    df.write.mode("append").parquet(s"$warehouse/$name")
+    val back = spark.read.parquet(s"$warehouse/$name")
+    back.createOrReplaceTempView(name)
+    back
+  }
+
+  /** Whether `name` has ever been materialized in this warehouse. */
+  def exists(name: String): Boolean =
+    new java.io.File(s"$warehouse/$name").exists()
+
   /** Bucketed CTAS: co-locates rows by `bucketCols` so joins and
     * aggregations on those keys skip the shuffle entirely (both sides
     * read pre-partitioned, pre-sorted buckets). The 100 TB pattern for

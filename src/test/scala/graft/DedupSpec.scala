@@ -66,6 +66,29 @@ class DedupSpec extends SparkTestBase {
     assert(!sigs.contains(1L), "null text must not produce a signature")
   }
 
+  test("incremental ingest dedups within and across batches") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val cat = new graft.engine.Catalog(spark, wh)
+    val b1 = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      .toDF("doc_id", "text")
+    val got1 = graft.pipeline.IncrementalIngest
+      .ingest(cat, b1, "text", "corpus")
+    assert(got1.count() === 2) // within-batch dup collapsed
+    val b2 = Seq((4L, "beta doc"), (5L, "gamma doc")).toDF("doc_id", "text")
+    val got2 = graft.pipeline.IncrementalIngest
+      .ingest(cat, b2, "text", "corpus")
+    assert(got2.collect().map(_.getLong(0)).toSeq === Seq(5L)) // cross-batch dedup
+    assert(cat.table("corpus").count() === 3)
+    assert(cat.table("corpus_digests").count() === 3)
+    // idempotent-ish: replaying batch 2 ingests nothing new
+    val got3 = graft.pipeline.IncrementalIngest
+      .ingest(cat, b2, "text", "corpus")
+    assert(got3.count() === 0)
+    assert(cat.table("corpus").count() === 3)
+    cat.dropWarehouse()
+  }
+
   test("d1 exact dedup matches a direct distinct count") {
     val docs = graft.engine.Graft.table(spark, sfDir, "documents")
     val direct = docs.agg(
