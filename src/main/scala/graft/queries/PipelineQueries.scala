@@ -389,6 +389,32 @@ object PipelineQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    Q("e8_sliding_window",
+      "Sliding 1-hour windows every 15 minutes — each event lands in " +
+        "exactly 4 overlapping windows (Spark expands via the window() " +
+        "generator; the oracle replays the same epoch-aligned grid with " +
+        "exact integer microsecond arithmetic). The overlap factor is " +
+        "the Expand cost at scale: state/shuffle = events x " +
+        "(window/slide).",
+      (s, d) => {
+        import s.implicits._
+        Graft.events(s, d)
+          .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            Functions.dsum($"value").as("total_value"))
+          .select($"window.start".as("win_start"), $"event_type",
+            $"n_events", $"total_value")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some(
+        """SELECT make_timestamp(
+          |    (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+          |      - CAST(g.i AS BIGINT) * 900000000) AS win_start,
+          |  event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS i) g
+          |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     Q("e2_json_extract",
       "JSON path extraction from the events props column + grouped stats " +
         "(training-pipeline metadata parsing)",
