@@ -54,6 +54,19 @@ object EventsStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows every 15 minutes with a 1-hour watermark —
+    * the incremental twin of `e8_sliding_window`. State per key-window
+    * is bounded by (window/slide) x types x horizon.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the incremental twin of the batch hash-dedup (d1): state holds one
     * key per event inside the watermark and is evicted past it, so

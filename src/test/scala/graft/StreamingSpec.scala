@@ -33,6 +33,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming slidingCounts == batch e8_sliding_window after availableNow") {
+    val ckpt = Files.createTempDirectory("graft-ckpt6").toString
+    val q = EventsStream.slidingCounts(EventsStream.source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("sliding_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
+    val streamed = spark.table("sliding_stream")
+      .orderBy("win_start", "event_type")
+      .select("win_start", "event_type", "n_events")
+      .collect().toSeq
+    val batch = Registry.all.find(_.name == "e8_sliding_window").get
+      .run(spark, sfDir)
+      .select("win_start", "event_type", "n_events")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming dedup by event_id preserves the distinct count") {
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
     val q = EventsStream.dedupStream(EventsStream.source(spark, sfDir))
