@@ -83,13 +83,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * `sql/views/monthly_sales_summary.sql` and executes the text).
     * The file must hold one CREATE [OR REPLACE] [TEMPORARY] VIEW
     * statement (`--` comments fine; trailing semicolon stripped).
+    * `rewrites` re-points table identifiers (whole-word) before
+    * execution, so a caller can bind the view to a query-scoped
+    * registration instead of clobbering a session-global name.
     * Returns the created view.
     */
-  def createViewFromSql(path: String): DataFrame = {
+  def createViewFromSql(path: String,
+                        rewrites: Map[String, String] = Map.empty): DataFrame = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
-    val stmt = text.trim.stripSuffix(";")
+    val stmt = rewrites.foldLeft(text.trim.stripSuffix(";")) {
+      case (t, (from, to)) => t.replaceAll(s"\\b$from\\b", to)
+    }
     spark.sql(stmt)
     val name = "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r
       .findFirstMatchIn(stmt)

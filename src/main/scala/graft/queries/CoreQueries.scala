@@ -132,14 +132,18 @@ object CoreQueries {
         "same oracle as g6_monthly_summary",
       (s, d) => {
         import s.implicits._
-        dailyCountryRollup(s, d).createOrReplaceTempView("agg_country_day")
+        // query-scoped registration: binding the view to a name of our
+        // own means a session-global `agg_country_day` (e.g. the
+        // RetailPipeline warehouse table) is never clobbered.
+        dailyCountryRollup(s, d).createOrReplaceTempView("s7_agg_country_day")
         // resolve the view file independent of the working directory
         val rel = "sql/views/monthly_sales_summary.sql"
         val path = Seq(rel, s"/root/repo/$rel")
           .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .getOrElse(rel)
         val view = new graft.engine.Catalog(s, "/tmp/graft-s7-unused")
-          .createViewFromSql(path)
+          .createViewFromSql(path,
+            rewrites = Map("agg_country_day" -> "s7_agg_country_day"))
         view.orderBy($"year", $"month", $"country")
       },
       Some(MonthlySql)),

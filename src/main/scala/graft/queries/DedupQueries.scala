@@ -341,7 +341,10 @@ object DedupQueries {
         // doc): the self-join reads it from parquet on both sides
         // instead of running the token-explode 64-vote aggregation
         // twice — the warehouse pattern for a signature index at scale.
-        val sigDir = scratch(s, "d4_sigs")
+        // runSeq-unique like d2's pairs dir: a second invocation in the
+        // same session must not overwrite parquet a previously returned
+        // frame still reads.
+        val sigDir = scratch(s, s"d4_sigs_${runSeq.incrementAndGet()}")
         simhashDocs(t(s, d, "documents"))
           .write.mode("overwrite").parquet(sigDir)
         val sh = s.read.parquet(sigDir)
@@ -368,8 +371,9 @@ object DedupQueries {
         "hamming distance bit_count(a XOR b) filters to <=3.",
       (s, d) => {
         // Same signature-table materialization as d4: compute the
-        // 64-vote aggregation once, band-join against the parquet.
-        val sigDir = scratch(s, "d4b_sigs")
+        // 64-vote aggregation once, band-join against the parquet
+        // (runSeq-unique, same reason as d4).
+        val sigDir = scratch(s, s"d4b_sigs_${runSeq.incrementAndGet()}")
         simhashDocs(t(s, d, "documents"))
           .write.mode("overwrite").parquet(sigDir)
         val sh = s.read.parquet(sigDir)

@@ -122,7 +122,16 @@ class StreamingSpec extends SparkTestBase {
     val e = graft.engine.Graft.events(spark, sfDir)
     val batch = EventsStream.intervalJoin(e, e).count()
     assert(streamed > 0, "interval join found no pairs in testdata")
-    assert(streamed === batch)
+    // Exact parity holds only when the source drains in ONE micro-batch
+    // (the file stream batches at file granularity): across batches the
+    // 30-min watermark may legitimately evict buffered rows whose late
+    // matches then drop in append mode. With a single events file we
+    // assert equality; with a multi-file source only streamed <= batch.
+    val nFiles = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      .count(f => f.getName.startsWith("events") && f.getName.endsWith(".parquet"))
+    if (nFiles <= 1) assert(streamed === batch)
+    else assert(streamed <= batch,
+      s"append-mode interval join must never exceed the batch join: $streamed > $batch")
   }
 
   test("checkpointed file sink is exactly-once across a restart") {
