@@ -29,7 +29,10 @@ object Bench {
     // under "failed" — a regression must never masquerade as a fast run,
     // and consumers summing/trending the queries map never silently mix
     // failed-run timings into history.
-    val results = SparkEntry.queries
+    // Sorted name order: Map iteration order is arbitrary and shifts
+    // when the query set changes, which made timings incomparable
+    // across rounds (a query billed its predecessor's page-cache state).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -43,7 +46,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.flatten.sum
+    val total = results.flatMap(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver captures stdout via a log tail

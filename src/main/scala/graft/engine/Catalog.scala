@@ -94,7 +94,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
     val stmt = rewrites.foldLeft(text.trim.stripSuffix(";")) {
-      case (t, (from, to)) => t.replaceAll(s"\\b$from\\b", to)
+      case (t, (from, to)) => t.replaceAll(
+        "\\b" + java.util.regex.Pattern.quote(from) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(to))
     }
     spark.sql(stmt)
     val name = "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+|LOCAL\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r

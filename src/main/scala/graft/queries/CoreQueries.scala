@@ -72,6 +72,16 @@ object CoreQueries {
     */
   def monthlySummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    monthlySummaryUnordered(spark, dir).orderBy($"year", $"month", $"country")
+  }
+
+  /** [[monthlySummary]] without the presentation sort — for consumers
+    * (g11's window) whose own exchange would discard a global range
+    * sort the instant it repartitions: at 100 TB that sort is a full
+    * extra shuffle of the aggregate for nothing.
+    */
+  def monthlySummaryUnordered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val daily = dailyCountryRollup(spark, dir)
     daily
       .groupBy(
@@ -92,7 +102,6 @@ object CoreQueries {
         round($"total_orders".cast("double") / $"trading_days", 2))
       .withColumn("avg_order_value",
         round($"total_revenue" / when($"total_orders" =!= 0, $"total_orders"), 2))
-      .orderBy($"year", $"month", $"country")
   }
 
   /** Shared DuckDB oracle for the monthly view shape — used by both
@@ -143,7 +152,12 @@ object CoreQueries {
           .getOrElse(rel)
         val view = new graft.engine.Catalog(s, "/tmp/graft-s7-unused")
           .createViewFromSql(path,
-            rewrites = Map("agg_country_day" -> "s7_agg_country_day"))
+            rewrites = Map(
+              "agg_country_day" -> "s7_agg_country_day",
+              // the created view too: RetailPipeline registers the
+              // session-global v_monthly_sales_summary, and suites share
+              // one SparkSession under sbt's parallel execution.
+              "v_monthly_sales_summary" -> "s7_monthly_sales_summary"))
         view.orderBy($"year", $"month", $"country")
       },
       Some(MonthlySql)),
@@ -451,7 +465,7 @@ object CoreQueries {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"country").orderBy($"year", $"month")
-        monthlySummary(s, d)
+        monthlySummaryUnordered(s, d)
           .select($"year", $"month", $"country", $"total_revenue")
           .withColumn("prev_revenue", lag($"total_revenue", 1).over(w))
           .withColumn("growth_pct",

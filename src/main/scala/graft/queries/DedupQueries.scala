@@ -46,19 +46,8 @@ import graft.engine.Graft
   */
 object DedupQueries {
 
-  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Graft.table(s, d, n)
-
-  /** Session-scoped scratch path for materialized intermediates (the
-    * warehouse stand-in): keyed by application id so concurrent
-    * sessions on one machine never clobber each other's tables, and a
-    * fresh session never reads a stale one.
-    */
-  private def scratch(s: SparkSession, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_" +
-      s"${s.sparkContext.applicationId}/$name"
 
   /** Non-distinct word-3-gram shingles — enough for MIN-based
     * minhashing, skips the dedup shuffle. Documents shorter than 3 words
@@ -251,8 +240,7 @@ object DedupQueries {
     // unique per invocation: two calls in one session (e.g. the real
     // corpus and a spec fixture) must not clobber each other's output
     // while a returned frame is still being consumed
-    val pairsDir = scratch(s,
-      s"d2_verified_pairs_${DedupQueries.runSeq.incrementAndGet()}")
+    val pairsDir = Scratch.fresh(s, "d2_verified_pairs")
     result.write.mode("overwrite").parquet(pairsDir)
     shRaw.unpersist(blocking = true)
     cand.unpersist(blocking = true)
@@ -341,13 +329,11 @@ object DedupQueries {
         // doc): the self-join reads it from parquet on both sides
         // instead of running the token-explode 64-vote aggregation
         // twice — the warehouse pattern for a signature index at scale.
-        // runSeq-unique like d2's pairs dir: a second invocation in the
+        // fresh-per-call like d2's pairs dir: a second invocation in the
         // same session must not overwrite parquet a previously returned
         // frame still reads.
-        val sigDir = scratch(s, s"d4_sigs_${runSeq.incrementAndGet()}")
-        simhashDocs(t(s, d, "documents"))
-          .write.mode("overwrite").parquet(sigDir)
-        val sh = s.read.parquet(sigDir)
+        val sh = Scratch.materialize(s, "d4_sigs",
+          simhashDocs(t(s, d, "documents")))
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash"))
         val b2 = sh.select(col("doc_id").as("doc_b"),
           col("simhash").as("sim_b"))
@@ -372,11 +358,9 @@ object DedupQueries {
       (s, d) => {
         // Same signature-table materialization as d4: compute the
         // 64-vote aggregation once, band-join against the parquet
-        // (runSeq-unique, same reason as d4).
-        val sigDir = scratch(s, s"d4b_sigs_${runSeq.incrementAndGet()}")
-        simhashDocs(t(s, d, "documents"))
-          .write.mode("overwrite").parquet(sigDir)
-        val sh = s.read.parquet(sigDir)
+        // (fresh-per-call, same reason as d4).
+        val sh = Scratch.materialize(s, "d4b_sigs",
+          simhashDocs(t(s, d, "documents")))
         val banded = sh.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(k =>
             shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))

@@ -155,16 +155,22 @@ object PipelineQueries {
     Q("j6_fact_variants_join",
       "J6/J7/G5 — large⋈large composite-key join of two fact variants, " +
         "then broadcast dims + rollup (facts.py:366-412 analog). The " +
-        "composite-key shuffle is reused by the downstream aggregate.",
+        "composite-key shuffle is reused by the downstream aggregate. " +
+        "The shared per-line fact frame is materialized ONCE to scratch " +
+        "parquet and self-joined from storage (the d4 signature-table " +
+        "pattern): without it the two variants each re-scan and " +
+        "re-project lineitem — double scan at 100 TB.",
       (s, d) => {
         val li = t(s, d, "lineitem")
         val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         val n = t(s, d, "nation")
-        val gbp = li.select(col("l_orderkey"), col("l_linenumber"),
-          to_date(col("l_shipdate")).as("date"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
-        val eur = gbp.select(col("l_orderkey"), col("l_linenumber"),
+        val fact = Scratch.materialize(s, "j6_fact",
+          li.select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("date"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net")))
+        val gbp = fact
+        val eur = fact.select(col("l_orderkey"), col("l_linenumber"),
           col("date"), (col("net") * 0.85).as("net_conv"))
         gbp.join(eur, Seq("l_orderkey", "l_linenumber", "date"))
           .join(o, col("l_orderkey") === o("o_orderkey"))

@@ -14,6 +14,35 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Session-scoped scratch root for materialized intermediates (the
+  * warehouse stand-in at 100 TB: an object-store prefix). Keyed by
+  * application id so concurrent sessions on one machine never clobber
+  * each other's tables, and a fresh session never reads a stale one.
+  */
+object Scratch {
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def dir(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_" +
+      s"${s.sparkContext.applicationId}/$name"
+
+  /** A fresh (per-call) scratch path — for intermediates that must not
+    * be shared across invocations of the same query.
+    */
+  def fresh(s: SparkSession, name: String): String =
+    dir(s, s"${name}_${seq.incrementAndGet()}")
+
+  /** Materialize `df` to a fresh scratch path and read it back: cuts
+    * lineage so multi-consumer frames are computed once, from storage,
+    * instead of once per consumer.
+    */
+  def materialize(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val path = fresh(s, name)
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+}
+
 object Registry {
   /** All registered query modules, in build order. */
   def modules: Seq[Seq[Q]] = Seq(

@@ -114,9 +114,11 @@ object SimilarityQueries {
 
     Q("a2_ann_lsh_bucketed",
       "ANN scale path — random-hyperplane LSH bucket signature (4 " +
-        "planes, seed 42), top-5 within the query's bucket. Approximate " +
-        "by design: no SQL oracle (driver records rows-only); recall vs " +
-        "a1 is asserted in AnnSpec.",
+        "planes, seed 42), top-5 within the query's bucket. The " +
+        "pipeline is approximate vs a1 but fully deterministic, so it " +
+        "carries an exact DuckDB oracle (same plane literals, same " +
+        "fold dot products); recall vs a1 is additionally asserted in " +
+        "AnnSpec.",
       (s, d) => {
         val e = withBucket(t(s, d, "embeddings"), "embedding")
           .withColumn("norm", sqrt(dot("embedding", "embedding")))
@@ -137,16 +139,33 @@ object SimilarityQueries {
             col("vec_id"), col("cosine"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket AS bucket_q FROM e WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${dotSql("q.eq", "e.embedding")} / (q.norm_q * e.norm) AS cosine
+           |  FROM e JOIN q ON e.bucket = q.bucket_q AND e.vec_id != q.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("a2b_ann_multiprobe",
       "ANN scale path, multi-probe variant — each query probes its own " +
         "bucket PLUS the 4 buckets at Hamming distance 1 in signature " +
         "space (one flipped hyperplane bit), trading 5x candidate " +
         "fan-out for recall: near neighbors that fall just on the other " +
-        "side of one hyperplane are recovered. Approximate: no SQL " +
-        "oracle; AnnSpec asserts recall vs a1 is >= the single-bucket " +
-        "a2 and candidate coverage strictly grows.",
+        "side of one hyperplane are recovered. Deterministic, so " +
+        "oracle-checked (probe fan-out via xor over the mask list); " +
+        "AnnSpec additionally asserts recall vs a1 is >= the " +
+        "single-bucket a2 and candidate coverage strictly grows.",
       (s, d) => {
         val e = withBucket(t(s, d, "embeddings"), "embedding")
           .withColumn("norm", sqrt(dot("embedding", "embedding")))
@@ -171,15 +190,36 @@ object SimilarityQueries {
             col("vec_id"), col("cosine"))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket AS bucket_q FROM e WHERE vec_id < 5),
+           |probes AS (
+           |  SELECT q.*, xor(q.bucket_q, m.m) AS probe
+           |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m),
+           |scored AS (
+           |  SELECT p.query_id, e.vec_id,
+           |    ${dotSql("p.eq", "e.embedding")} / (p.norm_q * e.norm) AS cosine
+           |  FROM e JOIN probes p ON e.bucket = p.probe AND e.vec_id != p.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("a3_ann_ivf",
       "ANN scale path #2 — IVF with deterministic centroids (the first " +
         "8 vectors act as coarse centroids; every vector is assigned to " +
         "its nearest centroid in one broadcast pass), queries probe the " +
-        "2 nearest cells. Approximate: no SQL oracle; structural " +
-        "properties asserted in AnnSpec. At scale the inverted file is " +
-        "written partitioned-by-cell so a probe reads 2 partitions.",
+        "2 nearest cells. Deterministic centroids + deterministic " +
+        "tie-breaks make the whole pipeline oracle-checkable; " +
+        "structural properties additionally asserted in AnnSpec. At " +
+        "scale the inverted file is written partitioned-by-cell so a " +
+        "probe reads 2 partitions.",
       (s, d) => {
         val e = t(s, d, "embeddings")
           .withColumn("norm", sqrt(dot("embedding", "embedding")))
@@ -221,6 +261,38 @@ object SimilarityQueries {
             col("vec_id"), col("cosine"))
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+           |          FROM e WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, embedding, norm, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm)
+           |          DESC, c.cent_id) AS crank
+           |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
+           |probes AS (
+           |  SELECT query_id, eq, norm_q, probe_cell FROM (
+           |    SELECT a.vec_id AS query_id, a.embedding AS eq,
+           |      a.norm AS norm_q, c.cent_id AS probe_cell,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${dotSql("a.embedding", "c.ce")} / (a.norm * c.cnorm)
+           |          DESC, c.cent_id) AS crank
+           |    FROM assigned a CROSS JOIN cents c WHERE a.vec_id < 5) t
+           |  WHERE crank <= 2),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    ${dotSql("p.eq", "a.embedding")} / (p.norm_q * a.norm) AS cosine
+           |  FROM assigned a JOIN probes p ON a.cent_id = p.probe_cell
+           |    AND a.vec_id != p.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -127,8 +127,15 @@ class StreamingSpec extends SparkTestBase {
     // 30-min watermark may legitimately evict buffered rows whose late
     // matches then drop in append mode. With a single events file we
     // assert equality; with a multi-file source only streamed <= batch.
+    // Count LEAF parquet files: if events.parquet is ever a partitioned
+    // directory, the file stream source batches per leaf file, not per
+    // top-level entry.
+    def leafParquets(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(leafParquets).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
     val nFiles = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
-      .count(f => f.getName.startsWith("events") && f.getName.endsWith(".parquet"))
+      .filter(_.getName.startsWith("events")).map(leafParquets).sum
     if (nFiles <= 1) assert(streamed === batch)
     else assert(streamed <= batch,
       s"append-mode interval join must never exceed the batch join: $streamed > $batch")
