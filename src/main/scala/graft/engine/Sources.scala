@@ -142,13 +142,54 @@ final case class JsonlSource(
   * (formula result), `b` (boolean), default numeric. Values surface as
   * strings and are cast to the caller's schema by column name.
   *
-  * Limitation (documented): date/time cells stored as Excel serial
-  * numbers surface as their raw numeric text — decoding them requires
-  * styles.xml number-format resolution, which this minimal reader
-  * omits; stage date columns as ISO strings (or post-process the
-  * serial) when producing xlsx for this path.
+  * Date cells stored as Excel serial numbers are decoded via
+  * styles.xml number-format resolution (what pd.read_excel does
+  * through openpyxl): a numeric cell whose resolved format is a
+  * date/time format surfaces as an ISO `yyyy-MM-dd` date (or
+  * `yyyy-MM-dd HH:mm:ss` when the serial carries a time fraction /
+  * the format has time tokens), using the 1900 date system including
+  * its fictitious 1900-02-29 (serials >= 61 shift by one day).
   */
 final case class XlsxSource(path: String, schema: StructType) extends Source {
+
+  /** Built-in OOXML numFmtIds that are date/time formats (ECMA-376
+    * §18.8.30): 14-22 date/datetime, 45-47 durations.
+    */
+  private val BuiltinDateFmts: Set[Int] = (14 to 22).toSet ++ (45 to 47).toSet
+
+  /** Heuristic for CUSTOM format codes (mirrors openpyxl's
+    * is_date_format): after stripping quoted literals, escapes, and
+    * color/locale brackets, a code with any of y/m/d/h/s tokens and no
+    * numeric placeholders is a date/time format.
+    */
+  private[engine] def isDateCode(code: String): Boolean = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")  // quoted literals
+      .replaceAll("\\\\.", "")        // escaped chars
+      .replaceAll("\\[[^\\]]*\\]", "") // [Red], [$-409], [h] elapsed
+    stripped.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0) &&
+      !stripped.exists(c => c == '0' || c == '#' || c == '?')
+  }
+
+  private def hasTimeTokens(code: String): Boolean =
+    code.replaceAll("\"[^\"]*\"", "").exists(c => "hsHS".indexOf(c.toInt) >= 0)
+
+  /** Excel 1900-system serial → ISO string. Day 1 = 1900-01-01; the
+    * fictitious 1900-02-29 (serial 60) collapses onto 02-28, serials
+    * after it shift back one day — openpyxl/xlrd convention.
+    */
+  private[engine] def serialToIso(serial: Double, withTime: Boolean): String = {
+    val days0 = math.floor(serial).toLong
+    val days = if (days0 >= 60) days0 - 1 else days0
+    val date = java.time.LocalDate.of(1899, 12, 31).plusDays(days)
+    val secs = math.round((serial - days0) * 86400)
+    if (withTime || secs != 0)
+      java.time.LocalDateTime.of(date, java.time.LocalTime.MIDNIGHT)
+        .plusSeconds(secs)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    else date.toString
+  }
 
   def load(spark: SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -170,6 +211,22 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
         .flatMap(_ \ "si")
         .map(si => (si \\ "t").map(_.text).mkString)
         .toIndexedSeq
+      // styles: cell style index -> (isDate, hasTime) via numFmt lookup
+      val styles = part("xl/styles.xml")
+      val customFmts = styles.toSeq.flatMap(_ \ "numFmts" \ "numFmt")
+        .flatMap(n => (n \@ "numFmtId").toIntOption
+          .map(_ -> (n \@ "formatCode")))
+        .toMap
+      val styleIsDate: IndexedSeq[(Boolean, Boolean)] =
+        styles.toSeq.flatMap(_ \ "cellXfs" \ "xf").map { xf =>
+          val fmtId = (xf \@ "numFmtId").toIntOption.getOrElse(0)
+          val code = customFmts.get(fmtId)
+          val isDate = BuiltinDateFmts.contains(fmtId) ||
+            code.exists(isDateCode)
+          val withTime = (fmtId >= 18 && fmtId <= 22) ||
+            (fmtId >= 45 && fmtId <= 47) || code.exists(hasTimeTokens)
+          (isDate, withTime)
+        }.toIndexedSeq
       val sheets = (workbook \ "sheets" \ "sheet").map { s =>
         val rid = s.attributes.iterator
           .collectFirst { case a if a.key == "id" && a.isPrefixed => a.value.text }
@@ -196,7 +253,18 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
               case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
               case "b" => (c \ "v").headOption
                 .map(n => if (n.text.trim == "1") "true" else "false")
-              case _ => (c \ "v").headOption.map(_.text) // str / numeric
+              case "str" => (c \ "v").headOption.map(_.text)
+              case _ => // numeric: date-formatted serials decode to ISO
+                val cellStyle = (c \@ "s").toIntOption
+                  .flatMap(styleIsDate.lift)
+                (c \ "v").headOption.map(_.text).map { raw =>
+                  cellStyle match {
+                    case Some((true, withTime)) =>
+                      raw.trim.toDoubleOption
+                        .map(serialToIso(_, withTime)).getOrElse(raw)
+                    case _ => raw
+                  }
+                }
             }
             v.map(colIdx -> _)
           }.toMap

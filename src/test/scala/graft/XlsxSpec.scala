@@ -130,6 +130,60 @@ class XlsxSpec extends SparkTestBase {
     assert(rows.head.getString(0) === "x" && rows.head.getLong(1) === 7L)
   }
 
+  test("XlsxSource decodes date-styled serial cells via styles.xml") {
+    val f = Files.createTempFile("graft-dates", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    // style 0: plain numeric (fmt 0); style 1: builtin date fmt 14;
+    // style 2: custom yyyy-mm-dd (165); style 3: datetime fmt 22
+    put("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <numFmts count="1">
+        |    <numFmt numFmtId="165" formatCode="yyyy\-mm\-dd"/>
+        |  </numFmts>
+        |  <cellXfs count="4">
+        |    <xf numFmtId="0"/>
+        |    <xf numFmtId="14"/>
+        |    <xf numFmtId="165"/>
+        |    <xf numFmtId="22"/>
+        |  </cellXfs>
+        |</styleSheet>""".stripMargin)
+    // serial 25569 = 1970-01-01; 61 = 1900-03-01 (post-leap-bug shift);
+    // 44927.5 = 2023-01-01 12:00:00; unstyled 25569 stays numeric text
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |  <row><c t="inlineStr"><is><t>d14</t></is></c>
+        |       <c t="inlineStr"><is><t>d165</t></is></c>
+        |       <c t="inlineStr"><is><t>ts22</t></is></c>
+        |       <c t="inlineStr"><is><t>plain</t></is></c></row>
+        |  <row><c s="1"><v>25569</v></c>
+        |       <c s="2"><v>61</v></c>
+        |       <c s="3"><v>44927.5</v></c>
+        |       <c s="0"><v>25569</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val schema = StructType(Seq(
+      StructField("d14", DateType), StructField("d165", DateType),
+      StructField("ts22", StringType), StructField("plain", LongType)))
+    val r = XlsxSource(f.toString, schema).load(spark).collect().head
+    assert(r.getDate(0).toString === "1970-01-01")
+    assert(r.getDate(1).toString === "1900-03-01")
+    assert(r.getString(2) === "2023-01-01 12:00:00")
+    assert(r.getLong(3) === 25569L)
+  }
+
   test("XlsxSource rejects a zip without a workbook part") {
     val f = Files.createTempFile("notx", ".xlsx")
     val zos = new ZipOutputStream(Files.newOutputStream(f))
