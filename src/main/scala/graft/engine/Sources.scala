@@ -9,12 +9,12 @@ import org.apache.spark.sql.types.StructType
   * The reference ingests three raw formats with driver-side Python
   * (multi-sheet Excel via pandas, ECB SDMX XML via ElementTree, legacy
   * XLS) and registers each as a staged table
-  * (the reference's src/ingestion modules). The `.xlsx` path is real
-  * byte-level ingestion with no external codec ([[XlsxSource]]: zip +
-  * OOXML parse); the XML path is real (scala-xml, driver-side — the
-  * file is tiny in the reference: 739 observations). Legacy binary
-  * `.xls` (BIFF8) has no codec in this container and stages through
-  * [[MultiSheetCsvSource]] (same schema + sheet-tag semantics).
+  * (the reference's src/ingestion modules). All three are real
+  * byte-level ingestion with no external codec: [[XlsxSource]] (zip +
+  * OOXML parse), [[XlsSource]] (OLE2 container + BIFF8 records), and
+  * the XML path via scala-xml (driver-side — the file is tiny in the
+  * reference: 739 observations). [[MultiSheetCsvSource]] remains the
+  * CSV staging path for pre-extracted sheets.
   */
 trait Source {
   /** Load this source as a DataFrame (driver-side parse allowed for
@@ -152,47 +152,7 @@ final case class JsonlSource(
   */
 final case class XlsxSource(path: String, schema: StructType) extends Source {
 
-  /** Built-in OOXML numFmtIds that are date/time formats (ECMA-376
-    * §18.8.30): 14-22 date/datetime, 45-47 durations.
-    */
-  private val BuiltinDateFmts: Set[Int] = (14 to 22).toSet ++ (45 to 47).toSet
-
-  /** Heuristic for CUSTOM format codes (mirrors openpyxl's
-    * is_date_format): after stripping quoted literals, escapes, and
-    * color/locale brackets, a code with any of y/m/d/h/s tokens and no
-    * numeric placeholders is a date/time format.
-    */
-  private[engine] def isDateCode(code: String): Boolean = {
-    val stripped = code
-      .replaceAll("\"[^\"]*\"", "")  // quoted literals
-      .replaceAll("\\\\.", "")        // escaped chars
-      .replaceAll("\\[[^\\]]*\\]", "") // [Red], [$-409], [h] elapsed
-    stripped.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0) &&
-      !stripped.exists(c => c == '0' || c == '#' || c == '?')
-  }
-
-  private def hasTimeTokens(code: String): Boolean =
-    code.replaceAll("\"[^\"]*\"", "").exists(c => "hsHS".indexOf(c.toInt) >= 0)
-
-  /** Excel 1900-system serial → ISO string. Day 1 = 1900-01-01; the
-    * fictitious 1900-02-29 (serial 60) collapses onto 02-28, serials
-    * after it shift back one day — openpyxl/xlrd convention.
-    */
-  private[engine] def serialToIso(serial: Double, withTime: Boolean): String = {
-    val days0 = math.floor(serial).toLong
-    val days = if (days0 >= 60) days0 - 1 else days0
-    val date = java.time.LocalDate.of(1899, 12, 31).plusDays(days)
-    val secs = math.round((serial - days0) * 86400)
-    if (withTime || secs != 0)
-      java.time.LocalDateTime.of(date, java.time.LocalTime.MIDNIGHT)
-        .plusSeconds(secs)
-        .format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss"))
-    else date.toString
-  }
-
   def load(spark: SparkSession): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val zip = new java.util.zip.ZipFile(path)
     try {
       def part(name: String): Option[scala.xml.Elem] =
@@ -220,12 +180,7 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
       val styleIsDate: IndexedSeq[(Boolean, Boolean)] =
         styles.toSeq.flatMap(_ \ "cellXfs" \ "xf").map { xf =>
           val fmtId = (xf \@ "numFmtId").toIntOption.getOrElse(0)
-          val code = customFmts.get(fmtId)
-          val isDate = BuiltinDateFmts.contains(fmtId) ||
-            code.exists(isDateCode)
-          val withTime = (fmtId >= 18 && fmtId <= 22) ||
-            (fmtId >= 45 && fmtId <= 47) || code.exists(hasTimeTokens)
-          (isDate, withTime)
+          ExcelCells.dateStyle(fmtId, customFmts.get(fmtId))
         }.toIndexedSeq
       val sheets = (workbook \ "sheets" \ "sheet").map { s =>
         val rid = s.attributes.iterator
@@ -261,7 +216,7 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
                   cellStyle match {
                     case Some((true, withTime)) =>
                       raw.trim.toDoubleOption
-                        .map(serialToIso(_, withTime)).getOrElse(raw)
+                        .map(ExcelCells.serialToIso(_, withTime)).getOrElse(raw)
                     case _ => raw
                   }
                 }
@@ -269,23 +224,9 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
             v.map(colIdx -> _)
           }.toMap
         }
-        require(grid.nonEmpty, s"sheet $sheetName is empty")
-        val header = grid.head
-        val width = (header.keys ++ grid.tail.flatMap(_.keys)).max + 1
-        val names = (0 until width).map(i =>
-          header.getOrElse(i, s"_c$i").trim)
-        val rows = grid.tail.map(cells =>
-          org.apache.spark.sql.Row.fromSeq(
-            (0 until width).map(i => cells.get(i).map(_.trim).orNull)))
-        val rawSchema = StructType(names.map(n =>
-          org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.StringType)))
-        val raw = spark.createDataFrame(rows.asJava, rawSchema)
-        raw.select(schema.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
-          .withColumn("source_sheet", lit(sheetName))
+        sheetName -> grid
       }
-      frames.reduce(_ unionByName _)
+      ExcelCells.sheetsToDf(spark, schema, frames)
     } finally zip.close()
   }
 }
