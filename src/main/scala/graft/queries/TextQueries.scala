@@ -235,6 +235,166 @@ object TextQueries {
           |      list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(ascii(c) AS BIGINT))),
           |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
           |  FROM documents) t
-          |GROUP BY 1 ORDER BY source""".stripMargin))
+          |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("t7_pii_scrub",
+      "PII / sensitive-term scrubbing — regex redaction of emails, " +
+        "phone numbers, SSNs, and IPv4 addresses plus whole-word " +
+        "denylist terms, reported per source with a content checksum " +
+        "of the scrubbed text (the standard pre-training scrub pass). " +
+        "The synthetic corpus carries no regex-matching PII, so the " +
+        "regex arm is additionally proven on a planted fixture in " +
+        "TextSpec; the denylist arm and the checksum fire on the real " +
+        "corpus.",
+      (s, d) => {
+        val pii = PiiPatterns.map { case (pat, tag) => (pat, s"[$tag]") }
+        val deny = DenyTerms.map(t => (s"\\b$t\\b", "[TERM]"))
+        val scrubbed = (pii ++ deny).foldLeft(col("text")) {
+          case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+        }
+        val counted = (pii ++ deny).map { case (pat, _) =>
+          regexp_count(col("text"), lit(pat)).cast("long")
+        }.reduce(_ + _)
+        t(s, d, "documents")
+          .withColumn("scrubbed", scrubbed)
+          .withColumn("n_redactions", counted)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_redactions")).as("total_redactions"),
+            count(when(col("n_redactions") > 0, 1)).as("n_docs_touched"),
+            sum(expr("graft_strhash(scrubbed)")).as("scrub_checksum"))
+          .orderBy("source")
+      },
+      Some {
+        val repls = (PiiPatterns.map { case (p, t) => (p, s"[$t]") } ++
+          DenyTerms.map(t => (s"\\b$t\\b", "[TERM]")))
+        val scrubbed = repls.foldLeft("text") { case (c, (pat, rep)) =>
+          s"regexp_replace($c, '$pat', '$rep', 'g')"
+        }
+        val counted = repls
+          .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+          .mkString(" + ")
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM($counted) AS BIGINT) AS total_redactions,
+           |  CAST(COUNT(*) FILTER ($counted > 0) AS BIGINT) AS n_docs_touched,
+           |  SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(regexp_extract_all($scrubbed, '(?s).'),
+           |      c -> CAST(ascii(c) AS BIGINT))),
+           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS scrub_checksum
+           |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+      }),
+
+    Q("t8_repetition_quality",
+      "Repetition-based quality filtering (Gopher-style) — per-doc " +
+        "distinct-word ratio, most-frequent-word share, and duplicate " +
+        "word-2-gram fraction, computed shuffle-free with array " +
+        "higher-order functions; docs breaching the thresholds are " +
+        "flagged, rolled up per lang. At 100 TB this is an " +
+        "embarrassingly parallel scan — the only shuffle is the final " +
+        "per-lang aggregation.",
+      (s, d) => {
+        val w = split(trim(col("text")), "\\s+")
+        val base = t(s, d, "documents")
+          .withColumn("w", w)
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+          .withColumn("top_word_n",
+            array_max(expr(
+              "transform(array_distinct(w), x -> size(filter(w, y -> y = x)))"))
+              .cast("long"))
+          .withColumn("grams2", expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .withColumn("n_2grams", size(col("grams2")).cast("long"))
+          .withColumn("n_distinct_2grams",
+            size(array_distinct(col("grams2"))).cast("long"))
+          .withColumn("flagged",
+            (col("top_word_n").cast("double") / col("n_words") > 0.2) ||
+              ((lit(1.0) - col("n_distinct_2grams").cast("double") /
+                col("n_2grams")) > 0.4))
+        base.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("flagged"), 1)).as("n_flagged"),
+            sum(col("n_distinct")).as("sum_distinct_words"),
+            sum(col("n_words")).as("sum_words"),
+            sum(col("n_distinct_2grams")).as("sum_distinct_2grams"),
+            sum(col("n_2grams")).as("sum_2grams"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(COUNT(*) FILTER (
+          |    CAST(top_word_n AS DOUBLE) / n_words > 0.2
+          |    OR (1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams) > 0.4
+          |  ) AS BIGINT) AS n_flagged,
+          |  CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_words,
+          |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+          |  CAST(SUM(n_distinct_2grams) AS BIGINT) AS sum_distinct_2grams,
+          |  CAST(SUM(n_2grams) AS BIGINT) AS sum_2grams
+          |FROM (
+          |  SELECT lang,
+          |    len(w) AS n_words,
+          |    len(list_distinct(w)) AS n_distinct,
+          |    list_max(list_transform(list_distinct(w),
+          |      x -> len(list_filter(w, y -> y = x)))) AS top_word_n,
+          |    len(w) - 1 AS n_2grams,
+          |    len(list_distinct(list_transform(range(1, len(w)),
+          |      i -> w[i] || ' ' || w[i + 1]))) AS n_distinct_2grams
+          |  FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+          |        FROM documents) t) g
+          |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    Q("c1_corpus_curate",
+      "End-to-end corpus curation flagship — the pass an LLM training " +
+        "pipeline runs before tokenization: quality-score filter (t2 " +
+        "heuristics), language allowlist, exact content dedup keeping " +
+        "the lowest doc_id per fingerprint, then per (lang, source) " +
+        "retention accounting incl. surviving token budget. Shape at " +
+        "100 TB: one scan, one dedup shuffle on the 16-byte digest, one " +
+        "small final aggregation.",
+      (s, d) => {
+        val scored = t(s, d, "documents")
+          .withColumn("punct_chars",
+            length(col("text")) -
+              length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("score",
+            when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
+              when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
+              when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+        val kept = scored
+          .filter(col("score") >= 0.5 && col("lang").isin("en", "de", "es", "fr"))
+        val deduped = kept
+          .withColumn("fp", md5(col("text")))
+          .withColumn("keep_id", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep_id"))
+        deduped.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("ws_tokens")).as("tokens_kept"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang", "source")
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, lang, source, text, n_chars,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END) AS score
+          |  FROM documents),
+          |kept AS (
+          |  SELECT * FROM scored
+          |  WHERE score >= 0.5 AND lang IN ('en', 'de', 'es', 'fr')),
+          |deduped AS (
+          |  SELECT * FROM (
+          |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          |    FROM kept) t
+          |  WHERE doc_id = keep_id)
+          |SELECT lang, source, COUNT(*) AS n_docs_kept,
+          |  CAST(SUM(ws_tokens) AS BIGINT) AS tokens_kept,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+          |FROM deduped GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
   )
 }
