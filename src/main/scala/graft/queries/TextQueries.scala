@@ -35,6 +35,28 @@ object TextQueries {
   private def occurrencesSql(kw: String): String =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS BIGINT)"
 
+  /** PII regexes (pattern → redaction tag) for t7. Every pattern is
+    * written in the common subset of Java regex (Spark executors) and
+    * RE2 (the DuckDB oracle): ASCII character classes, bounded
+    * repetition, and `\b` word boundaries only — no backreferences or
+    * lookaround, which RE2 rejects. Patterns are embedded verbatim in
+    * a single-quoted DuckDB string literal, so they must also contain
+    * no single quotes (DuckDB standard strings pass backslashes
+    * through untouched). Scrub order is the Seq order on both engines.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "EMAIL",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "SSN",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "PHONE",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "IP")
+
+  /** Whole-word denylist terms for t7, chosen from tokens that occur in
+    * the synthetic corpus (e.g. "spark" appears ~900× at sf0.01) so the
+    * denylist arm and the scrub checksum demonstrably fire under the
+    * driver's oracle gate, not only on the planted TextSpec fixture.
+    */
+  private[graft] val DenyTerms: Seq[String] = Seq("spark", "vector", "stream")
+
   def all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -277,10 +299,10 @@ object TextQueries {
         s"""SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM($counted) AS BIGINT) AS total_redactions,
            |  CAST(COUNT(*) FILTER ($counted > 0) AS BIGINT) AS n_docs_touched,
-           |  SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
            |    list_transform(regexp_extract_all($scrubbed, '(?s).'),
            |      c -> CAST(ascii(c) AS BIGINT))),
-           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS scrub_checksum
+           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS BIGINT) AS scrub_checksum
            |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
       }),
 

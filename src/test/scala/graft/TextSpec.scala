@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Planted-PII fixture for t7_pii_scrub (promised by its docstring).
+  *
+  * The synthetic `documents` corpus contains no regex-matching PII, so the
+  * driver's oracle gate only exercises the denylist arm there. This spec
+  * plants emails / SSN / phone / IPv4 / deny terms in a tiny documents
+  * table and checks, against hand-computed expectations:
+  *   - per-source redaction counts and docs-touched counts,
+  *   - the scrubbed text itself (Java-regex replication of the fold), and
+  *   - the scrub checksum (graft_strhash over the expected scrubbed text),
+  * closing the loop on both the counting arm and the sequential-scrub arm.
+  */
+class TextSpec extends SparkTestBase {
+
+  private val fixture = Seq(
+    // (doc_id, lang, source, text): 2 emails | ssn+phone+ip | 2 deny | clean
+    (0L, "en", "s1", "contact me at alice@example.com or bob.smith@mail.co today"),
+    (1L, "en", "s1", "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1 end"),
+    (2L, "en", "s2", "we love spark and vector pipelines"),
+    (3L, "en", "s2", "clean text nothing here"))
+
+  /** Same fold as the query: PII patterns then \b-wrapped deny terms. */
+  private def scrubJava(text: String): String = {
+    val repls = TextQueries.PiiPatterns.map { case (p, t) => (p, s"[$t]") } ++
+      TextQueries.DenyTerms.map(t => (s"\\b$t\\b", "[TERM]"))
+    repls.foldLeft(text) { case (acc, (pat, rep)) =>
+      acc.replaceAll(pat, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+  }
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft_textspec").toString
+    val df = spark.createDataFrame(fixture)
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t7 scrub fold redacts every planted PII form (Java-regex replica)") {
+    assert(scrubJava(fixture(0)._4) ==
+      "contact me at [EMAIL] or [EMAIL] today")
+    assert(scrubJava(fixture(1)._4) ==
+      "ssn [SSN] phone [PHONE] ip [IP] end")
+    assert(scrubJava(fixture(2)._4) ==
+      "we love [TERM] and [TERM] pipelines")
+    assert(scrubJava(fixture(3)._4) == fixture(3)._4) // untouched
+  }
+
+  test("t7_pii_scrub counts, touches, and checksums the planted fixture") {
+    val dir = writeFixture()
+    val q = TextQueries.all.find(_.name == "t7_pii_scrub").get
+    val rows = q.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // Expected checksum = sum of graft_strhash over the expected scrubbed
+    // text, computed through the same registered expression.
+    import spark.implicits._
+    val expChecksum = fixture
+      .groupBy(_._3).view.mapValues { docs =>
+        docs.map(d => scrubJava(d._4)).toDF("t")
+          .select(sum(expr("graft_strhash(t)"))).first().getLong(0)
+      }.toMap
+
+    assert(rows.toSeq == Seq(
+      ("s1", 2L, 5L, 2L, expChecksum("s1")),
+      ("s2", 2L, 2L, 1L, expChecksum("s2"))))
+  }
+}
