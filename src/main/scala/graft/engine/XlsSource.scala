@@ -41,15 +41,31 @@ private[engine] object Ole2 {
       java.util.Arrays.copyOfRange(raw, off, math.min(off + sectSize, raw.length))
     }
 
+    // Cyclic-chain guard: every sector walk (DIFAT, FAT, mini-FAT) is
+    // bounded by the visited set — a corrupt or malicious file whose
+    // links form a loop must fail as a parse error, not hang the task
+    // or exhaust memory (the reference's xlrd path rejects such files).
+    def walk(start: Long, next: Long => Long, what: String): Seq[Long] = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      val out = Seq.newBuilder[Long]
+      var s = start
+      while (s != EndOfChain && s != FreeSect && s >= 0) {
+        if (!seen.add(s))
+          throw new IllegalArgumentException(
+            s"$path: cyclic $what chain revisits sector $s")
+        out += s
+        s = next(s)
+      }
+      out.result()
+    }
+
     // DIFAT: 109 header entries, then chained DIFAT sectors
     val perDifatSect = sectSize / 4 - 1
     val headerDifat = (0 until 109).map(i => u32(76 + 4 * i))
-    val chainedDifat = Iterator.iterate(difatStart) { sid =>
-      u32(sectorOffset(sid) + perDifatSect * 4)
-    }.takeWhile(s => s != EndOfChain && s != FreeSect)
-      .flatMap(sid => (0 until perDifatSect).map(i =>
-        u32(sectorOffset(sid) + 4 * i)))
-      .toSeq
+    val chainedDifat =
+      walk(difatStart, sid => u32(sectorOffset(sid) + perDifatSect * 4), "DIFAT")
+        .flatMap(sid => (0 until perDifatSect).map(i =>
+          u32(sectorOffset(sid) + 4 * i)))
     val fatSects = (headerDifat ++ chainedDifat)
       .filter(s => s != FreeSect && s != EndOfChain).take(numFat)
     val fat: IndexedSeq[Long] = fatSects.flatMap(sid =>
@@ -57,9 +73,7 @@ private[engine] object Ole2 {
       .toIndexedSeq
 
     def chain(start: Long): Seq[Long] =
-      Iterator.iterate(start)(s => fat(s.toInt))
-        .takeWhile(s => s != EndOfChain && s != FreeSect && s >= 0)
-        .toSeq
+      walk(start, s => fat(s.toInt), "FAT")
 
     def readChain(start: Long, size: Long): Array[Byte] = {
       val out = chain(start).flatMap(sector).toArray
@@ -96,9 +110,8 @@ private[engine] object Ole2 {
       val miniFat: IndexedSeq[Long] = chain(miniFatStart).flatMap(sid =>
         (0 until sectSize / 4).map(i => u32(sectorOffset(sid) + 4 * i)))
         .toIndexedSeq
-      val out = Iterator.iterate(target.startSect)(s => miniFat(s.toInt))
-        .takeWhile(s => s != EndOfChain && s != FreeSect && s >= 0)
-        .flatMap { sid =>
+      val out = walk(target.startSect, s => miniFat(s.toInt), "mini-FAT")
+        .iterator.flatMap { sid =>
           val off = (sid * miniSectSize).toInt
           java.util.Arrays.copyOfRange(miniStream, off,
             math.min(off + miniSectSize, miniStream.length))

@@ -18,22 +18,27 @@ import graft.engine.Catalog
   * Crash safety (exactly-once): there is no atomic multi-table commit
   * on a filesystem, so both appends are made *recoverable* instead —
   * each batch lands under its own `__batch_id=` partition in BOTH the
-  * row table and the digest table, making "did batch B's append
-  * complete?" an O(1) partition-directory check, at any history size.
-  * Append order is rows first, then digests, and [[recover]] (run at
-  * the start of every ingest) re-appends the digests from the durable
-  * `<table>_last_batch` artifact when a crash struck between the two.
-  * The failure matrix:
-  *  - crash before the row append: nothing committed, digest table
-  *    unchanged — a replay of the batch dedups to the same survivors
-  *    and ingests them (at-least-once from the source, no loss);
-  *  - crash between the appends: rows committed, digests missing — a
-  *    naive replay would re-ingest duplicates, but recover() completes
-  *    the digest append first, so the replay anti-joins to empty;
+  * row table and the digest table, and a partition counts as committed
+  * only when its `_SUCCESS` marker exists (directory existence is NOT
+  * commit: Spark creates the directory at job start, so a crash
+  * mid-write leaves a partial partition). Append order is `_last_batch`
+  * artifact, then rows, then digests; [[recover]] (run at the start of
+  * every ingest, i.e. before `_last_batch` is overwritten) repairs the
+  * newest batch from the durable `_last_batch`. The failure matrix:
+  *  - crash during the `_last_batch` write: no row partition exists for
+  *    the new batch; nothing to recover; a replay re-dedups and ingests
+  *    (at-least-once from the source, no loss);
+  *  - crash during the row append: a partial `__batch_id=` partition
+  *    without `_SUCCESS` — recover() rewrites the whole partition from
+  *    `_last_batch` (complete by write order) and then its digests, so
+  *    no row of the batch is lost and a replay anti-joins to empty;
+  *  - crash during the digest append: rows committed, digests partial
+  *    or missing — recover() rewrites the digest partition, so a replay
+  *    anti-joins to empty instead of re-ingesting duplicates;
   *  - crash after both: fully committed, replay is a no-op.
-  * The digests-first order this replaces had an unrecoverable window:
-  * a replay anti-joined the rows out against the already-recorded
-  * digests and dropped the batch permanently.
+  * Invariant making `_last_batch` safe to overwrite: recover() runs
+  * before the overwrite, so the previous batch is fully committed by
+  * the time its recovery source is destroyed.
   */
 object IncrementalIngest {
 
@@ -43,26 +48,45 @@ object IncrementalIngest {
   private def digestsDir(cat: Catalog, table: String, batchId: Long) =
     s"${cat.warehouse}/${table}_digests/__batch_id=$batchId"
 
-  /** Batch ids ever committed to the row table: the partition listing
-    * (at scale: one object-store LIST of top-level prefixes).
+  /** Commit test: Hadoop's FileOutputCommitter drops `_SUCCESS` only
+    * after every task file is in place (at scale: the same marker on
+    * the object store).
     */
-  private def committedBatches(cat: Catalog, table: String): Seq[Long] = {
+  private def committed(dir: String): Boolean =
+    new java.io.File(dir, "_SUCCESS").exists()
+
+  /** All `__batch_id=` partition ids present under the row table,
+    * committed or partial (one LIST of top-level prefixes).
+    */
+  private def batchIds(cat: Catalog, table: String): Seq[Long] = {
     val root = new java.io.File(s"${cat.warehouse}/$table")
     Option(root.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
       .map(_.getName.stripPrefix("__batch_id=").toLong)
   }
 
-  /** Close the one crash window: if the newest committed row batch has
-    * no digest partition, finish its digest append from the
-    * `<table>_last_batch` artifact. Idempotent; O(1) directory checks.
+  /** Batch ids whose row partition is fully committed. */
+  private def committedBatches(cat: Catalog, table: String): Seq[Long] =
+    batchIds(cat, table).filter(id => committed(rowsDir(cat, table, id)))
+
+  /** Close the crash windows: if the newest row batch (committed or
+    * partial) is missing its `_SUCCESS` or its digest partition's,
+    * rewrite the incomplete partition(s) from the `<table>_last_batch`
+    * artifact. Idempotent; O(1) directory checks plus at most one
+    * batch-sized rewrite.
     */
   def recover(cat: Catalog, table: String): Unit =
-    committedBatches(cat, table).sorted.lastOption.foreach { last =>
-      if (!new java.io.File(digestsDir(cat, table, last)).exists()) {
-        val lb = cat.spark.read.parquet(s"${cat.warehouse}/${table}_last_batch")
-        lb.select(col("__fp").as("fp"))
-          .write.mode("overwrite").parquet(digestsDir(cat, table, last))
+    batchIds(cat, table).sorted.lastOption.foreach { last =>
+      val rows = rowsDir(cat, table, last)
+      val digs = digestsDir(cat, table, last)
+      if (!committed(rows) || !committed(digs)) {
+        val lb = cat.spark.read
+          .parquet(s"${cat.warehouse}/${table}_last_batch")
+        if (!committed(rows))
+          lb.drop("__fp").write.mode("overwrite").parquet(rows)
+        if (!committed(digs))
+          lb.select(col("__fp").as("fp"))
+            .write.mode("overwrite").parquet(digs)
       }
     }
 
@@ -98,9 +122,11 @@ object IncrementalIngest {
       .write.mode("overwrite").parquet(rowsDir(cat, table, batchId))
     freshBack.select(col("__fp").as("fp"))
       .write.mode("overwrite").parquet(digestsDir(cat, table, batchId))
-    // re-register both views over the partitioned roots
+    // Re-register both views over the partitioned roots, shedding the
+    // partition-discovery `__batch_id` column: batch placement is a
+    // storage detail, not part of the table's column contract.
     Seq(table, digests).foreach { n =>
-      cat.spark.read.parquet(s"${cat.warehouse}/$n")
+      cat.spark.read.parquet(s"${cat.warehouse}/$n").drop("__batch_id")
         .createOrReplaceTempView(n)
     }
     freshBack.drop("__fp")

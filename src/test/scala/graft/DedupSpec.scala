@@ -122,6 +122,54 @@ class DedupSpec extends SparkTestBase {
     cat.dropWarehouse()
   }
 
+  test("incremental ingest recovers a partial (crashed) row append") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-inc-part").toString
+    val cat = new graft.engine.Catalog(spark, wh)
+    val b1 = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    assert(graft.pipeline.IncrementalIngest
+      .ingest(cat, b1, "text", "corpus").count() === 2)
+    val b2 = Seq((3L, "gamma doc"), (4L, "alpha doc")).toDF("doc_id", "text")
+    assert(graft.pipeline.IncrementalIngest
+      .ingest(cat, b2, "text", "corpus").count() === 1)
+    // Simulate a crash DURING batch 2's row append: the partition dir
+    // exists but is partial — no _SUCCESS, data files incomplete — and
+    // the digest append never started. Directory existence must NOT
+    // count as commit, or gamma's rows are permanently lost (recover()
+    // would record its digest and every replay would anti-join it away).
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    val rows2 = new java.io.File(s"$wh/corpus/__batch_id=2")
+    new java.io.File(rows2, "_SUCCESS").delete()
+    rows2.listFiles().filter(_.getName.endsWith(".parquet")).foreach(rm)
+    rm(new java.io.File(s"$wh/corpus_digests/__batch_id=2"))
+    assert(cat.spark.read.parquet(s"$wh/corpus").count() === 2,
+      "precondition: gamma's row really is gone from storage")
+    // The replay must restore the batch from _last_batch (rows AND
+    // digests), then dedup the replay to empty.
+    val replay = graft.pipeline.IncrementalIngest
+      .ingest(cat, b2, "text", "corpus")
+    assert(replay.count() === 0, "recovered digests must dedup the replay")
+    assert(cat.table("corpus").count() === 3, "gamma's row is restored")
+    assert(cat.table("corpus_digests").select("fp").distinct().count() === 3)
+    cat.dropWarehouse()
+  }
+
+  test("incrementally ingested views keep the data-column contract") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-inc-schema").toString
+    val cat = new graft.engine.Catalog(spark, wh)
+    val b1 = Seq((1L, "alpha doc")).toDF("doc_id", "text")
+    graft.pipeline.IncrementalIngest.ingest(cat, b1, "text", "corpus")
+    // Partition discovery over __batch_id= dirs must not leak the
+    // batch-placement column into the registered views' schemas.
+    assert(spark.table("corpus").columns.toSeq === Seq("doc_id", "text"))
+    assert(spark.table("corpus_digests").columns.toSeq === Seq("fp"))
+    cat.dropWarehouse()
+  }
+
   test("d1 exact dedup matches a direct distinct count") {
     val docs = graft.engine.Graft.table(spark, sfDir, "documents")
     val direct = docs.agg(

@@ -200,4 +200,23 @@ class XlsSpec extends SparkTestBase {
       XlsSource(f.toString, schema).load(spark)
     }
   }
+
+  test("XlsSource fails fast on a cyclic FAT chain instead of hanging") {
+    // Take a valid file and patch the Workbook stream's FAT so sectors
+    // 2 and 3 point at each other: FAT entry i lives at 512 + 4*i
+    // (FAT is sector 0, directly after the 512-byte header).
+    val bytes = ole2(bof(0x05) ++ eof)
+    def patchFat(entry: Int, next: Long): Unit = {
+      java.nio.ByteBuffer.wrap(bytes, 512 + 4 * entry, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(next.toInt): Unit
+    }
+    patchFat(2, 3); patchFat(3, 2)
+    val f = Files.createTempFile("cyclic", ".xls")
+    Files.write(f, bytes)
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      XlsSource(f.toString, schema).load(spark)
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
 }
