@@ -42,6 +42,16 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j6 reads the shared fact frame from scratch parquet, not lineitem twice") {
+    // The per-line fact frame is materialized once; both join sides must
+    // scan the small projected scratch table — a plan that still scans
+    // lineitem would re-read and re-project the full fact at 100 TB.
+    val p = formatted("j6_fact_variants_join")
+    val scans = p.linesIterator.filter(_.contains("Location")).mkString("\n")
+    assert(!scans.contains("lineitem"), s"lineitem scanned directly:\n$scans")
+    assert("j6_fact".r.findAllIn(scans).size >= 2, scans)
+  }
+
   test("w1p window is partitioned, not single-task") {
     val p = formatted("w1p_forward_fill_partitioned")
     val windowLine = p.linesIterator.find(_.trim.startsWith("Arguments: [last"))
