@@ -51,7 +51,8 @@ object Registry {
     TextQueries.all,
     DedupQueries.all,
     SimilarityQueries.all,
-    MultimodalQueries.all
+    MultimodalQueries.all,
+    IngestQueries.all
   )
   lazy val all: Seq[Q] = modules.flatten
 }
