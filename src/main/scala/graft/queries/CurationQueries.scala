@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Graft
+
+/** Corpus-curation operators beyond filtering/dedup (c1): the two
+  * passes a training run needs between "curated corpus" and "batches
+  * on the accelerator" — deterministic mixture sampling and
+  * fixed-length sequence packing.
+  *
+  * Both are pure scans plus bounded shuffles, and both are exact
+  * cross-engine: the sampling decision is a polynomial content hash
+  * (bit-parity with DuckDB's list_reduce replica, proven by t5/
+  * StringPolyHashSpec), not an RNG.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Graft.table(s, d, n)
+
+  /** Packing length (tokens per training sequence). */
+  private val SeqLen = 2048L
+
+  def all: Seq[Q] = Seq(
+
+    Q("c2_mixture_sample",
+      "Deterministic domain-mixture sampling — each source gets a " +
+        "target retention weight (tiered by source id here; in practice " +
+        "a curated mixture table), and a doc survives iff a polynomial " +
+        "hash of (doc_id, source) falls under the weight. Reproducible " +
+        "across runs/machines (no RNG seed to ship), embarrassingly " +
+        "parallel, and any worker can answer 'is this doc in the " +
+        "mixture?' locally — how a 100 TB corpus is downsampled to a " +
+        "target mixture without a shuffle.",
+      (s, d) => {
+        val srcnum = substring(col("source"), 4, 10).cast("int")
+        val weight = when(srcnum < 5, 1.0).when(srcnum < 10, 0.5)
+          .when(srcnum < 15, 0.25).otherwise(0.1)
+        val h = expr(
+          "pmod(graft_strhash(concat(cast(doc_id as string), ':', source)), 1000)")
+        t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("weight", weight)
+          .withColumn("kept", h < col("weight") * 1000)
+          .groupBy(col("source"))
+          .agg(first(col("weight")).as("weight"),
+            count(lit(1)).as("n_total"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            sum(when(col("kept"), col("ws_tokens"))).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source,
+          |  CASE WHEN srcnum < 5 THEN 1.0 WHEN srcnum < 10 THEN 0.5
+          |       WHEN srcnum < 15 THEN 0.25 ELSE 0.1 END AS weight,
+          |  COUNT(*) AS n_total,
+          |  CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
+          |  CAST(SUM(ws_tokens) FILTER (kept) AS BIGINT) AS tokens_kept
+          |FROM (
+          |  SELECT source, CAST(substr(source, 4) AS INT) AS srcnum,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |       list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR) || ':' || source, '(?s).'),
+          |         c -> CAST(ascii(c) AS BIGINT))),
+          |       (acc, c) -> (acc * 31 + c) % 1000000007) % 1000)
+          |      < (CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+          |              WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+          |              WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+          |              ELSE 0.1 END) * 1000 AS kept
+          |  FROM documents) t
+          |GROUP BY source, srcnum ORDER BY source""".stripMargin)),
+
+    Q("c3_sequence_pack",
+      "Fixed-length sequence packing — docs are packed greedily into " +
+        s"$SeqLen-token training sequences in doc_id order WITHIN each " +
+        "lang shard (running token count → sequence id = cumsum-before " +
+        "div length), then per-shard packing efficiency is reported. " +
+        "The window is partitioned by the shard key, never global: at " +
+        "100 TB packing is shard-local by construction (each shard " +
+        "becomes one worker's contiguous output file), so the plan has " +
+        "one partitioned window and two small aggregations — no global " +
+        "sort, no driver state.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val perSeq = t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("cum", sum(col("ws_tokens")).over(w))
+          .withColumn("seq_id", expr(s"(cum - ws_tokens) div $SeqLen"))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("seq_tokens"))
+        perSeq.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("seq_tokens")).as("total_tokens"),
+            count(when(col("seq_tokens") >= SeqLen * 9 / 10, 1)).as("n_full"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""SELECT lang, COUNT(*) AS n_seqs,
+           |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(COUNT(*) FILTER (seq_tokens >= ${SeqLen * 9 / 10}) AS BIGINT) AS n_full
+           |FROM (
+           |  SELECT lang, seq_id, COUNT(*) AS n_docs,
+           |    CAST(SUM(ws_tokens) AS BIGINT) AS seq_tokens
+           |  FROM (
+           |    SELECT lang,
+           |      ws_tokens,
+           |      (cum - ws_tokens) // $SeqLen AS seq_id
+           |    FROM (
+           |      SELECT lang, ws_tokens,
+           |        SUM(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM (
+           |        SELECT lang, doc_id,
+           |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+           |        FROM documents) raw) cums) binned
+           |  GROUP BY 1, 2) per_seq
+           |GROUP BY 1 ORDER BY lang""".stripMargin))
+  )
+}

@@ -52,7 +52,8 @@ object Registry {
     DedupQueries.all,
     SimilarityQueries.all,
     MultimodalQueries.all,
-    IngestQueries.all
+    IngestQueries.all,
+    CurationQueries.all
   )
   lazy val all: Seq[Q] = modules.flatten
 }
