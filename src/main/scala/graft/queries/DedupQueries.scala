@@ -491,6 +491,95 @@ object DedupQueries {
            |  ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
            |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
-           |ORDER BY vec_a, vec_b""".stripMargin))
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q("d7_dedup_clusters",
+      "Near-dup cluster formation — pair lists are not enough to dedup: " +
+        "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +
+        "Takes the d4b simhash hamming<=3 pair graph and computes " +
+        "connected components by iterative min-label propagation " +
+        "(labels re-materialized to scratch parquet each round — the " +
+        "warehouse-iteration shape; rounds = graph diameter, and " +
+        "near-dup graphs are shallow. At 1000-executor scale the same " +
+        "loop takes the large-star/small-star rewrite for O(log n) " +
+        "rounds; no driver-side graph state either way). Emits each " +
+        "cluster keyed by its surviving (minimum) doc_id. Oracle: " +
+        "recursive-CTE transitive closure + MIN per vertex.",
+      (s, d) => {
+        val sh = Scratch.materialize(s, "d7_sigs",
+          simhashDocs(t(s, d, "documents")))
+        val banded = sh.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(k =>
+            shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
+            .as(Seq("k", "band")))
+        val a = banded.select(col("doc_id").as("a"),
+          col("simhash").as("sim_a"), col("k"), col("band"))
+        val b2 = banded.select(col("doc_id").as("b"),
+          col("simhash").as("sim_b"), col("k").as("k_b"),
+          col("band").as("band_b"))
+        val edges = a.join(b2,
+            col("k") === col("k_b") && col("band") === col("band_b") &&
+              col("a") < col("b"))
+          .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+          .select(col("a"), col("b")).distinct()
+        connectedComponents(s, edges)
+          .groupBy(col("l"))
+          .agg(count(lit(1)).as("n_docs"), max(col("v")).as("doc_max"))
+          .select(col("l").as("cluster"), col("n_docs"), col("doc_max"))
+          .orderBy("cluster")
+      },
+      Some(
+        s"""WITH RECURSIVE $SimhashDocsSql,
+           |banded AS (
+           |  SELECT doc_id, simhash, g.k,
+           |    (simhash >> (16 * g.k)) & 65535 AS band
+           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM banded a JOIN banded b
+           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(v, u) AS (
+           |  SELECT a AS v, a AS u FROM bidir
+           |  UNION
+           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
+           |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
+           |SELECT cluster, COUNT(*) AS n_docs, CAST(MAX(v) AS BIGINT) AS doc_max
+           |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin))
   )
+
+  /** Connected components of an undirected `(a, b)` edge frame by
+    * min-label propagation: every vertex starts labeled with itself;
+    * each round pushes labels across edges and keeps the minimum;
+    * fixpoint when no label changes. Labels are re-materialized to
+    * scratch parquet every round — iteration state lives in the
+    * warehouse, not executor memory or driver heap, so a lost executor
+    * (or a 100 TB label table) never restarts the loop. Returns
+    * `(v, l)` = vertex → component label (the component's min vertex).
+    */
+  private[graft] def connectedComponents(s: SparkSession,
+                                         edges: DataFrame): DataFrame = {
+    val bd = Scratch.materialize(s, "cc_edges",
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var labels = Scratch.materialize(s, "cc_labels",
+      bd.select(col("a").as("v")).distinct().withColumn("l", col("v")))
+    var changed = 1L
+    var rounds = 0
+    // Convergence needs diameter rounds; the cap only guards a
+    // pathological chain (a 50-hop near-dup path means the similarity
+    // threshold, not the loop, is wrong).
+    while (changed > 0 && rounds < 50) {
+      val msgs = bd.join(labels, bd("a") === labels("v"))
+        .select(bd("b").as("v"), col("l"))
+      val next = Scratch.materialize(s, "cc_labels",
+        labels.union(msgs).groupBy("v").agg(min(col("l")).as("l")))
+      changed = next.join(labels.withColumnRenamed("l", "prev"), "v")
+        .filter(col("l") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
 }

@@ -170,6 +170,22 @@ class DedupSpec extends SparkTestBase {
     cat.dropWarehouse()
   }
 
+  test("connected components merges transitive chains, splits islands") {
+    import spark.implicits._
+    // path 1-2-3 (1~3 only transitively), island 10-11, island 20-21-22
+    // via a hub — three components keyed by their min vertex.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a", "b")
+    val comps = graft.queries.DedupQueries
+      .connectedComponents(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(comps === Map(
+      1L -> Seq(1L, 2L, 3L),
+      10L -> Seq(10L, 11L),
+      20L -> Seq(20L, 21L, 22L)))
+  }
+
   test("d1 exact dedup matches a direct distinct count") {
     val docs = graft.engine.Graft.table(spark, sfDir, "documents")
     val direct = docs.agg(
