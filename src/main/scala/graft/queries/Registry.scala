@@ -41,6 +41,30 @@ object Scratch {
     df.write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Like [[materialize]], but keyed: the first call for `key` computes
+    * and writes; later calls in the same session read the existing
+    * parquet. For derived tables shared by several queries over the
+    * same input (e.g. the simhash signature index used by d4, d4b, and
+    * d7) — the warehouse shape at 100 TB, where a signature index is
+    * built once per corpus, not once per consumer. Keys must encode
+    * every input the frame depends on (callers embed the sf dir);
+    * scratch roots are per-applicationId, so keys never outlive or
+    * cross sessions.
+    */
+  def memoized(s: SparkSession, key: String, name: String,
+               df: => DataFrame): DataFrame = {
+    val path = memo.computeIfAbsent(s"${s.sparkContext.applicationId}:$key",
+      _ => {
+        val p = fresh(s, name)
+        df.write.mode("overwrite").parquet(p)
+        p
+      })
+    s.read.parquet(path)
+  }
 }
 
 object Registry {
