@@ -91,6 +91,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("invariant: sequence packing conserves every token (c3 vs t1)") {
+    // Packing must move tokens into sequences, never create or drop
+    // them: c3's per-lang packed totals equal t1's per-lang token
+    // totals, and sequence counts are exactly what the totals demand.
+    def byName(n: String) =
+      graft.queries.Registry.all.find(_.name == n).get.run(spark, sfDir)
+    val packed = byName("c3_sequence_pack").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val tokens = byName("t1_token_stats").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(packed.keySet === tokens.keySet)
+    packed.foreach { case (lang, (nSeqs, totalTokens)) =>
+      assert(totalTokens === tokens(lang), s"token loss in lang=$lang")
+      // greedy bin-by-running-count: sequence ids are contiguous from 0,
+      // so n_seqs can never exceed total/2048 + 1 (and is at least
+      // total/2048 rounded up only when no doc straddles — lower bound
+      // is the trivial one)
+      assert(nSeqs >= totalTokens / 2048L, s"lang=$lang too few seqs")
+      assert(nSeqs <= totalTokens / 2048L + 1, s"lang=$lang too many seqs")
+    }
+  }
+
   test("property: partitioned forwardFill equals a per-key scanLeft") {
     // random sparse per-key series: (key, idx, Option[value])
     val gen = for {
