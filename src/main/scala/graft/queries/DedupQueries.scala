@@ -218,20 +218,48 @@ object DedupQueries {
     val cand = lshCandidates(shRaw)
       .select("doc_a", "doc_b").cache()
     cand.count(): Unit
+    val out = jaccardVerify(s, shRaw, cand)
+    shRaw.unpersist(blocking = true)
+    cand.unpersist(blocking = true)
+    out
+  }
+
+  /** Per-corpus memoized hashed shingles (shared by d2 and d3). */
+  private def corpusShingles(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"shingles:$d", "shingles",
+      hashedShingles(Graft.table(s, d, "documents")))
+
+  /** Per-corpus memoized LSH candidate pairs (shared by d2 and d3). */
+  private def corpusCandidates(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"lsh_cand:$d", "lsh_cand",
+      lshCandidates(corpusShingles(s, d)))
+
+  /** The exact-verification tail of the d2 pipeline over already
+    * durable/cached shingle and candidate frames.
+    */
+  private def jaccardVerify(s: SparkSession, shRaw: DataFrame,
+                            cand: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shRaw
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val aSh = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"))
-    val bSh = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"))
-    val inter = cand.join(aSh, Seq("doc_a"))
+    // Candidate docs' distinct digests, with the per-doc set size
+    // computed IN the same doc_id-partitioned pass as a window (one
+    // exchange) and materialized once — carrying `n` on the shingle
+    // rows removes the separate sizes aggregate and the two sizes
+    // joins the verification used to pay after the intersection count.
+    val sh = Scratch.materialize(s, "d2_cand_shingles",
+      shRaw.join(candDocs, Seq("doc_id"), "left_semi")
+        .distinct()
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+    val aSh = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"),
+      col("n").as("na"))
+    val bSh = sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b"),
+      col("n").as("nb"))
+    val result = cand.join(aSh, Seq("doc_a"))
       .join(bSh, col("doc_b") === col("doc_b2") && col("h_a") === col("h_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-    val result = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
@@ -242,8 +270,6 @@ object DedupQueries {
     // while a returned frame is still being consumed
     val pairsDir = Scratch.fresh(s, "d2_verified_pairs")
     result.write.mode("overwrite").parquet(pairsDir)
-    shRaw.unpersist(blocking = true)
-    cand.unpersist(blocking = true)
     s.read.parquet(pairsDir)
   }
 
@@ -282,7 +308,8 @@ object DedupQueries {
         "only band-collision candidates, and every shuffle moves 8-byte " +
         "shingle digests, not shingle strings. Catches the corpus's " +
         "planted cross-lang/cross-source near-duplicates.",
-      (s, d) => ngramJaccardPairs(s, t(s, d, "documents")),
+      (s, d) => jaccardVerify(s, corpusShingles(s, d),
+        corpusCandidates(s, d).select("doc_a", "doc_b")),
       Some(
         s"""WITH hs AS ($HashedShinglesSql),
            |cand AS (${LshCandidatesSql("hs")}),
@@ -309,10 +336,7 @@ object DedupQueries {
         "groupBy), 4 bands x 4 rows, candidate pairs from " +
         "band-signature collisions (the scale path: shuffles on " +
         "(band, signature), never all-pairs)",
-      (s, d) => {
-        val sh = hashedShingles(t(s, d, "documents"))
-        lshCandidates(sh).orderBy("doc_a", "doc_b")
-      },
+      (s, d) => corpusCandidates(s, d).orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH hs AS ($HashedShinglesSql)
            |SELECT * FROM (${LshCandidatesSql("hs")}) c
