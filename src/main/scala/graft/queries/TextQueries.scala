@@ -199,10 +199,14 @@ object TextQueries {
           .agg(count(lit(1)).as("tf"))
         val df_ = tok.select(col("doc_id"), col("tk")).distinct()
           .groupBy(col("tk")).agg(count(lit(1)).as("df"))
-        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
-        val scored = tf.join(df_, Seq("tk"))
+        // corpus size as a broadcast scalar subquery (1-row cross
+        // join), not a driver .first() — keeps the whole plan lazy
+        val n = docs.select(countDistinct(col("doc_id"))
+          .cast("double").as("n_total"))
+        val scored = tf.join(df_, Seq("tk")).crossJoin(broadcast(n))
           .withColumn("score",
-            col("tf").cast("double") * lit(n.toDouble) / col("df"))
+            col("tf").cast("double") * col("n_total") / col("df"))
+          .drop("n_total")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("tk"))
