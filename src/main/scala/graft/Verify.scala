@@ -22,9 +22,19 @@ object Verify {
     // isolated dumps for oracle triage without the full 67-query run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Stale-dump guard: clear this query's output BEFORE running, so
+      // a failure leaves nothing — a leftover dump from a previous run
+      // in the same outDir would otherwise be compared as if it were
+      // this build's result (observed: a failed query "passing" or
+      // "failing" against a dump written hours earlier).
+      rm(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

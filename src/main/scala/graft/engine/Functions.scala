@@ -155,4 +155,25 @@ object Functions {
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Per-source target retention weight for deterministic mixture
+    * sampling (tiered by the numeric source suffix here; in practice a
+    * curated mixture table). Shared by the batch (c2) and streaming
+    * (CorpusStream) curation paths so the two can never drift.
+    */
+  def mixtureWeight: Column = {
+    val srcnum = substring(col("source"), 4, 10).cast("int")
+    when(srcnum < 5, 1.0).when(srcnum < 10, 0.5)
+      .when(srcnum < 15, 0.25).otherwise(0.1)
+  }
+
+  /** The deterministic sampling decision: keep a doc iff the polynomial
+    * content hash of (doc_id, source) lands under the mixture weight.
+    * A pure function of the row — reproducible across runs, machines,
+    * engines (DuckDB twin: the t5-proven list_reduce fold), and between
+    * the batch and streaming paths.
+    */
+  def mixtureKeep: Column =
+    expr("pmod(graft_strhash(concat(cast(doc_id as string), ':', source)), 1000)") <
+      mixtureWeight * 1000
 }

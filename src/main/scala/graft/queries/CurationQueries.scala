@@ -34,16 +34,11 @@ object CurationQueries {
         "mixture?' locally — how a 100 TB corpus is downsampled to a " +
         "target mixture without a shuffle.",
       (s, d) => {
-        val srcnum = substring(col("source"), 4, 10).cast("int")
-        val weight = when(srcnum < 5, 1.0).when(srcnum < 10, 0.5)
-          .when(srcnum < 15, 0.25).otherwise(0.1)
-        val h = expr(
-          "pmod(graft_strhash(concat(cast(doc_id as string), ':', source)), 1000)")
         t(s, d, "documents")
           .withColumn("ws_tokens",
             size(split(trim(col("text")), "\\s+")).cast("long"))
-          .withColumn("weight", weight)
-          .withColumn("kept", h < col("weight") * 1000)
+          .withColumn("weight", graft.engine.Functions.mixtureWeight)
+          .withColumn("kept", graft.engine.Functions.mixtureKeep)
           .groupBy(col("source"))
           .agg(first(col("weight")).as("weight"),
             count(lit(1)).as("n_total"),

@@ -57,12 +57,20 @@ object Scratch {
     */
   def memoized(s: SparkSession, key: String, name: String,
                df: => DataFrame): DataFrame = {
-    val path = memo.computeIfAbsent(s"${s.sparkContext.applicationId}:$key",
-      _ => {
-        val p = fresh(s, name)
-        df.write.mode("overwrite").parquet(p)
-        p
-      })
+    val fullKey = s"${s.sparkContext.applicationId}:$key"
+    // Build OUTSIDE any map lock: memoized frames nest (the LSH
+    // candidate table forces the shingle table), and a nested
+    // computeIfAbsent on one ConcurrentHashMap is a forbidden
+    // "recursive update" — it happens to work or throw depending on
+    // which hash bins the keys land in (it threw for the sf0.1 key
+    // strings and worked for sf0.01's). Racing duplicate builds are
+    // benign: each writes its own fresh dir; putIfAbsent keeps the
+    // first and the loser's dir is just unused scratch.
+    val path = Option(memo.get(fullKey)).getOrElse {
+      val p = fresh(s, name)
+      df.write.mode("overwrite").parquet(p)
+      Option(memo.putIfAbsent(fullKey, p)).getOrElse(p)
+    }
     s.read.parquet(path)
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `documents` corpus — the streaming
+  * twin of the batch curation pass (c1/c2): documents arrive as files
+  * (at scale: an object-store listing or log), each micro-batch is
+  * quality-scored, language-filtered, and mixture-sampled by the same
+  * deterministic content-hash predicate as the batch path, and
+  * retention is accounted incrementally.
+  *
+  * Everything here is stateless per row except the final aggregation,
+  * so state is bounded by the (lang, source) key space — no per-doc
+  * state, no watermark needed (the corpus has no event time). The
+  * sampling predicate is a pure function of (doc_id, source), so a doc
+  * admitted by the stream is exactly the doc the batch pass admits —
+  * replaying files, reordering micro-batches, or restarting from a
+  * checkpoint cannot change the sample.
+  */
+object CorpusStream {
+
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(DocumentsSchema)
+      .parquet(s"$dir/documents*.parquet")
+
+  /** The c1-style per-row curation: t2 quality score, language
+    * allowlist, c2 deterministic mixture predicate. Pure projection +
+    * filter — runs identically on a stream or a batch frame.
+    */
+  def curate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("punct_chars",
+        length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      .withColumn("ws_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("score",
+        when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
+          when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
+          when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+      .filter(col("score") >= 0.5 &&
+        col("lang").isin("en", "de", "es", "fr") &&
+        graft.engine.Functions.mixtureKeep)
+      .select(col("doc_id"), col("lang"), col("source"), col("ws_tokens"),
+        col("n_chars"))
+
+  /** Incremental retention accounting over the curated stream: docs and
+    * token budget per (lang, source). State = one row per key pair.
+    */
+  def retention(docs: DataFrame): DataFrame =
+    curate(docs)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("ws_tokens")).as("tokens_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+}

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming corpus curation == the same pass run as a batch") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-corpus").toString
+    val q = graft.streaming.CorpusStream
+      .retention(graft.streaming.CorpusStream.source(spark, sfDir))
+      .writeStream
+      .format("memory")
+      .queryName("corpus_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
+    val streamed = spark.table("corpus_stream")
+      .orderBy("lang", "source").collect().toSeq
+    // same curation + aggregation over the same files, as one batch
+    val batch = graft.streaming.CorpusStream
+      .retention(graft.engine.Graft.table(spark, sfDir, "documents"))
+      .orderBy("lang", "source").collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streaming slidingCounts == batch e8_sliding_window after availableNow") {
     val ckpt = Files.createTempDirectory("graft-ckpt6").toString
     val q = EventsStream.slidingCounts(EventsStream.source(spark, sfDir))
