@@ -424,25 +424,7 @@ object DedupQueries {
         "docs sharing >= 3 surviving fingerprints, via one shuffle on " +
         "the fingerprint value — never all-pairs.",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        // all 8-gram hashes in one compiled O(len) rolling pass
-        // (graft_kgram_hashes), then per-window minima (w = 4)
-        val withHs = docs.withColumn("hs",
-          expr("graft_kgram_hashes(text, 8)"))
-        val fps = withHs.select(col("doc_id"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, greatest(size(hs) - 3, 1)), " +
-              "j -> array_min(slice(hs, j, 4)))"))).as("fp"))
-        // hot-fingerprint prune as a count-over-window: ONE shuffle on
-        // fp (vs groupBy + semi-join = two extra passes over the
-        // exploded frame), and the pair join that follows needs the
-        // same fp partitioning.
-        val wFp = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))
-        val pruned = fps
-          .withColumn("nd", count(lit(1)).over(wFp))
-          .filter(col("nd") <= 10)
-          .drop("nd")
+        val pruned = winnowPruned(t(s, d, "documents"))
         val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
         val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
         a.join(b, Seq("fp"))
@@ -452,33 +434,70 @@ object DedupQueries {
           .filter(col("n_shared") >= 3)
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          "list_transform(regexp_extract_all(substr(text, CAST(i AS INTEGER), 8), '(?s).'), " +
-          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
-        s"""WITH hs AS (
-           |  SELECT doc_id,
-           |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-           |      i -> $fold) AS h
-           |  FROM documents),
-           |wins AS (
-           |  SELECT doc_id,
-           |    list_transform(range(1, greatest(len(h) - 3, 1) + 1),
-           |      j -> list_min(h[j:j+3])) AS w
-           |  FROM hs),
-           |fps AS (
-           |  SELECT DISTINCT doc_id, f.fp
-           |  FROM wins, LATERAL UNNEST(w) f(fp)),
-           |pruned AS (
-           |  SELECT doc_id, fp FROM (
-           |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
-           |    FROM fps) c
-           |  WHERE nd <= 10)
+      Some(
+        s"""WITH $WinnowPrunedSql
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  COUNT(*) AS n_shared
            |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-           |ORDER BY doc_a, doc_b""".stripMargin
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d8_split_decontam",
+      "Train-vs-eval split decontamination — the composition the two " +
+        "primitives exist for: t5's deterministic hash split assigns " +
+        "every doc to train/val/test, d6's winnowing fingerprints find " +
+        "shared >= 11-char substrings, and the report lists, per eval " +
+        "split, how many of its docs share >= 3 surviving fingerprints " +
+        "with some training doc (i.e. eval content leaked into " +
+        "training). One fingerprint shuffle, train×eval join only — " +
+        "never all-pairs, and at 100 TB the eval side is tiny so the " +
+        "join broadcasts.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val h = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+        val tagged = winnowPruned(docs).join(
+          docs.select(col("doc_id"),
+            when(h < 80, "train").when(h < 90, "val").otherwise("test")
+              .as("split")),
+          Seq("doc_id"))
+        val a = tagged.filter(col("split") === "train")
+          .select(col("doc_id").as("doc_a"), col("fp"))
+        val b = tagged.filter(col("split") =!= "train")
+          .select(col("doc_id").as("doc_b"), col("split"), col("fp"))
+        val pairs = a.join(b, Seq("fp"))
+          .groupBy(col("doc_a"), col("doc_b"), col("split"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+        pairs.groupBy(col("split"))
+          .agg(countDistinct(col("doc_b")).as("n_contaminated_eval_docs"),
+            countDistinct(col("doc_a")).as("n_contaminating_train_docs"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("split")
+      },
+      Some {
+        val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
+          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+        s"""WITH $WinnowPrunedSql,
+           |tagged AS (
+           |  SELECT p.doc_id, p.fp, s.split
+           |  FROM pruned p JOIN (
+           |    SELECT doc_id,
+           |      CASE WHEN $splitHash % 100 < 80 THEN 'train'
+           |           WHEN $splitHash % 100 < 90 THEN 'val'
+           |           ELSE 'test' END AS split
+           |    FROM documents) s USING (doc_id)),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.split AS split,
+           |    COUNT(*) AS n_shared
+           |  FROM tagged a JOIN tagged b ON a.fp = b.fp
+           |  WHERE a.split = 'train' AND b.split != 'train'
+           |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+           |SELECT split,
+           |  COUNT(DISTINCT doc_b) AS n_contaminated_eval_docs,
+           |  COUNT(DISTINCT doc_a) AS n_contaminating_train_docs,
+           |  COUNT(*) AS n_pairs
+           |FROM pairs GROUP BY 1 ORDER BY split""".stripMargin
       }),
 
     Q("d5_embedding_neardup",
@@ -573,6 +592,51 @@ object DedupQueries {
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"simhash_sigs:$d", "simhash_sigs",
       simhashDocs(Graft.table(s, d, "documents")))
+
+  /** d6/d8's pruned winnowing fingerprint frame `(doc_id, fp)`: all
+    * char-8-gram hashes in one compiled O(len) rolling pass
+    * (graft_kgram_hashes), per-4-window minima, distinct per doc, then
+    * the hot-fingerprint prune (> 10 docs) as a count-over-window — ONE
+    * shuffle on fp (vs groupBy + semi-join = two extra passes over the
+    * exploded frame), and the pair join that follows needs the same fp
+    * partitioning.
+    */
+  private def winnowPruned(docs: DataFrame): DataFrame = {
+    val withHs = docs.withColumn("hs", expr("graft_kgram_hashes(text, 8)"))
+    val fps = withHs.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(hs) - 3, 1)), " +
+          "j -> array_min(slice(hs, j, 4)))"))).as("fp"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    fps.withColumn("nd", count(lit(1)).over(wFp))
+      .filter(col("nd") <= 10)
+      .drop("nd")
+  }
+
+  /** DuckDB twin of [[winnowPruned]] — CTE chain ending in `pruned`. */
+  private val WinnowPrunedSql: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_extract_all(substr(text, CAST(i AS INTEGER), 8), '(?s).'), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |      i -> $fold) AS h
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+       |      j -> list_min(h[j:j+3])) AS w
+       |  FROM hs),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, f.fp
+       |  FROM wins, LATERAL UNNEST(w) f(fp)),
+       |pruned AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
+       |    FROM fps) c
+       |  WHERE nd <= 10)""".stripMargin
+  }
 
   /** Connected components of an undirected `(a, b)` edge frame by
     * min-label propagation WITH pointer jumping: every vertex starts

@@ -170,6 +170,28 @@ class DedupSpec extends SparkTestBase {
     cat.dropWarehouse()
   }
 
+  test("d8 catches planted eval contamination across the hash split") {
+    import spark.implicits._
+    // doc 1 hashes to train, doc 20 to test (pmod(strhash("1"),100)=49,
+    // pmod(strhash("20"),100)=98); the 62-char passage is planted in
+    // both, so winnowing must yield >= 3 shared fingerprints and the
+    // report must show exactly one contaminated test doc.
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, s"training document alpha $passage with trailing words here"),
+      (2L, "an unrelated training document about something else entirely"),
+      (20L, s"eval document beta $passage and its own distinct ending"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d8").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.all.find(_.name == "d8_split_decontam").get
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("test", 1L, 1L, 1L)))
+  }
+
   test("connected components merges transitive chains, splits islands") {
     import spark.implicits._
     // path 1-2-3 (1~3 only transitively), island 10-11, island 20-21-22
