@@ -424,7 +424,7 @@ object DedupQueries {
         "docs sharing >= 3 surviving fingerprints, via one shuffle on " +
         "the fingerprint value — never all-pairs.",
       (s, d) => {
-        val pruned = winnowPruned(t(s, d, "documents"))
+        val pruned = corpusWinnowPruned(s, d)
         val a = pruned.select(col("doc_id").as("doc_a"), col("fp"))
         val b = pruned.select(col("doc_id").as("doc_b"), col("fp"))
         a.join(b, Seq("fp"))
@@ -455,7 +455,7 @@ object DedupQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val h = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
-        val tagged = winnowPruned(docs).join(
+        val tagged = corpusWinnowPruned(s, d).join(
           docs.select(col("doc_id"),
             when(h < 80, "train").when(h < 90, "val").otherwise("test")
               .as("split")),
@@ -612,6 +612,13 @@ object DedupQueries {
       .filter(col("nd") <= 10)
       .drop("nd")
   }
+
+  /** Per-corpus memoized pruned fingerprint table (shared by d6/d8) —
+    * the fingerprint index is built once per corpus, not per consumer.
+    */
+  private def corpusWinnowPruned(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"winnow_fps:$d", "winnow_fps",
+      winnowPruned(Graft.table(s, d, "documents")))
 
   /** DuckDB twin of [[winnowPruned]] — CTE chain ending in `pruned`. */
   private val WinnowPrunedSql: String = {
