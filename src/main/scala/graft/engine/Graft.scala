@@ -17,9 +17,16 @@ object Graft {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def session(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+  /** THE session builder — every main (Run/Verify/Bench/Plans) goes
+    * through here so the config contract can't drift between entry
+    * points (a missing `nanosAsLong` in one main once broke only the
+    * paths that read `events`). `extraConf` is for per-main additions
+    * (e.g. Plans disables size-based auto-broadcast).
+    */
+  def session(appName: String = "graft", defaultCpus: String = "32",
+              extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,6 +37,7 @@ object Graft {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects by default; read as long and convert in events().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
