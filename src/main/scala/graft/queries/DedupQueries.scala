@@ -376,27 +376,7 @@ object DedupQueries {
         "(pigeonhole). Candidates come from the band equi-join (one " +
         "shuffle on (band_index, band), never all-pairs), then the exact " +
         "hamming distance bit_count(a XOR b) filters to <=3.",
-      (s, d) => {
-        // Shared signature index (see d4): memoized per corpus.
-        val sh = simhashSigs(s, d)
-        val banded = sh.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(k =>
-            shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
-            .as(Seq("k", "band")))
-        val a = banded.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sim_a"), col("k"), col("band"))
-        val b2 = banded.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sim_b"), col("k").as("k_b"),
-          col("band").as("band_b"))
-        a.join(b2, col("k") === col("k_b") && col("band") === col("band_b") &&
-            col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-              .cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => simhashNearPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH $SimhashDocsSql,
            |banded AS (
@@ -543,22 +523,9 @@ object DedupQueries {
         "cluster keyed by its surviving (minimum) doc_id. Oracle: " +
         "recursive-CTE transitive closure + MIN per vertex.",
       (s, d) => {
-        // Shared signature index (see d4): memoized per corpus.
-        val sh = simhashSigs(s, d)
-        val banded = sh.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(k =>
-            shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
-            .as(Seq("k", "band")))
-        val a = banded.select(col("doc_id").as("a"),
-          col("simhash").as("sim_a"), col("k"), col("band"))
-        val b2 = banded.select(col("doc_id").as("b"),
-          col("simhash").as("sim_b"), col("k").as("k_b"),
-          col("band").as("band_b"))
-        val edges = a.join(b2,
-            col("k") === col("k_b") && col("band") === col("band_b") &&
-              col("a") < col("b"))
-          .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
-          .select(col("a"), col("b")).distinct()
+        // Shared hamming<=3 pair table (see d4b): memoized per corpus.
+        val edges = simhashNearPairs(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
         connectedComponents(s, edges)
           .groupBy(col("l"))
           .agg(count(lit(1)).as("n_docs"), max(col("v")).as("doc_max"))
@@ -612,6 +579,32 @@ object DedupQueries {
       .filter(col("nd") <= 10)
       .drop("nd")
   }
+
+  /** Per-corpus memoized simhash hamming<=3 pair table (shared by d4b
+    * and d7): signatures from the shared index, 4x16-bit band
+    * equi-join (pigeonhole: <=3 flipped bits corrupt at most 3 bands),
+    * exact bit_count filter, distinct `(doc_a, doc_b, hamming)`.
+    */
+  private def simhashNearPairs(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"simhash_pairs:$d", "simhash_pairs", {
+      val sh = simhashSigs(s, d)
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("k", "band")))
+      val a = banded.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a"), col("k"), col("band"))
+      val b2 = banded.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b"), col("k").as("k_b"),
+        col("band").as("band_b"))
+      a.join(b2, col("k") === col("k_b") && col("band") === col("band_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    })
 
   /** Per-corpus memoized pruned fingerprint table (shared by d6/d8) —
     * the fingerprint index is built once per corpus, not per consumer.
