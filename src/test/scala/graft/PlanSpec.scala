@@ -60,6 +60,15 @@ class PlanSpec extends SparkTestBase {
     assert(windowLine.contains("event_type"), windowLine)
   }
 
+  test("c3 packing window is shard-partitioned, not global") {
+    // Sequence packing must stay shard-local: a regression to a global
+    // running-sum window would single-task the 100 TB corpus.
+    val p = formatted("c3_sequence_pack")
+    val windowLine = p.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window node found in plan:\n${p.take(1200)}"))
+    assert(windowLine.contains("lang"), windowLine)
+  }
+
   test("graft_dot runs inside whole-stage codegen over the scan") {
     // single-stage projection: AQE collapses multi-stage plans' inner
     // trees in toString, hiding the codegen markers a1 itself carries.
