@@ -370,6 +370,50 @@ object TextQueries {
           |        FROM documents) t) g
           |GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    Q("t9_vocab_topk",
+      "Vocabulary induction — the tokenizer-training precursor: corpus " +
+        "token counts, deterministic rank (count DESC, token ASC), " +
+        "top-50 with cumulative coverage share of the total token " +
+        "mass. Shape at 100 TB: one map-combinable groupBy to " +
+        "vocab-cardinality, then top-k (TakeOrderedAndProject) and a " +
+        "50-row window — the global ordering never touches corpus-" +
+        "sized data.",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("tk"))
+        val counts = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total_n"))
+        val top = counts.orderBy(col("n").desc, col("tk")).limit(50)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tk"))
+        top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum_n", sum(col("n")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .crossJoin(broadcast(total))
+          .withColumn("cum_share",
+            col("cum_n").cast("double") / col("total_n"))
+          .select(col("rank"), col("tk"), col("n"), col("cum_share"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk
+          |  FROM documents),
+          |counts AS (SELECT tk, COUNT(*) AS n FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts),
+          |top AS (SELECT tk, n FROM counts ORDER BY n DESC, tk LIMIT 50),
+          |ranked AS (
+          |  SELECT tk, n,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tk) AS BIGINT) AS rank,
+          |    CAST(SUM(n) OVER (ORDER BY n DESC, tk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+          |  FROM top)
+          |SELECT rank, tk, n,
+          |  CAST(cum_n AS DOUBLE) / (SELECT total_n FROM tot) AS cum_share
+          |FROM ranked ORDER BY rank""".stripMargin)),
+
     Q("c1_corpus_curate",
       "End-to-end corpus curation flagship — the pass an LLM training " +
         "pipeline runs before tokenization: quality-score filter (t2 " +
