@@ -485,21 +485,9 @@ object DedupQueries {
         "random-hyperplane LSH bucket (the honest scale design: the " +
         "quadratic scan runs within buckets only), exact left-fold dot " +
         "products bit-identical to the oracle, cosine >= 0.35",
-      (s, d) => {
-        val e = SimilarityQueries
-          .withBucket(t(s, d, "embeddings"), "embedding")
-          .withColumn("norm", sqrt(dot("embedding", "embedding")))
-        val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
-          col("embedding").as("ea"), col("norm").as("norm_a"))
-        val b = e.select(col("vec_id").as("vec_b"),
-          col("bucket").as("bucket_b"), col("embedding").as("eb"),
-          col("norm").as("norm_b"))
-        a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-          .withColumn("cosine", dot("ea", "eb") / (col("norm_a") * col("norm_b")))
-          .filter(col("cosine") >= 0.35)
-          .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, d) => embeddingNearPairs(s, d)
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+        .orderBy("vec_a", "vec_b"),
       Some(
         s"""WITH e AS (SELECT vec_id, embedding,
            |  ${SimilarityQueries.bucketSql("embedding")} AS bucket,
@@ -509,6 +497,41 @@ object DedupQueries {
            |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
            |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q("d9_embedding_clusters",
+      "Embedding near-dup cluster formation — the d5 cosine pair graph " +
+        "collapsed to connected components (same distributed min-label " +
+        "loop as d7, proving the helper is edge-source-agnostic): " +
+        "a~b and b~c merge even when cos(a,c) misses the threshold, " +
+        "each cluster keyed by its surviving minimum vec_id. The batch " +
+        "keep-list for semantic dedup at 100 TB: bucketed candidate " +
+        "generation, warehouse-iterated components, one row per " +
+        "cluster out.",
+      (s, d) => {
+        val edges = embeddingNearPairs(s, d)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        connectedComponents(s, edges)
+          .groupBy(col("l"))
+          .agg(count(lit(1)).as("n_vecs"), max(col("v")).as("vec_max"))
+          .select(col("l").as("cluster"), col("n_vecs"), col("vec_max"))
+          .orderBy("cluster")
+      },
+      Some(
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+           |  ${SimilarityQueries.bucketSql("embedding")} AS bucket,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35),
+           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(v, u) AS (
+           |  SELECT a AS v, a AS u FROM bidir
+           |  UNION
+           |  SELECT r.v, e2.b AS u FROM reach r JOIN bidir e2 ON r.u = e2.a),
+           |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
+           |SELECT cluster, COUNT(*) AS n_vecs, CAST(MAX(v) AS BIGINT) AS vec_max
+           |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin)),
 
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
@@ -604,6 +627,26 @@ object DedupQueries {
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
+    })
+
+  /** Per-corpus memoized embedding cosine>=0.35 pair table (shared by
+    * d5 and d9): hyperplane-LSH bucket blocking, exact left-fold dot
+    * products, `(vec_a, vec_b, bucket, cosine)`.
+    */
+  private def embeddingNearPairs(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"emb_pairs:$d", "emb_pairs", {
+      val e = SimilarityQueries
+        .withBucket(Graft.table(s, d, "embeddings"), "embedding")
+        .withColumn("norm", sqrt(dot("embedding", "embedding")))
+      val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+        col("embedding").as("ea"), col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vec_b"),
+        col("bucket").as("bucket_b"), col("embedding").as("eb"),
+        col("norm").as("norm_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine", dot("ea", "eb") / (col("norm_a") * col("norm_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
     })
 
   /** Per-corpus memoized pruned fingerprint table (shared by d6/d8) —
