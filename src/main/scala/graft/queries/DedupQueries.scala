@@ -725,7 +725,10 @@ object DedupQueries {
     // coalesce is a no-op to remove: labels stay partitioned.
     while (!done && rounds < 50) {
       val next = Scratch.materialize(s, "cc_labels", step(labels).coalesce(1))
-      val sumL = next.agg(sum(col("l"))).first().getLong(0)
+      // null-safe: an empty edge frame (no near-dup pairs at all) sums
+      // to NULL — treat as 0 so the loop terminates instead of NPEing
+      val sumRow = next.agg(sum(col("l"))).first()
+      val sumL = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       done = sumL == prevSum
       prevSum = sumL
       labels = next

@@ -192,6 +192,13 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("test", 1L, 1L, 1L)))
   }
 
+  test("connected components of an empty edge frame is empty, not a crash") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.queries.DedupQueries
+      .connectedComponents(spark, edges).count() === 0)
+  }
+
   test("connected components merges transitive chains, splits islands") {
     import spark.implicits._
     // path 1-2-3 (1~3 only transitively), island 10-11, island 20-21-22
