@@ -577,6 +577,39 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus"),
       Some(
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("x4_table_checksum",
+      "Order-independent table checksum — commutative (DECIMAL-exact) " +
+        "sum of a per-row content hash over identity columns, plus the " +
+        "row count: the migration-validation primitive for verifying a " +
+        "100 TB copy without sorting or moving either side (both " +
+        "clusters scan locally, compare two numbers). Column rendering " +
+        "is pinned to types both engines print identically (integers, " +
+        "chars, ISO dates); doubles are excluded by design — their " +
+        "shortest-repr string forms differ across engines, and a " +
+        "checksum that depends on printf details is not a contract.",
+      (s, d) => t(s, d, "lineitem")
+        .selectExpr(
+          "graft_strhash(concat_ws('|', " +
+            "cast(l_orderkey as string), cast(l_partkey as string), " +
+            "cast(l_suppkey as string), cast(l_linenumber as string), " +
+            "l_returnflag, l_linestatus, " +
+            "cast(to_date(l_shipdate) as string))) AS row_hash")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("row_hash").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("checksum")),
+      Some(
+        """SELECT COUNT(*) AS n_rows,
+          |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(regexp_extract_all(
+          |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+          |      || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+          |      || '|' || l_returnflag || '|' || l_linestatus
+          |      || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '(?s).'),
+          |      c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+          |FROM lineitem""".stripMargin))
   )
 }
