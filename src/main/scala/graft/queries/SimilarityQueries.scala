@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Graft
+import graft.engine.{Functions, Graft}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]` column).
@@ -293,6 +293,87 @@ object SimilarityQueries {
            |      ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |SELECT query_id, rank, vec_id, cosine FROM ranked
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a4_ivf_train",
+      "IVF centroid TRAINING — one exact Lloyd step with a bit-exact " +
+        "cross-engine oracle, which k-means normally can't have " +
+        "(cluster means are order-dependent float sums). Determinism " +
+        "anchors: (1) assignment distance is the index-order left-fold " +
+        "(x-y)^2 sum; (2) each cluster-dimension's values are SORTED " +
+        "then left-folded before dividing — same sorted order, same " +
+        "fold, same mean on both engines; (3) argmin ties break on " +
+        "centroid id. Init = first k vectors, assign, exact-mean " +
+        "recompute, reassign; reports per-centroid population and " +
+        "decimal-summed inertia. Scale shape: k centroids broadcast, " +
+        "assignment is one scan, means are one (cid, dim) shuffle; the " +
+        "sorted fold is the test-scale determinism anchor — at 100 TB " +
+        "swap it for fixed-point (integer) accumulation per dimension.",
+      (s, d) => {
+        val k = 8
+        val toD = "transform(embedding, x -> cast(x as double))"
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr(toD).as("v"))
+        val c0 = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, e2) -> acc + e2)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        val asg1 = e.crossJoin(broadcast(c0)).withColumn("d2", d2)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("v"))
+        val cents = asg1
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((expr("aggregate(array_sort(collect_list(x)), " +
+            "cast(0 as double), (acc, y) -> acc + y)") /
+            count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "p -> p.m)").as("c"))
+        e.crossJoin(broadcast(cents)).withColumn("d2", d2)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vecs"),
+            Functions.dsum(col("d2")).as("sum_dist2"))
+          .orderBy("cid")
+      },
+      Some {
+        def distSql(vc: String, cc: String) =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($vc, $cc), " +
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+           |asg1 AS (
+           |  SELECT vec_id, cid, v FROM (
+           |    SELECT e.vec_id, e.v, c0.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSql("e.v", "c0.c")}, c0.cid) AS rn
+           |    FROM e, c0) t WHERE rn = 1),
+           |dims AS (
+           |  SELECT cid, r.i AS pos, v[r.i] AS x
+           |  FROM asg1, LATERAL UNNEST(range(1, len(v) + 1)) r(i)),
+           |means AS (
+           |  SELECT cid, pos,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))),
+           |      (acc, y) -> acc + y) / COUNT(*) AS m
+           |  FROM dims GROUP BY cid, pos),
+           |cents AS (
+           |  SELECT cid, list(m ORDER BY pos) AS c FROM means GROUP BY cid),
+           |asg2 AS (
+           |  SELECT vec_id, cid, d2 FROM (
+           |    SELECT e.vec_id, cents.cid,
+           |      ${distSql("e.v", "cents.c")} AS d2,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${distSql("e.v", "cents.c")}, cents.cid) AS rn
+           |    FROM e, cents) t WHERE rn = 1)
+           |SELECT cid, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist2
+           |FROM asg2 GROUP BY 1 ORDER BY cid""".stripMargin
+      })
   )
 }
