@@ -78,6 +78,19 @@ class AnnSpec extends SparkTestBase {
       (4, None)))        // t=2 → before first a-rate
   }
 
+  test("a4 Lloyd step partitions the corpus: populations sum to N") {
+    val e = graft.engine.Graft.table(spark, sfDir, "embeddings")
+    val out = graft.queries.Registry.all.find(_.name == "a4_ivf_train").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every vector lands in exactly one cell; cells are drawn from the
+    // k=8 init ids; inertia is finite and non-negative
+    assert(out.map(_._2).sum === e.count())
+    assert(out.map(_._1).forall(c => c >= 0 && c < 8))
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(r => r._3 >= 0.0 && !r._3.isNaN))
+  }
+
   test("bucket signatures are deterministic across evaluations") {
     val e = graft.engine.Graft.table(spark, sfDir, "embeddings")
     val b1 = SimilarityQueries.withBucket(e, "embedding")
