@@ -719,6 +719,50 @@ object PipelineQueries {
           |  total_orders / trading_days AS avg_daily_orders,
           |  total_revenue / NULLIF(total_orders, 0) AS avg_order_value
           |FROM monthly WHERE total_revenue > 0
-          |ORDER BY year, month, country""".stripMargin))
+          |ORDER BY year, month, country""".stripMargin)),
+
+    Q("e9_funnel",
+      "First-touch funnel — users progressing view -> click -> purchase " +
+        "with STRICT event-time ordering (each stage's first qualifying " +
+        "event must be after the previous stage's): per-user conditional " +
+        "MINs chained through two joins, then three 1-row stage counts. " +
+        "Scale shape: three map-combinable per-user aggregations on the " +
+        "same user_id partitioning, no window over the raw stream, no " +
+        "per-user state beyond one timestamp per stage.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_v"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_v"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_c"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_c"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_p"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+        stage(v, "1_view")
+          .unionByName(stage(c, "2_click"))
+          .unionByName(stage(p, "3_purchase"))
+          .select(col("stage"), col("n_users"))
+          .orderBy("stage")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events),
+          |v AS (SELECT user_id, MIN(ts) AS t_v FROM ev
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, MIN(e.ts) AS t_c
+          |      FROM ev e JOIN v USING (user_id)
+          |      WHERE e.event_type = 'click' AND e.ts > v.t_v GROUP BY 1),
+          |p AS (SELECT e.user_id, MIN(e.ts) AS t_p
+          |      FROM ev e JOIN c USING (user_id)
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.t_c GROUP BY 1)
+          |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          |UNION ALL SELECT '2_click', COUNT(*) FROM c
+          |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+          |ORDER BY stage""".stripMargin))
   )
 }
