@@ -57,17 +57,27 @@ object ExcelFixtures {
     dir
   }
 
-  def xlsxPath(spark: SparkSession): String = {
-    val f = new java.io.File(scratch(spark), "retail_fixture.xlsx")
-    if (!f.exists()) writeXlsx(f.toString)
+  /** Write-to-temp-then-rename: a crash mid-write must not leave a
+    * truncated file that later calls (guarded only by exists()) treat
+    * as complete for the rest of the session.
+    */
+  private def ensure(spark: SparkSession, name: String,
+                     write: String => Unit): String = {
+    val f = new java.io.File(scratch(spark), name)
+    if (!f.exists()) {
+      val tmp = new java.io.File(scratch(spark), s"$name.tmp")
+      write(tmp.toString)
+      Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
     f.toString
   }
 
-  def xlsPath(spark: SparkSession): String = {
-    val f = new java.io.File(scratch(spark), "retail_fixture.xls")
-    if (!f.exists()) writeXls(f.toString)
-    f.toString
-  }
+  def xlsxPath(spark: SparkSession): String =
+    ensure(spark, "retail_fixture.xlsx", writeXlsx)
+
+  def xlsPath(spark: SparkSession): String =
+    ensure(spark, "retail_fixture.xls", writeXls)
 
   // ---------------------------------------------------------------- xlsx
 
@@ -112,39 +122,7 @@ object ExcelFixtures {
 
   // ----------------------------------------------------------- BIFF8 xls
 
-  private def u16(v: Int): Array[Byte] =
-    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-  private def u32(v: Long): Array[Byte] =
-    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
-  private def dbl(v: Double): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.putDouble(v); bb.array()
-  }
-  private def rec(id: Int, body: Array[Byte]): Array[Byte] =
-    u16(id) ++ u16(body.length) ++ body
-  private def str16(s: String): Array[Byte] =
-    u16(s.length) ++ Array(0.toByte) ++ s.getBytes("ISO-8859-1")
-  private def str8(s: String): Array[Byte] =
-    Array(s.length.toByte, 0.toByte) ++ s.getBytes("ISO-8859-1")
-  private def bof(substreamType: Int): Array[Byte] =
-    rec(0x0809, u16(0x0600) ++ u16(substreamType) ++ Array.fill(12)(0.toByte))
-  private val eof = rec(0x000A, Array.emptyByteArray)
-  private def xf(fmtId: Int): Array[Byte] =
-    rec(0x00E0, u16(0) ++ u16(fmtId) ++ Array.fill(16)(0.toByte))
-  private def boundSheet(pos: Long, name: String): Array[Byte] =
-    rec(0x0085, u32(pos) ++ u16(0) ++ str8(name))
-  private def sst(strings: Seq[String]): Array[Byte] =
-    rec(0x00FC, u32(strings.length) ++ u32(strings.length) ++
-      strings.flatMap(str16).toArray)
-  private def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
-    rec(0x00FD, u16(row) ++ u16(col) ++ u16(0) ++ u32(isst))
-  private def number(row: Int, col: Int, v: Double): Array[Byte] =
-    rec(0x0203, u16(row) ++ u16(col) ++ u16(0) ++ dbl(v))
-  private def rkInt(row: Int, col: Int, v: Long): Array[Byte] =
-    rec(0x027E, u16(row) ++ u16(col) ++ u16(0) ++
-      u32(((v << 2) & 0xFFFFFFFCL) | 2L))
+  import BiffWriter._
 
   private def writeXls(path: String): Unit = {
     // SST: headers first, then every distinct string value in row order
@@ -163,8 +141,8 @@ object ExcelFixtures {
       val body = rows.zipWithIndex.map {
         case ((_, inv, qty, price, d, ctry), ri) =>
           labelSst(ri + 1, 0, isst(inv)) ++
-            rkInt(ri + 1, 1, qty) ++
-            number(ri + 1, 2, price) ++
+            rkInt(ri + 1, 1, 0, qty) ++
+            number(ri + 1, 2, 0, price) ++
             labelSst(ri + 1, 3, isst(rawDesc(sheet, ri, d))) ++
             labelSst(ri + 1, 4, isst(ctry))
       }.reduce(_ ++ _)
@@ -182,14 +160,80 @@ object ExcelFixtures {
     Files.write(Paths.get(path), ole2(wb)): Unit
   }
 
+}
+
+/** THE byte-level BIFF8/OLE2 writer toolkit — one implementation shared
+  * by the fixture writer above and XlsSpec's hand-assembled workbooks,
+  * so the test helper and the fixture generator can never drift into
+  * emitting different byte layouts (mirror of the reader split:
+  * XlsSource/XlsxSource share ExcelCells).
+  */
+private[graft] object BiffWriter {
+
+  def u16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  def u32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  def dbl(v: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(v); bb.array()
+  }
+  def rec(id: Int, body: Array[Byte]): Array[Byte] =
+    u16(id) ++ u16(body.length) ++ body
+  /** BIFF8 unicode string, compressed, no rich/ext. */
+  def str16(s: String): Array[Byte] =
+    u16(s.length) ++ Array(0.toByte) ++ s.getBytes("ISO-8859-1")
+  def str8(s: String): Array[Byte] =
+    Array(s.length.toByte, 0.toByte) ++ s.getBytes("ISO-8859-1")
+  def bof(substreamType: Int): Array[Byte] =
+    rec(0x0809, u16(0x0600) ++ u16(substreamType) ++ Array.fill(12)(0.toByte))
+  val eof: Array[Byte] = rec(0x000A, Array.emptyByteArray)
+  def xf(fmtId: Int): Array[Byte] =
+    rec(0x00E0, u16(0) ++ u16(fmtId) ++ Array.fill(16)(0.toByte))
+  def format(fmtId: Int, code: String): Array[Byte] =
+    rec(0x041E, u16(fmtId) ++ str16(code))
+  def boundSheet(pos: Long, name: String): Array[Byte] =
+    rec(0x0085, u32(pos) ++ u16(0) ++ str8(name))
+  def sst(strings: Seq[String]): Array[Byte] =
+    rec(0x00FC, u32(strings.length) ++ u32(strings.length) ++
+      strings.flatMap(str16).toArray)
+  def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
+    rec(0x00FD, u16(row) ++ u16(col) ++ u16(0) ++ u32(isst))
+  def number(row: Int, col: Int, xfIdx: Int, v: Double): Array[Byte] =
+    rec(0x0203, u16(row) ++ u16(col) ++ u16(xfIdx) ++ dbl(v))
+  def rkInt(row: Int, col: Int, xfIdx: Int, v: Long,
+            div100: Boolean = false): Array[Byte] =
+    rec(0x027E, u16(row) ++ u16(col) ++ u16(xfIdx) ++
+      u32(((v << 2) & 0xFFFFFFFCL) | 2L | (if (div100) 1L else 0L)))
+  def rkFloat(row: Int, col: Int, xfIdx: Int, v: Double): Array[Byte] =
+    rec(0x027E, u16(row) ++ u16(col) ++ u16(xfIdx) ++
+      u32((java.lang.Double.doubleToLongBits(v) >>> 32) & 0xFFFFFFFCL))
+  def mulRk(row: Int, colFirst: Int,
+            vals: Seq[(Int, Int)]): Array[Byte] = // (xf, intVal)
+    rec(0x00BD, u16(row) ++ u16(colFirst) ++
+      vals.flatMap { case (x, v) =>
+        u16(x) ++ u32(((v.toLong << 2) & 0xFFFFFFFCL) | 2L)
+      }.toArray ++ u16(colFirst + vals.length - 1))
+  def boolErr(row: Int, col: Int, v: Boolean): Array[Byte] =
+    rec(0x0205, u16(row) ++ u16(col) ++ u16(0) ++
+      Array((if (v) 1 else 0).toByte, 0.toByte))
+
   /** Minimal OLE2 container (regular FAT path: stream padded >= 4096 so
     * the mini-stream is not involved). Layout: header, FAT sector,
     * directory sector, stream sectors.
     */
-  private def ole2(workbook: Array[Byte]): Array[Byte] = {
+  def ole2(workbook: Array[Byte]): Array[Byte] = {
     val targetLen = math.max(4096, ((workbook.length + 511) / 512) * 512)
     val padded = workbook ++ Array.fill(targetLen - workbook.length)(0.toByte)
     val streamSects = padded.length / 512
+    // This minimal layout allots exactly ONE FAT sector (126 stream
+    // entries + 2); a bigger workbook would silently shift the
+    // directory and corrupt the container — fail fast instead.
+    require(streamSects <= 126,
+      s"fixture workbook too large for the single-FAT-sector layout: " +
+        s"$streamSects sectors > 126")
     val fat = new ByteArrayOutputStream()
     fat.write(u32(0xFFFFFFFDL)) // sector 0 = FAT sector
     fat.write(u32(0xFFFFFFFEL)) // sector 1 = directory (end of chain)

@@ -156,6 +156,23 @@ object Functions {
     df.withColumn(as, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** The t2 quality heuristics — adds `punct_chars`, `ws_tokens`
+    * (long), and `score` columns. ONE definition shared by the batch
+    * queries (t2_quality_score, c1_corpus_curate) and the streaming
+    * curation twin (CorpusStream) so the thresholds can't drift
+    * between the paths that all claim to run "the same pass".
+    */
+  def qualityScored(df: DataFrame): DataFrame =
+    df.withColumn("punct_chars",
+        length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      .withColumn("ws_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("score",
+        when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
+          when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
+          when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+
   /** Per-source target retention weight for deterministic mixture
     * sampling (tiered by the numeric source suffix here; in practice a
     * curated mixture table). Shared by the batch (c2) and streaming

@@ -590,12 +590,20 @@ object CoreQueries {
         "shortest-repr string forms differ across engines, and a " +
         "checksum that depends on printf details is not a contract.",
       (s, d) => t(s, d, "lineitem")
+        // every column coalesced to a sentinel BEFORE concat: concat_ws
+        // would silently skip a NULL (and its delimiter), making
+        // ('a', NULL, 'b') hash like ('a', 'b', NULL) and diverging
+        // from the oracle's NULL-propagating || — NULL-free here, but
+        // the checksum must be a contract for nullable tables too
         .selectExpr(
           "graft_strhash(concat_ws('|', " +
-            "cast(l_orderkey as string), cast(l_partkey as string), " +
-            "cast(l_suppkey as string), cast(l_linenumber as string), " +
-            "l_returnflag, l_linestatus, " +
-            "cast(to_date(l_shipdate) as string))) AS row_hash")
+            "coalesce(cast(l_orderkey as string), '<null>'), " +
+            "coalesce(cast(l_partkey as string), '<null>'), " +
+            "coalesce(cast(l_suppkey as string), '<null>'), " +
+            "coalesce(cast(l_linenumber as string), '<null>'), " +
+            "coalesce(l_returnflag, '<null>'), " +
+            "coalesce(l_linestatus, '<null>'), " +
+            "coalesce(cast(to_date(l_shipdate) as string), '<null>'))) AS row_hash")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("row_hash").cast(
             org.apache.spark.sql.types.DecimalType(38, 0)))
@@ -604,10 +612,13 @@ object CoreQueries {
         """SELECT COUNT(*) AS n_rows,
           |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
           |    list_transform(regexp_extract_all(
-          |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
-          |      || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-          |      || '|' || l_returnflag || '|' || l_linestatus
-          |      || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '(?s).'),
+          |      COALESCE(CAST(l_orderkey AS VARCHAR), '<null>')
+          |      || '|' || COALESCE(CAST(l_partkey AS VARCHAR), '<null>')
+          |      || '|' || COALESCE(CAST(l_suppkey AS VARCHAR), '<null>')
+          |      || '|' || COALESCE(CAST(l_linenumber AS VARCHAR), '<null>')
+          |      || '|' || COALESCE(l_returnflag, '<null>')
+          |      || '|' || COALESCE(l_linestatus, '<null>')
+          |      || '|' || COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '<null>'), '(?s).'),
           |      c -> CAST(ascii(c) AS BIGINT))),
           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
           |FROM lineitem""".stripMargin))

@@ -84,15 +84,7 @@ object TextQueries {
       "Quality scoring — length / punctuation / token-count heuristics " +
         "combined into a per-doc score, averaged per source",
       (s, d) => {
-        val scored = t(s, d, "documents")
-          .withColumn("punct_chars",
-            length(col("text")) -
-              length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
-          .withColumn("score",
-            when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
-              when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
-              when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+        val scored = Functions.qualityScored(t(s, d, "documents"))
         scored.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             Functions.dsum(col("score")).as("total_score"))
@@ -423,16 +415,7 @@ object TextQueries {
         "100 TB: one scan, one dedup shuffle on the 16-byte digest, one " +
         "small final aggregation.",
       (s, d) => {
-        val scored = t(s, d, "documents")
-          .withColumn("punct_chars",
-            length(col("text")) -
-              length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-          .withColumn("ws_tokens",
-            size(split(trim(col("text")), "\\s+")).cast("long"))
-          .withColumn("score",
-            when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
-              when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
-              when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+        val scored = Functions.qualityScored(t(s, d, "documents"))
         val kept = scored
           .filter(col("score") >= 0.5 && col("lang").isin("en", "de", "es", "fr"))
         val deduped = kept

@@ -38,16 +38,7 @@ object CorpusStream {
     * filter — runs identically on a stream or a batch frame.
     */
   def curate(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("punct_chars",
-        length(col("text")) -
-          length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-      .withColumn("ws_tokens",
-        size(split(trim(col("text")), "\\s+")).cast("long"))
-      .withColumn("score",
-        when(length(col("text")) >= 200, 0.5).otherwise(0.0) +
-          when(col("punct_chars") === 0, 0.25).otherwise(0.0) +
-          when(col("ws_tokens") >= 30, 0.25).otherwise(0.0))
+    graft.engine.Functions.qualityScored(docs)
       .filter(col("score") >= 0.5 &&
         col("lang").isin("en", "de", "es", "fr") &&
         graft.engine.Functions.mixtureKeep)
