@@ -40,6 +40,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // Settle between queries: drop any cached relations the previous
+        // query pinned and let the driver heap recover before the timer
+        // starts. Round-7 isolation runs showed the full-bench numbers
+        // for the pipe→t3 block inflated 5-13x (r1 10.1 s vs 1.2 s
+        // isolated) by predecessor state — GC pauses from pipe's large
+        // fused plan and s1/s3's driver-side workbook generation billed
+        // to whatever ran next. Durable scratch (parquet) is unaffected.
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(200)
+        System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }

@@ -13,7 +13,83 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the warehouse root is an object-store prefix and saves pass
   * `partitionBy` so downstream scans prune partitions.
   */
+/** Order-independent table checksum — the migration-validation
+  * primitive for verifying a 100 TB copy without sorting or moving
+  * either side: both clusters scan locally and compare two numbers
+  * (row count + commutative DECIMAL-exact sum of a per-row content
+  * hash). One column list drives BOTH the Spark expression and the
+  * DuckDB twin SQL, so the two renderings cannot drift.
+  *
+  * Column rendering is pinned to types both engines print identically:
+  * integers, booleans, strings, dates; timestamps render at date
+  * granularity (time-of-day printf differs across engines). Floats /
+  * doubles / decimals are REJECTED loudly — their shortest-repr string
+  * forms differ across engines, and a checksum that depends on printf
+  * details is not a contract.
+  */
+object Checksum {
+  sealed trait Kind
+  /** integers / booleans — `CAST(c AS VARCHAR)` prints identically. */
+  case object IntLike extends Kind
+  case object Str extends Kind
+  /** DATE column, rendered ISO. */
+  case object DateLike extends Kind
+  /** TIMESTAMP column, rendered at DATE granularity. */
+  case object TsDay extends Kind
+
+  private def sparkRender(c: String, k: Kind): String = k match {
+    case Str     => s"coalesce($c, '<null>')"
+    case TsDay   => s"coalesce(cast(to_date($c) as string), '<null>')"
+    case _       => s"coalesce(cast($c as string), '<null>')"
+  }
+  private def duckRender(c: String, k: Kind): String = k match {
+    case Str     => s"COALESCE($c, '<null>')"
+    case TsDay   => s"COALESCE(CAST(CAST($c AS DATE) AS VARCHAR), '<null>')"
+    case _       => s"COALESCE(CAST($c AS VARCHAR), '<null>')"
+  }
+
+  /** One-row `(n_rows, checksum)` frame over `df`. Every column is
+    * coalesced to a sentinel BEFORE concat: concat_ws would silently
+    * skip a NULL (and its delimiter), making ('a', NULL, 'b') hash like
+    * ('a', 'b', NULL) and diverging from the oracle's NULL-propagating
+    * `||`.
+    */
+  def of(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
+    cols.foreach { case (c, _) =>
+      val dt = df.schema(c).dataType.typeName
+      require(dt != "double" && dt != "float" && !dt.startsWith("decimal"),
+        s"checksum over $c: $dt excluded by design (cross-engine printf)")
+    }
+    val row = cols.map { case (c, k) => sparkRender(c, k) }.mkString(", ")
+    df.selectExpr(s"graft_strhash(concat_ws('|', $row)) AS row_hash")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("row_hash")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("checksum"))
+  }
+
+  /** The DuckDB twin for the same column list (the t5-proven
+    * list_reduce fold = graft_strhash bit-for-bit).
+    */
+  def duckSql(table: String, cols: Seq[(String, Kind)]): String = {
+    val row = cols.map { case (c, k) => duckRender(c, k) }
+      .mkString(" || '|' || ")
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_extract_all($row, '(?s).'),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+       |FROM $table""".stripMargin
+  }
+}
+
 final class Catalog(val spark: SparkSession, val warehouse: String) {
+
+  /** Order-independent checksum of a warehouse table (see [[Checksum]]). */
+  def checksum(name: String, cols: Seq[(String, Checksum.Kind)]): DataFrame =
+    Checksum.of(table(name), cols)
 
   /** S6/M2: CTAS — materialize and (re-)register. `sortBy` reproduces
     * the reference's ORDER BY-in-CTAS clustering (O1: layout, not

@@ -59,16 +59,23 @@ object ExcelFixtures {
 
   /** Write-to-temp-then-rename: a crash mid-write must not leave a
     * truncated file that later calls (guarded only by exists()) treat
-    * as complete for the rest of the session.
+    * as complete for the rest of the session. The temp name is unique
+    * per call (not a shared `$name.tmp`): two concurrent callers — e.g.
+    * parallel test suites sharing one SparkSession — would otherwise
+    * interleave bytes into the same temp path and the first ATOMIC_MOVE
+    * could publish a corrupt fixture. With unique temps each writer
+    * completes its own file; the moves race benignly (REPLACE_EXISTING,
+    * identical deterministic bytes).
     */
   private def ensure(spark: SparkSession, name: String,
                      write: String => Unit): String = {
     val f = new java.io.File(scratch(spark), name)
     if (!f.exists()) {
-      val tmp = new java.io.File(scratch(spark), s"$name.tmp")
+      val tmp = java.io.File.createTempFile(s"$name.", ".tmp", scratch(spark))
       write(tmp.toString)
       Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
     f.toString
   }

@@ -179,7 +179,12 @@ object Functions {
     * (CorpusStream) curation paths so the two can never drift.
     */
   def mixtureWeight: Column = {
-    val srcnum = substring(col("source"), 4, 10).cast("int")
+    // try_cast of the full suffix (not a length-capped substring): both
+    // engines agree on suffixes longer than 10 digits (NULL via overflow)
+    // and on non-numeric sources (NULL, weight tier 0.1) — DuckDB's plain
+    // CAST would throw where Spark yields NULL, so the oracles mirror
+    // TRY_CAST too.
+    val srcnum = expr("try_cast(substr(source, 4) as int)")
     when(srcnum < 5, 1.0).when(srcnum < 10, 0.5)
       .when(srcnum < 15, 0.25).otherwise(0.1)
   }

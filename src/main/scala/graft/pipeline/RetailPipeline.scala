@@ -241,31 +241,42 @@ object RetailPipeline {
       .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
         na("n_name").as("country"))
 
-  /** The same 8-stage dataflow fused into ONE lazy plan — no
-    * materialization barriers, so Catalyst optimizes across every stage
-    * boundary (the alternative architecture SURVEY.md §4 notes would be
-    * faster but breaks the per-stage table contract; both are offered).
+  /** The same 8-stage dataflow fused into ONE plan with a single
+    * materialization barrier — the staging join — so Catalyst optimizes
+    * across every other stage boundary (the alternative architecture
+    * SURVEY.md §4 notes; both staged and fused are offered).
     * Applies the SAME null-handling as the staged build: not-null
     * filters on stock/qty/price, customer_id coalesced to -1, and the
     * UNKNOWN-country fallback (left join + coalesce stands in for the
     * always-present -1 dim row). Oracle-checked end-to-end by
     * `pipe_monthly_summary`.
+    *
+    * Why the one barrier: `gbp` and `eur` below both derive from the
+    * staging join (lineitem⋈orders⋈part), and Catalyst has no common
+    * subexpression reuse across a self-join — a fully lazy plan computes
+    * the biggest join in the system twice (the j6 double-scan, fixed the
+    * same way: scratch-materialize the shared frame once, pruned to the
+    * seven columns downstream actually reads). At 100 TB one staged
+    * write of the pruned staging frame is strictly cheaper than a second
+    * full scan+join of the fact table.
     */
   def monthlySummaryLazy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Graft.table(spark, sfDir, "orders")
     val cu = Graft.table(spark, sfDir, "customer")
     val na = Graft.table(spark, sfDir, "nation")
-    val raw = rawSales(spark, sfDir)
-      .filter($"stock_code".isNotNull && $"qty".isNotNull &&
-        $"unit_price".isNotNull)
-      .withColumn("date", to_date($"invoice_ts"))
-      .withColumn("customer_id", coalesce($"customer_id", lit(-1L)))
-      .withColumn("net_amount", $"qty" * $"unit_price")
+    val raw = graft.queries.Scratch.materialize(spark, "pipe_raw",
+      rawSales(spark, sfDir)
+        .filter($"stock_code".isNotNull && $"qty".isNotNull &&
+          $"unit_price".isNotNull)
+        .withColumn("date", to_date($"invoice_ts"))
+        .withColumn("customer_id", coalesce($"customer_id", lit(-1L)))
+        .withColumn("net_amount", $"qty" * $"unit_price")
+        .select($"invoice_no", $"stock_code", $"date", $"customer_id",
+          $"status", $"qty", $"net_amount"))
     val rates = dailyRates(o)
     val country = customerCountry(cu, na)
-    val gbp = raw.select($"invoice_no", $"stock_code", $"date",
-      $"customer_id", $"status", $"qty", $"net_amount")
+    val gbp = raw
     val eur = raw.join(broadcast(rates), Seq("date"))
       .select($"invoice_no", $"stock_code", $"date", $"customer_id",
         ($"net_amount" / $"rate").as("net_amount_eur"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Functions, Graft}
+import graft.engine.{Checksum, Functions, Graft}
 
 /** Relational operator coverage over the driver testdata (SURVEY.md §2).
   *
@@ -584,43 +584,30 @@ object CoreQueries {
         "sum of a per-row content hash over identity columns, plus the " +
         "row count: the migration-validation primitive for verifying a " +
         "100 TB copy without sorting or moving either side (both " +
-        "clusters scan locally, compare two numbers). Column rendering " +
-        "is pinned to types both engines print identically (integers, " +
-        "chars, ISO dates); doubles are excluded by design — their " +
-        "shortest-repr string forms differ across engines, and a " +
-        "checksum that depends on printf details is not a contract.",
-      (s, d) => t(s, d, "lineitem")
-        // every column coalesced to a sentinel BEFORE concat: concat_ws
-        // would silently skip a NULL (and its delimiter), making
-        // ('a', NULL, 'b') hash like ('a', 'b', NULL) and diverging
-        // from the oracle's NULL-propagating || — NULL-free here, but
-        // the checksum must be a contract for nullable tables too
-        .selectExpr(
-          "graft_strhash(concat_ws('|', " +
-            "coalesce(cast(l_orderkey as string), '<null>'), " +
-            "coalesce(cast(l_partkey as string), '<null>'), " +
-            "coalesce(cast(l_suppkey as string), '<null>'), " +
-            "coalesce(cast(l_linenumber as string), '<null>'), " +
-            "coalesce(l_returnflag, '<null>'), " +
-            "coalesce(l_linestatus, '<null>'), " +
-            "coalesce(cast(to_date(l_shipdate) as string), '<null>'))) AS row_hash")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("row_hash").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("double").as("checksum")),
-      Some(
-        """SELECT COUNT(*) AS n_rows,
-          |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    list_transform(regexp_extract_all(
-          |      COALESCE(CAST(l_orderkey AS VARCHAR), '<null>')
-          |      || '|' || COALESCE(CAST(l_partkey AS VARCHAR), '<null>')
-          |      || '|' || COALESCE(CAST(l_suppkey AS VARCHAR), '<null>')
-          |      || '|' || COALESCE(CAST(l_linenumber AS VARCHAR), '<null>')
-          |      || '|' || COALESCE(l_returnflag, '<null>')
-          |      || '|' || COALESCE(l_linestatus, '<null>')
-          |      || '|' || COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '<null>'), '(?s).'),
-          |      c -> CAST(ascii(c) AS BIGINT))),
-          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
-          |FROM lineitem""".stripMargin))
+        "clusters scan locally, compare two numbers). One column list " +
+        "drives both the Spark expression and the DuckDB twin " +
+        "(engine.Checksum), so the renderings cannot drift; doubles are " +
+        "rejected by design — their shortest-repr string forms differ " +
+        "across engines, and a checksum that depends on printf details " +
+        "is not a contract.",
+      (s, d) => Checksum.of(t(s, d, "lineitem"), LineitemChecksumCols),
+      Some(Checksum.duckSql("lineitem", LineitemChecksumCols))),
+
+    Q("x5_orders_checksum",
+      "The same checksum contract over a second table (orders) through " +
+        "the generic engine.Checksum helper — proves the primitive is " +
+        "table-agnostic, not a lineitem-specific query.",
+      (s, d) => Checksum.of(t(s, d, "orders"), OrdersChecksumCols),
+      Some(Checksum.duckSql("orders", OrdersChecksumCols)))
   )
+
+  import Checksum.{IntLike, Str, TsDay}
+  private val LineitemChecksumCols: Seq[(String, Checksum.Kind)] = Seq(
+    "l_orderkey" -> IntLike, "l_partkey" -> IntLike, "l_suppkey" -> IntLike,
+    "l_linenumber" -> IntLike, "l_returnflag" -> Str, "l_linestatus" -> Str,
+    "l_shipdate" -> TsDay)
+  private val OrdersChecksumCols: Seq[(String, Checksum.Kind)] = Seq(
+    "o_orderkey" -> IntLike, "o_custkey" -> IntLike,
+    "o_orderstatus" -> Str, "o_orderpriority" -> Str,
+    "o_orderdate" -> TsDay)
 }

@@ -54,15 +54,15 @@ object CurationQueries {
           |  CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_kept,
           |  CAST(SUM(ws_tokens) FILTER (kept) AS BIGINT) AS tokens_kept
           |FROM (
-          |  SELECT source, CAST(substr(source, 4) AS INT) AS srcnum,
+          |  SELECT source, TRY_CAST(substr(source, 4) AS INT) AS srcnum,
           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
           |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
           |       list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR) || ':' || source, '(?s).'),
           |         c -> CAST(ascii(c) AS BIGINT))),
           |       (acc, c) -> (acc * 31 + c) % 1000000007) % 1000)
-          |      < (CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
-          |              WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
-          |              WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+          |      < (CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+          |              WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+          |              WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 0.25
           |              ELSE 0.1 END) * 1000 AS kept
           |  FROM documents) t
           |GROUP BY source, srcnum ORDER BY source""".stripMargin)),

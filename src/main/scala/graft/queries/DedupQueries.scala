@@ -695,6 +695,23 @@ object DedupQueries {
     * per-round diff join. Returns `(v, l)` = vertex → component label
     * (the component's min vertex).
     */
+  /** One min-label propagation round: min over (own label, labels
+    * across edges, label-of-label). Package-visible so PlanSpec can
+    * assert the round plan carries no single-partition stage — the
+    * label table is O(corpus) at web dup rates, so a hardcoded
+    * `coalesce(1)` here would serialize the flagship dedup operator.
+    */
+  private[graft] def ccStep(bd: DataFrame, lb: DataFrame): DataFrame = {
+    val viaEdges = bd.join(lb, bd("a") === lb("v"))
+      .select(bd("b").as("v"), col("l"))
+    val viaLabels = lb.select(col("v"), col("l").as("mid"))
+      .join(lb.select(col("v").as("mid2"), col("l").as("l2")),
+        col("mid") === col("mid2"))
+      .select(col("v"), col("l2").as("l"))
+    lb.union(viaEdges).union(viaLabels)
+      .groupBy("v").agg(min(col("l")).as("l"))
+  }
+
   private[graft] def connectedComponents(s: SparkSession,
                                          edges: DataFrame): DataFrame = {
     val bd = Scratch.materialize(s, "cc_edges",
@@ -702,29 +719,19 @@ object DedupQueries {
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
     var labels = Scratch.materialize(s, "cc_labels",
       bd.select(col("a").as("v")).distinct().withColumn("l", col("v")))
-    // One min-label propagation step: min over (own label, labels
-    // across edges, label-of-label).
-    def step(lb: DataFrame): DataFrame = {
-      val viaEdges = bd.join(lb, bd("a") === lb("v"))
-        .select(bd("b").as("v"), col("l"))
-      val viaLabels = lb.select(col("v"), col("l").as("mid"))
-        .join(lb.select(col("v").as("mid2"), col("l").as("l2")),
-          col("mid") === col("mid2"))
-        .select(col("v"), col("l2").as("l"))
-      lb.union(viaEdges).union(viaLabels)
-        .groupBy("v").agg(min(col("l")).as("l"))
-    }
+    def step(lb: DataFrame): DataFrame = ccStep(bd, lb)
     var prevSum = -1L
     var rounds = 0
     var done = false
     // O(log diameter) rounds (the pointer-jump term doubles reach);
-    // the cap only guards corrupt input. Label tables are tiny relative
-    // to the corpus (only near-dup participants), so each round's cost
-    // at test scale is fixed job overhead — coalesce(1) keeps the
-    // per-round parquet write/read single-file. At cluster scale the
-    // coalesce is a no-op to remove: labels stay partitioned.
+    // the cap only guards corrupt input. The step ends in a groupBy
+    // shuffle, so AQE right-sizes the per-round partition count for
+    // whatever the label table actually is — a handful of files at test
+    // scale, full parallelism when the table is O(corpus) (at web dup
+    // rates "near-dup participants" IS O(corpus), so no hardcoded
+    // single-partition stage may sit in this loop).
     while (!done && rounds < 50) {
-      val next = Scratch.materialize(s, "cc_labels", step(labels).coalesce(1))
+      val next = Scratch.materialize(s, "cc_labels", step(labels))
       // null-safe: an empty edge frame (no near-dup pairs at all) sums
       // to NULL — treat as 0 so the loop terminates instead of NPEing
       val sumRow = next.agg(sum(col("l"))).first()

@@ -395,6 +395,20 @@ object PipelineQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    Q("e1s_hourly_window_stream",
+      "§2.12 driver-visible streaming row: the SAME tumbling-window " +
+        "topology as e1 executed BY THE STREAMING ENGINE — file-stream " +
+        "source, stateful window aggregation, Trigger.AvailableNow " +
+        "one-shot — and hash-checked against e1's DuckDB oracle. The " +
+        "streaming extension is gated by the same cross-engine " +
+        "comparison as every batch operator, not only by spec parity.",
+      (s, d) => graft.streaming.EventsStream.hourlyCountsOneShot(s, d),
+      Some(
+        """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
     Q("e8_sliding_window",
       "Sliding 1-hour windows every 15 minutes — each event lands in " +
         "exactly 4 overlapping windows (Spark expands via the window() " +

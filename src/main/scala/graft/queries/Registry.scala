@@ -54,6 +54,14 @@ object Scratch {
     * every input the frame depends on (callers embed the sf dir);
     * scratch roots are per-applicationId, so keys never outlive or
     * cross sessions.
+    *
+    * CONTRACT: the input directory named in the key must be immutable
+    * for the session — the key encodes the PATH, not the contents, so
+    * rewriting a file under a keyed dir (e.g. an ingest appending to a
+    * corpus dir) would silently replay a stale derived index. The
+    * testdata sf dirs are read-only, satisfying this; anything mutable
+    * (ingest batches, fixtures in reused temp dirs) must go through
+    * [[materialize]]/[[fresh]] instead, never a memoized key.
     */
   def memoized(s: SparkSession, key: String, name: String,
                df: => DataFrame): DataFrame = {

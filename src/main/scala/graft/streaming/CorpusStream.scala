@@ -28,10 +28,17 @@ object CorpusStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  // Matches exactly `documents.parquet`, nothing else: the batch twin
+  // reads exactly that path, and a `documents*` prefix glob would ingest
+  // siblings (documents_v2.parquet) only on the stream side, breaking
+  // the stream==batch parity StreamingSpec asserts. The one-char
+  // character class keeps the string a glob — the file-stream source
+  // rejects a bare file path (basePath must be a directory or glob) —
+  // while matching only the literal name.
   def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(DocumentsSchema)
-      .parquet(s"$dir/documents*.parquet")
+      .parquet(s"$dir/documents.parque[t]")
 
   /** The c1-style per-row curation: t2 quality score, language
     * allowlist, c2 deterministic mixture predicate. Pure projection +

@@ -36,23 +36,57 @@ object EventsStream {
   def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(EventsSchema)
-      // glob, not the bare file: the file stream source requires its
-      // basePath to be a directory.
-      .parquet(s"$dir/events*.parquet")
+      // A glob, not the bare file (the file stream source requires its
+      // basePath to be a directory or glob) — but one that matches ONLY
+      // the literal name the batch twin reads: a `events*` prefix glob
+      // would ingest siblings (events_old.parquet) on the stream side
+      // only, breaking stream==batch parity.
+      .parquet(s"$dir/events.parque[t]")
       .withColumn("ts",
         timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
 
   /** Tumbling 1-hour window counts per event type with a 1-hour
-    * watermark — the incremental twin of `e1_hourly_window`.
+    * watermark — the incremental twin of `e1_hourly_window`. The value
+    * sum accumulates in exact DECIMAL ([[graft.engine.Functions.dsum]],
+    * same as the batch twin): micro-batch boundaries reorder the float
+    * additions, and an order-dependent double sum would drift from the
+    * batch/oracle result by ulps.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        graft.engine.Functions.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** One-shot streaming execution of [[hourlyCounts]]: process every
+    * file currently in the events directory (`Trigger.AvailableNow`),
+    * emit the full window set, terminate, and return the result as a
+    * batch frame. Complete output mode because the run is a bounded
+    * replay hash-checked against the batch oracle — append mode would
+    * withhold every window the final watermark hasn't passed, which for
+    * a bounded input is the tail of the data. The memory sink is the
+    * bounded-replay harness shape; the unbounded production shape
+    * (parquet/Kafka sink, append mode, watermark eviction) is exercised
+    * by StreamingSpec.
+    */
+  def hourlyCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"e1s_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = hourlyCounts(source(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "e1s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sink)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
 
   /** Sliding 1-hour windows every 15 minutes with a 1-hour watermark —
     * the incremental twin of `e8_sliding_window`. State per key-window

@@ -96,6 +96,21 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("connected-components round plan has no single-partition stage") {
+    // The per-round label write used to carry a hardcoded coalesce(1):
+    // fine at fixture scale, a serialized single task per round when the
+    // label table is O(corpus). The round must end in an ordinary
+    // aggregate shuffle that AQE right-sizes.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    val labels = docs.select(col("a").as("v"), col("a").as("l"))
+    val p = graft.queries.DedupQueries.ccStep(docs, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Coalesce 1"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+  }
+
   test("queries project only needed columns from wide tables") {
     val p = formatted("g4_conditional_distinct")
     val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString
