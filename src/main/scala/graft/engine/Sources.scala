@@ -167,10 +167,13 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
         .flatMap(_ \ "Relationship")
         .map(r => (r \@ "Id") -> (r \@ "Target").stripPrefix("/xl/"))
         .toMap
-      val shared = part("xl/sharedStrings.xml").toSeq
-        .flatMap(_ \ "si")
-        .map(si => (si \\ "t").map(_.text).mkString)
-        .toIndexedSeq
+      // Shared strings + sheet grids are parsed with StAX, not DOM: the
+      // production workbook shape is ~1M rows (~150 MB of sheet XML and
+      // a 60K+-entry SST), where a DOM would cost GBs of heap and
+      // minutes of driver time. Small catalog parts stay DOM.
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => XlsxStax.sharedStrings(zip.getInputStream(e)))
+        .getOrElse(IndexedSeq.empty)
       // styles: cell style index -> (isDate, hasTime) via numFmt lookup
       val styles = part("xl/styles.xml")
       val customFmts = styles.toSeq.flatMap(_ \ "numFmts" \ "numFmt")
@@ -190,43 +193,212 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
       }.filter(_._2.nonEmpty)
       require(sheets.nonEmpty, s"no sheets found in $path")
 
+      // Parse-once-at-the-edge, stage-columnar: each sheet streams
+      // through StAX into a JSONL spill file (bounded driver memory —
+      // one row in flight), then Spark reads the spills with an explicit
+      // schema so the cast/trim/tag path is distributed.
+      val spillRoot = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_xlsx_spill_")
       val frames = sheets.map { case (sheetName, target) =>
-        val sheetXml = part(s"xl/$target").getOrElse(
+        val entry = Option(zip.getEntry(s"xl/$target")).getOrElse(
           throw new IllegalArgumentException(s"missing part xl/$target"))
-        val grid = (sheetXml \ "sheetData" \ "row").map { row =>
-          (row \ "c").zipWithIndex.flatMap { case (c, pos) =>
-            // OOXML allows cells without an r= ref (positional); fall
-            // back to the cell's position in the row for those.
-            val letters = (c \@ "r").takeWhile(_.isLetter)
-            val colIdx =
-              if (letters.isEmpty) pos
-              else letters.foldLeft(0)(
-                (acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
-            val v = (c \@ "t") match {
-              case "s" => (c \ "v").headOption
-                .flatMap(n => shared.lift(n.text.trim.toInt))
-              case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
-              case "b" => (c \ "v").headOption
-                .map(n => if (n.text.trim == "1") "true" else "false")
-              case "str" => (c \ "v").headOption.map(_.text)
-              case _ => // numeric: date-formatted serials decode to ISO
-                val cellStyle = (c \@ "s").toIntOption
-                  .flatMap(styleIsDate.lift)
-                (c \ "v").headOption.map(_.text).map { raw =>
-                  cellStyle match {
-                    case Some((true, withTime)) =>
-                      raw.trim.toDoubleOption
-                        .map(ExcelCells.serialToIso(_, withTime)).getOrElse(raw)
-                    case _ => raw
-                  }
-                }
-            }
-            v.map(colIdx -> _)
-          }.toMap
-        }
-        sheetName -> grid
+        val spill = spillRoot.resolve(
+          s"sheet_${java.lang.Integer.toHexString(sheetName.hashCode)}.jsonl")
+        XlsxStax.sheetToJsonl(zip.getInputStream(entry), shared, styleIsDate,
+          spill)
+        val allString = StructType(schema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name,
+            org.apache.spark.sql.types.StringType)))
+        spark.read.schema(allString).json(spill.toString)
+          .select(schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+          .withColumn("source_sheet", lit(sheetName))
       }
-      ExcelCells.sheetsToDf(spark, schema, frames)
+      frames.reduce(_ unionByName _)
     } finally zip.close()
+  }
+}
+
+/** StAX (streaming) parsers for the two big xlsx parts. Cell semantics
+  * are identical to the former DOM path (oracle-gated by s1/u2 and
+  * XlsxSpec): `t`-attribute dispatch (shared string / inlineStr / bool /
+  * formula-str / numeric), date-styled serials decoded to ISO via
+  * [[ExcelCells]], values trimmed, missing cells NULL, row 1 = header.
+  */
+private[engine] object XlsxStax {
+
+  private def factory: javax.xml.stream.XMLInputFactory = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_NAMESPACE_AWARE, true)
+    f
+  }
+
+  /** sharedStrings.xml → SST table: every `t` descendant of an `si`
+    * concatenated (rich-text runs), same as the former DOM
+    * `(si \\ "t").map(_.text).mkString`.
+    */
+  def sharedStrings(in: java.io.InputStream): IndexedSeq[String] = {
+    val out = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    val r = factory.createXMLStreamReader(in)
+    val sb = new java.lang.StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; sb.setLength(0)
+              case "t" if inSi => inT = true
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS
+               | javax.xml.stream.XMLStreamConstants.CDATA =>
+            if (inT) sb.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += sb.toString
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One worksheet → JSONL spill: row 1 becomes the key set (header
+    * names, trimmed; `_cN` for columns past the header), every later
+    * row becomes one JSON object of the present cells (trimmed). One
+    * row in flight — memory is O(row), not O(sheet).
+    */
+  def sheetToJsonl(in: java.io.InputStream, shared: IndexedSeq[String],
+                   styleIsDate: IndexedSeq[(Boolean, Boolean)],
+                   out: java.nio.file.Path): Unit = {
+    val w = java.nio.file.Files.newBufferedWriter(out,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val r = factory.createXMLStreamReader(in)
+    var header: Map[Int, String] = null
+    var rowCells = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var cellPos = 0
+    // current-cell state
+    var cType = ""
+    var cIdx = 0
+    var cStyle: Option[(Boolean, Boolean)] = None
+    var inV = false
+    var vSeen = false
+    var inIsT = false
+    var inRow = false
+    val vText = new java.lang.StringBuilder
+    val isText = new java.lang.StringBuilder
+    def keyOf(i: Int): String =
+      header.getOrElse(i, s"_c$i")
+    def endCell(): Unit = {
+      val v: Option[String] = cType match {
+        case "s" =>
+          if (!vSeen) None
+          else vText.toString.trim.toIntOption.flatMap(shared.lift)
+        case "inlineStr" => Some(isText.toString)
+        case "b" =>
+          if (!vSeen) None
+          else Some(if (vText.toString.trim == "1") "true" else "false")
+        case "str" => if (vSeen) Some(vText.toString) else None
+        case _ =>
+          if (!vSeen) None
+          else {
+            val raw = vText.toString
+            cStyle match {
+              case Some((true, withTime)) =>
+                Some(raw.trim.toDoubleOption
+                  .map(ExcelCells.serialToIso(_, withTime)).getOrElse(raw))
+              case _ => Some(raw)
+            }
+          }
+      }
+      v.foreach(s => rowCells += cIdx -> s)
+    }
+    def endRow(): Unit = {
+      if (header == null) {
+        header = rowCells.map { case (i, s) => i -> s.trim }.toMap
+      } else {
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        var first = true
+        rowCells.foreach { case (i, s) =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(jsonEscape(keyOf(i))).append("\":\"")
+            .append(jsonEscape(s.trim)).append('"')
+        }
+        sb.append('}')
+        w.write(sb.toString)
+        w.newLine()
+      }
+      rowCells = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    }
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => inRow = true; cellPos = 0
+              case "c" if inRow =>
+                val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+                val letters = ref.takeWhile(_.isLetter)
+                cIdx =
+                  if (letters.isEmpty) cellPos
+                  else letters.foldLeft(0)(
+                    (acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+                cellPos += 1
+                cType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                cStyle = Option(r.getAttributeValue(null, "s"))
+                  .flatMap(_.toIntOption).flatMap(styleIsDate.lift)
+                vText.setLength(0); isText.setLength(0)
+                inV = false; vSeen = false
+              case "v" => inV = true; vSeen = true
+              case "t" => inIsT = true
+              case _ => ()
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS
+               | javax.xml.stream.XMLStreamConstants.CDATA =>
+            if (inV) vText.append(r.getText)
+            else if (inIsT) isText.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "c" if inRow => endCell()
+              case "row" if inRow => endRow(); inRow = false
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally {
+      r.close()
+      w.close()
+    }
+    require(header != null, s"sheet is empty (no header row): $out")
   }
 }
