@@ -696,20 +696,23 @@ object DedupQueries {
     * (the component's min vertex).
     */
   /** One min-label propagation round: min over (own label, labels
-    * across edges, label-of-label). Package-visible so PlanSpec can
-    * assert the round plan carries no single-partition stage — the
-    * label table is O(corpus) at web dup rates, so a hardcoded
-    * `coalesce(1)` here would serialize the flagship dedup operator.
+    * across edges, label-of-label), expressed as ONE join — the three
+    * terms are encoded as message edges `(src, dst)` meaning "dst
+    * receives src's label": real edges (bd), self edges (v keeps its
+    * own label), and pointer edges (l(v) → v, delivering l(l(v)) — the
+    * doubling term). A single shuffle of the label table per round
+    * instead of the two the 2-join formulation paid. Package-visible so
+    * PlanSpec can assert the round plan carries no single-partition
+    * stage — the label table is O(corpus) at web dup rates, so a
+    * hardcoded `coalesce(1)` here would serialize the flagship dedup
+    * operator.
     */
   private[graft] def ccStep(bd: DataFrame, lb: DataFrame): DataFrame = {
-    val viaEdges = bd.join(lb, bd("a") === lb("v"))
-      .select(bd("b").as("v"), col("l"))
-    val viaLabels = lb.select(col("v"), col("l").as("mid"))
-      .join(lb.select(col("v").as("mid2"), col("l").as("l2")),
-        col("mid") === col("mid2"))
-      .select(col("v"), col("l2").as("l"))
-    lb.union(viaEdges).union(viaLabels)
-      .groupBy("v").agg(min(col("l")).as("l"))
+    val messages = bd.select(col("a").as("src"), col("b").as("dst"))
+      .union(lb.select(col("v").as("src"), col("v").as("dst")))
+      .union(lb.select(col("l").as("src"), col("v").as("dst")))
+    messages.join(lb, messages("src") === lb("v"))
+      .groupBy(col("dst").as("v")).agg(min(col("l")).as("l"))
   }
 
   private[graft] def connectedComponents(s: SparkSession,
@@ -726,20 +729,37 @@ object DedupQueries {
     // O(log diameter) rounds (the pointer-jump term doubles reach);
     // the cap only guards corrupt input. The step ends in a groupBy
     // shuffle, so AQE right-sizes the per-round partition count for
-    // whatever the label table actually is — a handful of files at test
+    // whatever the label table actually is — a handful of tasks at test
     // scale, full parallelism when the table is O(corpus) (at web dup
     // rates "near-dup participants" IS O(corpus), so no hardcoded
     // single-partition stage may sit in this loop).
+    //
+    // Iteration state: eager localCheckpoint per round (cuts lineage,
+    // keeps label blocks on executors — one cheap job) with a DURABLE
+    // parquet snapshot every 4th round (the GraphX-style checkpoint
+    // interval). localCheckpoint alone is not loss-safe — a lost
+    // executor kills its blocks and the cut lineage can't recompute
+    // them — so the periodic snapshot bounds recovery to re-entering
+    // the loop from the last parquet labels, ≤3 rounds back, instead
+    // of paying a full parquet round-trip every round.
+    var prevCkpt: DataFrame = null
     while (!done && rounds < 50) {
-      val next = Scratch.materialize(s, "cc_labels", step(labels))
+      rounds += 1
+      val stepped = step(labels)
+      val next =
+        if (rounds % 4 == 0) Scratch.materialize(s, "cc_labels", stepped)
+        else stepped.localCheckpoint(true)
       // null-safe: an empty edge frame (no near-dup pairs at all) sums
       // to NULL — treat as 0 so the loop terminates instead of NPEing
       val sumRow = next.agg(sum(col("l"))).first()
       val sumL = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       done = sumL == prevSum
       prevSum = sumL
+      // release the previous round's checkpoint blocks (next is already
+      // materialized, nothing depends on them)
+      if (prevCkpt ne null) { prevCkpt.unpersist(); prevCkpt = null }
+      if (rounds % 4 != 0) prevCkpt = next
       labels = next
-      rounds += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $rounds sum=$sumL done=$done " +
           s"t=${System.nanoTime() / 1e9}")
