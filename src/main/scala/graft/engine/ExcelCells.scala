@@ -46,14 +46,19 @@ object ExcelCells {
     (isDate, withTime)
   }
 
-  /** Excel 1900-system serial → ISO string. Day 1 = 1900-01-01; the
-    * fictitious 1900-02-29 (serial 60) collapses onto 02-28, serials
-    * after it shift back one day — openpyxl/xlrd convention.
+  /** Excel serial → ISO string. 1900 system (default): day 1 =
+    * 1900-01-01; the fictitious 1900-02-29 (serial 60) collapses onto
+    * 02-28, serials after it shift back one day — openpyxl/xlrd
+    * convention. 1904 system (`date1904`, the Mac-origin workbook
+    * flag): day 0 = 1904-01-01 and there is no phantom leap day.
     */
-  def serialToIso(serial: Double, withTime: Boolean): String = {
+  def serialToIso(serial: Double, withTime: Boolean,
+                  date1904: Boolean = false): String = {
     val days0 = math.floor(serial).toLong
-    val days = if (days0 >= 60) days0 - 1 else days0
-    val date = java.time.LocalDate.of(1899, 12, 31).plusDays(days)
+    val date =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(days0)
+      else java.time.LocalDate.of(1899, 12, 31)
+        .plusDays(if (days0 >= 60) days0 - 1 else days0)
     val secs = math.round((serial - days0) * 86400)
     if (withTime || secs != 0)
       java.time.LocalDateTime.of(date, java.time.LocalTime.MIDNIGHT)

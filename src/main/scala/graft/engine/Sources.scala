@@ -192,6 +192,10 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
         (s \@ "name") -> rels.getOrElse(rid, "")
       }.filter(_._2.nonEmpty)
       require(sheets.nonEmpty, s"no sheets found in $path")
+      // Mac-origin workbooks flag the 1904 date system on workbookPr;
+      // serials then count from 1904-01-01 with no phantom leap day.
+      val date1904 = (workbook \ "workbookPr").headOption
+        .map(_ \@ "date1904").exists(v => v == "1" || v == "true")
 
       // Parse-once-at-the-edge, stage-columnar: each sheet streams
       // through StAX into a JSONL spill file (bounded driver memory —
@@ -206,7 +210,7 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
         val spill = spillRoot.resolve(
           s"sheet_${java.lang.Integer.toHexString(sheetName.hashCode)}.jsonl")
         XlsxStax.sheetToJsonl(zip.getInputStream(entry), shared, styleIsDate,
-          spill)
+          spill, date1904)
         val allString = StructType(schema.fields.map(f =>
           org.apache.spark.sql.types.StructField(f.name,
             org.apache.spark.sql.types.StringType)))
@@ -295,7 +299,8 @@ private[engine] object XlsxStax {
     */
   def sheetToJsonl(in: java.io.InputStream, shared: IndexedSeq[String],
                    styleIsDate: IndexedSeq[(Boolean, Boolean)],
-                   out: java.nio.file.Path): Unit = {
+                   out: java.nio.file.Path,
+                   date1904: Boolean = false): Unit = {
     val w = java.nio.file.Files.newBufferedWriter(out,
       java.nio.charset.StandardCharsets.UTF_8)
     val r = factory.createXMLStreamReader(in)
@@ -331,8 +336,17 @@ private[engine] object XlsxStax {
             cStyle match {
               case Some((true, withTime)) =>
                 Some(raw.trim.toDoubleOption
-                  .map(ExcelCells.serialToIso(_, withTime)).getOrElse(raw))
-              case _ => Some(raw)
+                  .map(ExcelCells.serialToIso(_, withTime, date1904))
+                  .getOrElse(raw))
+              case _ =>
+                // Writers emit large/small numerics in scientific
+                // notation (`1.067371E7`); a LongType cast of that
+                // string is NULL — silent data loss. Normalize through
+                // the numeric renderer (integral doubles print plain).
+                if (raw.indexOf('E') >= 0 || raw.indexOf('e') >= 0)
+                  Some(raw.trim.toDoubleOption
+                    .map(ExcelCells.numericText).getOrElse(raw))
+                else Some(raw)
             }
           }
       }

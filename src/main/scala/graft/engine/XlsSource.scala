@@ -155,6 +155,7 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
   private val RBoolErr = 0x0205
   private val RXf = 0x00E0
   private val RFormat = 0x041E
+  private val RDateMode = 0x0022
 
   private final case class Rec(id: Int, data: Array[Byte], end: Int)
 
@@ -274,6 +275,7 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
     var sst: IndexedSeq[String] = IndexedSeq.empty
     var xfFmtIds = Vector.empty[Int]
     var formats = Map.empty[Int, String]
+    var date1904 = false // DATEMODE record: 1 = Mac 1904 date system
     val it = records(wb, 0).buffered
     var inGlobals = true
     while (inGlobals && it.hasNext) {
@@ -288,6 +290,7 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
         case RFormat =>
           val fmtId = u16(r.data, 0)
           formats += fmtId -> readStr(r.data, 2, shortLen = false)._1
+        case RDateMode => date1904 = u16(r.data, 0) == 1
         case REof => inGlobals = false
         case _ => ()
       }
@@ -299,7 +302,7 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
         .getOrElse((false, false))
 
     def numText(v: Double, xf: Int): String = styleOf(xf) match {
-      case (true, withTime) => ExcelCells.serialToIso(v, withTime)
+      case (true, withTime) => ExcelCells.serialToIso(v, withTime, date1904)
       case _ => ExcelCells.numericText(v)
     }
 

@@ -91,6 +91,24 @@ class XlsSpec extends SparkTestBase {
     assert(rows.head.getString(0) === "x" && rows.head.getDouble(1) === 0.75)
   }
 
+  test("XlsSource honors a DATEMODE 1904 record") {
+    val globalsPrefix = bof(0x05) ++
+      rec(0x0022, u16(1)) ++ // DATEMODE = 1904 system
+      xf(0) ++ xf(14) ++ sst(Seq("when"))
+    val globalsLen = globalsPrefix.length + boundSheet(0, "S").length +
+      eof.length
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1904, 1, 1), java.time.LocalDate.of(2010, 6, 15))
+    val sheet = bof(0x10) ++ labelSst(0, 0, 0) ++
+      number(1, 0, 1, serial.toDouble) ++ eof
+    val wb = globalsPrefix ++ boundSheet(globalsLen, "S") ++ eof ++ sheet
+    val f = Files.createTempFile("graft-1904", ".xls")
+    Files.write(f, ole2(wb))
+    val schema = StructType(Seq(StructField("when", DateType)))
+    val r = XlsSource(f.toString, schema).load(spark).collect().head
+    assert(r.getDate(0).toString === "2010-06-15")
+  }
+
   test("XlsSource rejects a non-OLE2 file") {
     val f = Files.createTempFile("notxls", ".xls")
     Files.write(f, "plain text".getBytes("UTF-8"))

@@ -184,6 +184,47 @@ class XlsxSpec extends SparkTestBase {
     assert(r.getLong(3) === 25569L)
   }
 
+  test("XlsxSource honors the 1904 date system and E-notation numerics") {
+    val f = Files.createTempFile("graft-1904", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <workbookPr date1904="1"/>
+        |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    // 1904 system: serial 0 = 1904-01-01, no phantom leap day.
+    // big = 10,673,710 written the way writers actually emit large
+    // numerics — scientific notation; a naive LongType cast yields NULL.
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1904, 1, 1), java.time.LocalDate.of(2010, 6, 15))
+    put("xl/worksheets/sheet1.xml",
+      s"""<worksheet><sheetData>
+         |  <row><c t="inlineStr"><is><t>d</t></is></c>
+         |       <c t="inlineStr"><is><t>big</t></is></c></row>
+         |  <row><c s="1"><v>$serial</v></c>
+         |       <c s="0"><v>1.067371E7</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("big", LongType)))
+    val r = XlsxSource(f.toString, schema).load(spark).collect().head
+    assert(r.getDate(0).toString === "2010-06-15")
+    assert(r.getLong(1) === 10673710L)
+  }
+
   test("XlsxSource rejects a zip without a workbook part") {
     val f = Files.createTempFile("notx", ".xlsx")
     val zos = new ZipOutputStream(Files.newOutputStream(f))
