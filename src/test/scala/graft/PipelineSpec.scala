@@ -125,6 +125,22 @@ class PipelineSpec extends SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("Catalog.checksum is table-agnostic and rejects float columns loudly") {
+    import graft.engine.Checksum
+    val li = graft.engine.Graft.table(spark, sfDir, "lineitem")
+    // the helper's frame matches the oracle-gated x4 query's shape
+    val row = Checksum.of(li, Seq(
+      "l_orderkey" -> Checksum.IntLike, "l_returnflag" -> Checksum.Str,
+      "l_shipdate" -> Checksum.TsDay)).head()
+    assert(row.getLong(0) == li.count())
+    assert(!row.isNullAt(1))
+    // doubles are excluded by design: their printf differs across engines
+    val e = intercept[IllegalArgumentException] {
+      Checksum.of(li, Seq("l_quantity" -> Checksum.IntLike)).head()
+    }
+    assert(e.getMessage.contains("excluded by design"))
+  }
+
   test("XML FX source validates currency and skips malformed observations") {
     val f = Files.createTempFile("fx", ".xml")
     Files.writeString(f,
