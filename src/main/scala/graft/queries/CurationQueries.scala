@@ -67,6 +67,40 @@ object CurationQueries {
           |  FROM documents) t
           |GROUP BY source, srcnum ORDER BY source""".stripMargin)),
 
+    Q("c1s_curate_stream_sink",
+      "§2.12 driver-visible streaming row #2 — the row-level curation " +
+        "pass (t2 quality score + language allowlist + c2 mixture " +
+        "predicate) executed BY THE STREAMING ENGINE through a real " +
+        "parquet FILE SINK in append mode (the exactly-once production " +
+        "shape: the sink's commit log lands each micro-batch's files " +
+        "once), then aggregated into per-(lang, source) retention and " +
+        "hash-checked against DuckDB. Complements e1s, which covers the " +
+        "stateful-window/complete-mode shape.",
+      (s, d) => graft.streaming.CorpusStream.curateOneShot(s, d),
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, lang, source, n_chars,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END) AS score
+          |  FROM documents),
+          |kept AS (
+          |  SELECT * FROM scored
+          |  WHERE score >= 0.5 AND lang IN ('en', 'de', 'es', 'fr')
+          |    AND (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR) || ':' || source, '(?s).'),
+          |             c -> CAST(ascii(c) AS BIGINT))),
+          |           (acc, c) -> (acc * 31 + c) % 1000000007) % 1000)
+          |        < (CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+          |                WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+          |                WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+          |                ELSE 0.1 END) * 1000)
+          |SELECT lang, source, COUNT(*) AS n_docs_kept,
+          |  CAST(SUM(ws_tokens) AS BIGINT) AS tokens_kept,
+          |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+          |FROM kept GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
     Q("c3_sequence_pack",
       "Fixed-length sequence packing — docs are packed greedily into " +
         s"$SeqLen-token training sequences in doc_id order WITHIN each " +

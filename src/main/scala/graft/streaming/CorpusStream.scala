@@ -52,6 +52,37 @@ object CorpusStream {
       .select(col("doc_id"), col("lang"), col("source"), col("ws_tokens"),
         col("n_chars"))
 
+  /** One-shot streaming execution of [[curate]] through a REAL parquet
+    * file sink: process every file currently in the corpus dir
+    * (`Trigger.AvailableNow`), append the curated rows to the sink
+    * (stateless transform — append mode emits every row, no watermark
+    * withholding), terminate, and return the per-(lang, source)
+    * retention aggregate over the sink's files. Unlike e1s's
+    * complete-mode memory sink (needed there because windowed state
+    * must be force-emitted), this is the exactly-once production sink
+    * shape end-to-end: the file sink's commit log guarantees each
+    * micro-batch's files land exactly once.
+    */
+  def curateOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.queries.Scratch.fresh(spark, "c1s_sink")
+    val q = curate(source(spark, dir))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "c1s_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(sinkDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("ws_tokens")).as("tokens_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .orderBy("lang", "source")
+  }
+
   /** Incremental retention accounting over the curated stream: docs and
     * token budget per (lang, source). State = one row per key pair.
     */
