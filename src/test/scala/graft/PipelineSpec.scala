@@ -51,6 +51,18 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.keySet === expected.toSet)
     rep.foreach { case (s, n) => assert(n > 0L, s"stage $s wrote 0 rows") }
 
+    // Scale guard: fct_sales is written partitionBy(year), so a
+    // year-ranged scan must prune at the PARTITION level (the whole
+    // point of the layout at 100 TB) — the filter has to appear in
+    // PartitionFilters, not as a post-scan predicate over every file.
+    import org.apache.spark.sql.functions.{col, max}
+    val yr = cat.table("fct_sales").select(max(col("year"))).head().getInt(0)
+    val pruned = cat.table("fct_sales").filter(col("year") === yr)
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters in fct_sales scan"))
+    assert(scanLine.contains("year"), scanLine)
+
     // M2: rebuild over an existing warehouse must succeed and agree.
     val n1 = cat.table("fct_sales").count()
     val cat2 = RetailPipeline.build(spark, sfDir, wh)
@@ -139,6 +151,19 @@ class PipelineSpec extends SparkTestBase {
       Checksum.of(li, Seq("l_quantity" -> Checksum.IntLike)).head()
     }
     assert(e.getMessage.contains("excluded by design"))
+    // and the checksum actually DETECTS corruption: mutate one cell of
+    // one row and the (n_rows, checksum) pair must diverge — same row
+    // count, different sum (the migration-validation property)
+    import org.apache.spark.sql.functions.{col, when}
+    val cols = Seq("l_orderkey" -> Checksum.IntLike,
+      "l_linenumber" -> Checksum.IntLike, "l_returnflag" -> Checksum.Str)
+    val base = Checksum.of(li, cols).head()
+    val firstKey = li.select("l_orderkey").head().getLong(0)
+    val mutated = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === firstKey, "@").otherwise(col("l_returnflag")))
+    val mut = Checksum.of(mutated, cols).head()
+    assert(mut.getLong(0) == base.getLong(0))
+    assert(mut.getDouble(1) != base.getDouble(1))
   }
 
   test("XML FX source validates currency and skips malformed observations") {
