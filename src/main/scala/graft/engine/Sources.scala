@@ -204,13 +204,28 @@ final case class XlsxSource(path: String, schema: StructType) extends Source {
       val spillRoot = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
         "graft_xlsx_spill_")
-      val frames = sheets.map { case (sheetName, target) =>
+      // JVM-exit cleanup: the frames read the spills lazily, so eager
+      // deletion is impossible — but a session that loads workbooks
+      // repeatedly must not leak a sheet-sized JSONL per load forever.
+      spillRoot.toFile.deleteOnExit()
+      val frames = sheets.zipWithIndex.map { case ((sheetName, target), si) =>
         val entry = Option(zip.getEntry(s"xl/$target")).getOrElse(
           throw new IllegalArgumentException(s"missing part xl/$target"))
-        val spill = spillRoot.resolve(
-          s"sheet_${java.lang.Integer.toHexString(sheetName.hashCode)}.jsonl")
-        XlsxStax.sheetToJsonl(zip.getInputStream(entry), shared, styleIsDate,
-          spill, date1904)
+        // named by POSITION: distinct sheet names can share a hashCode
+        // ("Aa"/"BB"), and a colliding name would truncate the first
+        // sheet's spill before its lazy frame ever read it.
+        val spill = spillRoot.resolve(s"sheet_$si.jsonl")
+        val header = XlsxStax.sheetToJsonl(zip.getInputStream(entry), shared,
+          styleIsDate, spill, date1904)
+        spill.toFile.deleteOnExit()
+        // A schema column absent from the sheet header is a caller
+        // error, not an all-NULL column: the JSON read with an explicit
+        // schema would silently null it, where the former DOM path's
+        // select threw — keep the loud contract.
+        val missing = schema.fieldNames.filterNot(header.contains)
+        require(missing.isEmpty,
+          s"$path sheet '$sheetName': header is missing schema column(s) " +
+            s"${missing.mkString(", ")} (header: ${header.mkString(", ")})")
         val allString = StructType(schema.fields.map(f =>
           org.apache.spark.sql.types.StructField(f.name,
             org.apache.spark.sql.types.StringType)))
@@ -295,12 +310,13 @@ private[engine] object XlsxStax {
   /** One worksheet → JSONL spill: row 1 becomes the key set (header
     * names, trimmed; `_cN` for columns past the header), every later
     * row becomes one JSON object of the present cells (trimmed). One
-    * row in flight — memory is O(row), not O(sheet).
+    * row in flight — memory is O(row), not O(sheet). Returns the
+    * header names, so the caller can validate its schema against them.
     */
   def sheetToJsonl(in: java.io.InputStream, shared: IndexedSeq[String],
                    styleIsDate: IndexedSeq[(Boolean, Boolean)],
                    out: java.nio.file.Path,
-                   date1904: Boolean = false): Unit = {
+                   date1904: Boolean = false): Seq[String] = {
     val w = java.nio.file.Files.newBufferedWriter(out,
       java.nio.charset.StandardCharsets.UTF_8)
     val r = factory.createXMLStreamReader(in)
@@ -414,5 +430,6 @@ private[engine] object XlsxStax {
       w.close()
     }
     require(header != null, s"sheet is empty (no header row): $out")
+    header.values.toSeq
   }
 }

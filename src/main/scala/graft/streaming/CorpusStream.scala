@@ -75,7 +75,15 @@ object CorpusStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.parquet(sinkDir)
+    // explicit schema: a curation pass that keeps ZERO rows commits an
+    // empty batch (sinkDir holds only _spark_metadata, no part files),
+    // and a schema-inferring read would throw instead of returning the
+    // empty aggregate the batch/oracle side produces
+    val sinkSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("ws_tokens", LongType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("ws_tokens")).as("tokens_kept"),

@@ -200,7 +200,13 @@ def norm(df):
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort",
+    # Sort by the EXACT-compared columns only: the rounded ratio columns
+    # are tolerance-compared because the engines can legitimately differ
+    # by one rounding step, and a 1-ulp difference used as a sort key
+    # would misalign otherwise-identical rows and produce spurious
+    # mismatches on exact columns.
+    keys = [c for c in df.columns if c not in ROUNDED_COLS] or list(df.columns)
+    df = df.sort_values(by=keys, kind="mergesort",
                         ignore_index=True, na_position="first")
     return df
 
