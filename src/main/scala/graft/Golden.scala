@@ -57,6 +57,11 @@ object Golden {
     // materialize the view result too, for the DuckDB differential
     cat.save("v_monthly_sales_summary_materialized",
       RawRetailPipeline.monthlyView(spark, cat))
+    // the reference flow's last step: the analysis dashboard
+    // (analyze_monthly_sales.py) — rendered from the same view
+    graft.engine.Dashboard.render(
+      cat.table("v_monthly_sales_summary_materialized"),
+      Some(s"$outDir/monthly_sales_dashboard.svg")): Unit
     val buildSecs = (System.nanoTime() - t1) / 1e9
 
     val m = GoldenFixture.manifest(cfg)

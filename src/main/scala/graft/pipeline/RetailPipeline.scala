@@ -265,7 +265,11 @@ object RetailPipeline {
     val o = Graft.table(spark, sfDir, "orders")
     val cu = Graft.table(spark, sfDir, "customer")
     val na = Graft.table(spark, sfDir, "nation")
-    val raw = graft.queries.Scratch.materialize(spark, "pipe_raw",
+    // memoized (keyed by the input dir): pipe_monthly_summary and the
+    // dashboard-insights query both start from this staging frame — one
+    // build per session, not one per consumer
+    val raw = graft.queries.Scratch.memoized(spark, s"pipe_raw:$sfDir",
+      "pipe_raw",
       rawSales(spark, sfDir)
         .filter($"stock_code".isNotNull && $"qty".isNotNull &&
           $"unit_price".isNotNull)

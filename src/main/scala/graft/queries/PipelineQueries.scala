@@ -735,6 +735,74 @@ object PipelineQueries {
           |FROM monthly WHERE total_revenue > 0
           |ORDER BY year, month, country""".stripMargin)),
 
+    Q("r3_dashboard_insights",
+      "S9 — the reference dashboard's KEY INSIGHTS block " +
+        "(analyze_monthly_sales.py:143-168) over the full pipeline " +
+        "view: grand totals, top country, best month, first-to-last " +
+        "EUR growth. The SVG dashboard itself (engine.Dashboard) " +
+        "renders from the same frame; this row oracle-gates its data " +
+        "layer. Deterministic tie-breaks replace the reference's " +
+        "arbitrary idxmax (SURVEY.md §7.4).",
+      (s, d) => graft.engine.Dashboard.insights(s,
+        graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d)),
+      Some(
+        """WITH raw AS (
+          |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
+          |    CAST(o.o_orderdate AS DATE) AS date,
+          |    COALESCE(o.o_custkey, -1) AS customer_id,
+          |    o.o_orderstatus AS status, l.l_quantity AS qty,
+          |    l.l_quantity * (l.l_extendedprice * (1 - l.l_discount) / l.l_quantity) AS net_amount
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_partkey IS NOT NULL AND l.l_quantity IS NOT NULL
+          |    AND l.l_extendedprice * (1 - l.l_discount) / l.l_quantity IS NOT NULL),
+          |rates AS (SELECT CAST(o_orderdate AS DATE) AS date,
+          |    MAX(o_totalprice) / 100000 AS rate FROM orders GROUP BY 1),
+          |cc AS (SELECT COALESCE(c.c_custkey, -1) AS customer_id, n.n_name AS country
+          |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+          |eur AS (SELECT r.invoice_no, r.stock_code, r.date, r.customer_id,
+          |    r.net_amount / rt.rate AS net_amount_eur
+          |  FROM raw r JOIN rates rt ON r.date = rt.date),
+          |agg AS (
+          |  SELECT g.date AS date, COALESCE(cc.country, 'UNKNOWN') AS country,
+          |    EXTRACT(year FROM g.date) AS year, EXTRACT(month FROM g.date) AS month,
+          |    COUNT(DISTINCT CASE WHEN g.status != 'F' THEN g.invoice_no END) AS orders,
+          |    COUNT(*) AS items,
+          |    CAST(SUM(CAST(g.qty AS DECIMAL(38,6))) AS DOUBLE) AS net_qty,
+          |    CAST(SUM(CAST(g.net_amount AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+          |    CAST(SUM(CAST(e.net_amount_eur AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_eur
+          |  FROM raw g
+          |  JOIN eur e ON g.invoice_no = e.invoice_no AND g.stock_code = e.stock_code
+          |    AND g.date = e.date AND g.customer_id = e.customer_id
+          |  LEFT JOIN cc ON g.customer_id = cc.customer_id
+          |  GROUP BY 1, 2, 3, 4),
+          |mv AS (
+          |  SELECT year, month, country,
+          |    CAST(SUM(orders) AS BIGINT) AS total_orders,
+          |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+          |    CAST(SUM(CAST(net_revenue_eur AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue_eur
+          |  FROM agg GROUP BY 1, 2, 3
+          |  HAVING CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) > 0),
+          |per_month AS (
+          |  SELECT year, month,
+          |    CAST(SUM(CAST(total_revenue AS DECIMAL(38,6))) AS DOUBLE) AS m_gbp,
+          |    CAST(SUM(CAST(total_revenue_eur AS DECIMAL(38,6))) AS DOUBLE) AS m_eur
+          |  FROM mv GROUP BY 1, 2),
+          |ordered AS (SELECT *, ROW_NUMBER() OVER (ORDER BY year, month) AS rn,
+          |    COUNT(*) OVER () AS n FROM per_month)
+          |SELECT
+          |  (SELECT CAST(SUM(CAST(total_revenue AS DECIMAL(38,6))) AS DOUBLE) FROM mv) AS total_revenue,
+          |  (SELECT CAST(SUM(CAST(total_revenue_eur AS DECIMAL(38,6))) AS DOUBLE) FROM mv) AS total_revenue_eur,
+          |  (SELECT CAST(SUM(total_orders) AS BIGINT) FROM mv) AS total_orders,
+          |  (SELECT country FROM (
+          |     SELECT country, CAST(SUM(CAST(total_revenue AS DECIMAL(38,6))) AS DOUBLE) AS c_gbp
+          |     FROM mv GROUP BY 1 ORDER BY c_gbp DESC, country ASC LIMIT 1)) AS top_country,
+          |  (SELECT CAST(year AS VARCHAR) || '-' || lpad(CAST(month AS VARCHAR), 2, '0')
+          |   FROM per_month ORDER BY m_gbp DESC, year ASC, month ASC LIMIT 1) AS best_month,
+          |  (SELECT CASE WHEN l.n > 1 AND f.m_eur != 0
+          |          THEN (l.m_eur - f.m_eur) / f.m_eur * 100.0 ELSE 0.0 END
+          |   FROM ordered f, ordered l WHERE f.rn = 1 AND l.rn = l.n) AS growth_pct""".stripMargin)),
+
     Q("e9_funnel",
       "First-touch funnel — users progressing view -> click -> purchase " +
         "with STRICT event-time ordering (each stage's first qualifying " +
