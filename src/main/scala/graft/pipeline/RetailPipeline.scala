@@ -212,7 +212,7 @@ object RetailPipeline {
     * plan: one definition of the renames and the unit-price expression,
     * so the two architectures cannot drift.
     */
-  private def rawSales(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def rawSales(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Graft.table(spark, sfDir, "lineitem")
     val o = Graft.table(spark, sfDir, "orders")
     val pa = Graft.table(spark, sfDir, "part")
@@ -231,12 +231,12 @@ object RetailPipeline {
   }
 
   /** One definition of the daily rate formula (shared). */
-  private def dailyRates(orders: DataFrame): DataFrame =
+  private[graft] def dailyRates(orders: DataFrame): DataFrame =
     orders.groupBy(to_date(orders("o_orderdate")).as("date"))
       .agg((max(orders("o_totalprice")) / 100000).as("rate"))
 
   /** One definition of the customer→country lookup (shared). */
-  private def customerCountry(cu: DataFrame, na: DataFrame): DataFrame =
+  private[graft] def customerCountry(cu: DataFrame, na: DataFrame): DataFrame =
     cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
       .select(coalesce(cu("c_custkey"), lit(-1L)).as("customer_id"),
         na("n_name").as("country"))

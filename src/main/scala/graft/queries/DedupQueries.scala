@@ -745,6 +745,11 @@ object DedupQueries {
     var prevCkpt: DataFrame = null
     while (!done && rounds < 50) {
       rounds += 1
+      // One propagation hop per materialized round. Measured on sf0.1:
+      // chaining two ccSteps into one job halves the round count (10-11
+      // -> 5-6) but the deeper 4-shuffle AQE plan costs MORE per round
+      // than two shallow jobs — total time regressed, so the single-hop
+      // round stays.
       val stepped = step(labels)
       val next =
         if (rounds % 4 == 0) Scratch.materialize(s, "cc_labels", stepped)

@@ -744,7 +744,13 @@ object PipelineQueries {
         "layer. Deterministic tie-breaks replace the reference's " +
         "arbitrary idxmax (SURVEY.md §7.4).",
       (s, d) => graft.engine.Dashboard.insights(s,
-        graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d)),
+        // One pipeline pass: insights drives several driver-side
+        // actions, and persist() over the fused plan materializes the
+        // cache at ~2x the plain compute cost (measured) — a durable
+        // scratch copy of the month×country-cardinality view is
+        // strictly cheaper and makes every insight action a tiny scan.
+        Scratch.materialize(s, "dash_monthly",
+          graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d))),
       Some(
         """WITH raw AS (
           |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
