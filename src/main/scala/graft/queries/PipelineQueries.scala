@@ -345,6 +345,38 @@ object PipelineQueries {
         """SELECT DISTINCT CAST(l_shipdate AS DATE) AS date
           |FROM lineitem ORDER BY date""".stripMargin)),
 
+    Q("o4_incremental_rollup",
+      "Incremental materialized-rollup maintenance (the 100 TB " +
+        "counterpart of the reference's rebuild-everything " +
+        "agg_country_day, facts.py:347-412): the events facts arrive as " +
+        "two date-split batches into a day-partitioned fact table, and " +
+        "after each batch only the touched rollup day-partitions are " +
+        "recomputed and swapped in (dynamic partition overwrite). The " +
+        "oracle is the FULL recompute over all events — hash-matching " +
+        "it proves incremental == full.",
+      (s, d) => {
+        import s.implicits._
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o4_wh"))
+        val ev = Graft.events(s, d)
+          .select(to_date($"ts").as("day"), $"event_type", $"value")
+        def rollup(slice: org.apache.spark.sql.DataFrame) =
+          slice.groupBy($"day", $"event_type")
+            .agg(count(lit(1)).as("n_events"),
+              Functions.dsum($"value").as("total_value"))
+        val cut = lit("2024-01-21").cast("date") // mid-span of the Jan-2024 events
+        graft.pipeline.IncrementalRollup.ingest(cat, "ev_fact", "ev_rollup",
+          "day", ev.filter($"day" < cut), rollup)
+        graft.pipeline.IncrementalRollup.ingest(cat, "ev_fact", "ev_rollup",
+          "day", ev.filter($"day" >= cut), rollup)
+          .select($"day", $"event_type", $"n_events", $"total_value")
+          .orderBy($"day", $"event_type")
+      },
+      Some(
+        """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
     Q("w1p_forward_fill_partitioned",
       "W1(partitioned)/J4 — per-event-type daily series forward-fill " +
         "using the partitionCols path (the 100 TB-scalable variant of " +
@@ -851,6 +883,43 @@ object PipelineQueries {
           |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
           |UNION ALL SELECT '2_click', COUNT(*) FROM c
           |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
-          |ORDER BY stage""".stripMargin))
+          |ORDER BY stage""".stripMargin)),
+
+    Q("e10_retention_cohorts",
+      "Weekly retention cohorts — users grouped by first-seen week, " +
+        "counted per activity week (the classic cohort-retention " +
+        "matrix; weeks because the events table spans one month). " +
+        "Scale shape: two map-combinable user_id aggregations (first " +
+        "week, distinct active weeks) reusing one shuffle partitioning, " +
+        "then a week-cardinality rollup — no window over the raw " +
+        "stream, no driver-side state.",
+      (s, d) => {
+        import s.implicits._
+        val ev = Graft.events(s, d)
+          .select($"user_id",
+            date_trunc("week", $"ts").cast("date").as("week"))
+        val first = ev.groupBy($"user_id")
+          .agg(min($"week").as("cohort_week"))
+        ev.distinct()
+          .join(first, "user_id")
+          .groupBy($"cohort_week", $"week")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .withColumn("week_offset",
+            floor(datediff($"week", $"cohort_week") / lit(7.0)).cast("long"))
+          .select($"cohort_week", $"week", $"week_offset", $"n_users")
+          .orderBy($"cohort_week", $"week")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id,
+          |    CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+          |  FROM events),
+          |first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+          |act AS (SELECT DISTINCT user_id, week FROM ev)
+          |SELECT f.cohort_week, a.week,
+          |  CAST(FLOOR((a.week - f.cohort_week) / 7.0) AS BIGINT) AS week_offset,
+          |  COUNT(DISTINCT a.user_id) AS n_users
+          |FROM act a JOIN first f USING (user_id)
+          |GROUP BY 1, 2, 3 ORDER BY cohort_week, week""".stripMargin))
   )
 }

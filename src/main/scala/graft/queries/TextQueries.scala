@@ -448,6 +448,28 @@ object TextQueries {
           |SELECT lang, source, COUNT(*) AS n_docs_kept,
           |  CAST(SUM(ws_tokens) AS BIGINT) AS tokens_kept,
           |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
-          |FROM deduped GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
+          |FROM deduped GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
+    Q("t10_length_histogram",
+      "Document-length histogram — fixed-width binning of n_chars " +
+        "(floor-div buckets, portable across engines where " +
+        "width_bucket is not) with per-bucket count and range. The " +
+        "corpus-profiling primitive behind length-based quality cuts: " +
+        "one scan, one bucket-cardinality shuffle, any corpus size.",
+      (s, d) => {
+        import s.implicits._
+        Graft.table(s, d, "documents")
+          .select((floor($"n_chars" / 50) * 50).cast("long").as("bucket_lo"))
+          .groupBy($"bucket_lo")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("bucket_hi", $"bucket_lo" + 50)
+          .select($"bucket_lo", $"bucket_hi", $"n_docs")
+          .orderBy($"bucket_lo")
+      },
+      Some(
+        """SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+          |  CAST(FLOOR(n_chars / 50) * 50 + 50 AS BIGINT) AS bucket_hi,
+          |  COUNT(*) AS n_docs
+          |FROM documents GROUP BY 1, 2 ORDER BY bucket_lo""".stripMargin))
   )
 }
