@@ -118,4 +118,37 @@ class PlanSpec extends SparkTestBase {
     assert(!scan.contains("o_totalprice") && !scan.contains("o_orderpriority"),
       scan)
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // The 100 TB knob for fact⋈filtered-dim shuffle joins that can't
+    // broadcast: Catalyst's InjectRuntimeFilter builds a bloom filter
+    // from the selective side and applies it as a scan-side
+    // might_contain predicate on the fact, cutting shuffle input before
+    // the join. The thresholds default to cluster scale
+    // (applicationSideScanSizeThreshold = 10GB), so at test scale we
+    // lower them to prove the plan shape the production config relies
+    // on; SCALE.md documents the production values.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1") // force the shuffle join under test
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "0")
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"),
+        s"no bloom-filter runtime filter injected:\n${p.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
