@@ -83,6 +83,47 @@ object Checksum {
        |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
        |FROM $table""".stripMargin
   }
+
+  /** Per-group checksums — the second step of copy validation: when
+    * [[of]]'s whole-table numbers disagree, compare one checksum row
+    * per partition key to locate WHICH partition diverged, instead of
+    * re-reading 100 TB. Same contract as [[of]] (one column list, same
+    * hash fold, floats rejected); `groupSpark` is the grouping
+    * expression in Spark SQL and must be mirrored by `groupDuck` in
+    * [[duckSqlBy]] — the pair is the caller's partition-key rendering
+    * (e.g. `year(l_shipdate)` both sides, cast to BIGINT).
+    */
+  def by(df: DataFrame, groupSpark: String, cols: Seq[(String, Kind)]): DataFrame = {
+    cols.foreach { case (c, _) =>
+      val dt = df.schema(c).dataType.typeName
+      require(dt != "double" && dt != "float" && !dt.startsWith("decimal"),
+        s"checksum over $c: $dt excluded by design (cross-engine printf)")
+    }
+    val row = cols.map { case (c, k) => sparkRender(c, k) }.mkString(", ")
+    df.selectExpr(s"$groupSpark AS group_key",
+        s"graft_strhash(concat_ws('|', $row)) AS row_hash")
+      .groupBy(org.apache.spark.sql.functions.col("group_key"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("row_hash")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("checksum"))
+      .orderBy("group_key")
+  }
+
+  /** The DuckDB twin of [[by]]. */
+  def duckSqlBy(table: String, groupDuck: String,
+                cols: Seq[(String, Kind)]): String = {
+    val row = cols.map { case (c, k) => duckRender(c, k) }
+      .mkString(" || '|' || ")
+    s"""SELECT $groupDuck AS group_key, COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_extract_all($row, '(?s).'),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+       |FROM $table GROUP BY 1 ORDER BY group_key""".stripMargin
+  }
 }
 
 final class Catalog(val spark: SparkSession, val warehouse: String) {

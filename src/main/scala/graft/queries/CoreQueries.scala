@@ -598,7 +598,19 @@ object CoreQueries {
         "the generic engine.Checksum helper — proves the primitive is " +
         "table-agnostic, not a lineitem-specific query.",
       (s, d) => Checksum.of(t(s, d, "orders"), OrdersChecksumCols),
-      Some(Checksum.duckSql("orders", OrdersChecksumCols)))
+      Some(Checksum.duckSql("orders", OrdersChecksumCols))),
+
+    Q("x6_partition_checksums",
+      "Per-partition checksums — copy-validation step two: when the " +
+        "whole-table numbers (x4) disagree, one checksum row per " +
+        "partition key locates WHICH partition diverged without " +
+        "re-reading 100 TB. Grouped by ship year, the fact tables' " +
+        "physical partition key.",
+      (s, d) => Checksum.by(t(s, d, "lineitem"),
+        "cast(year(to_date(l_shipdate)) as bigint)", LineitemChecksumCols),
+      Some(Checksum.duckSqlBy("lineitem",
+        "CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)",
+        LineitemChecksumCols)))
   )
 
   import Checksum.{IntLike, Str, TsDay}

@@ -152,6 +152,49 @@ object CurationQueries {
            |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
            |        FROM documents) raw) cums) binned
            |  GROUP BY 1, 2) per_seq
-           |GROUP BY 1 ORDER BY lang""".stripMargin))
+           |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    Q("c4_chunk_documents",
+      "Overlapping-window document chunking — every doc is split into " +
+        s"$ChunkLen-token chunks at stride $ChunkStride (the " +
+        "context-window prep step between curation and tokenization: " +
+        "long docs become several overlapping training rows, short " +
+        "docs one). Pure per-row explode — token array built once per " +
+        "doc, chunk starts from an integer sequence, no shuffle at " +
+        "all until the output sort; at 100 TB this is a map-only " +
+        "stage whose output is partitioned however the sink wants.",
+      (s, d) => {
+        t(s, d, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .withColumn("start",
+            explode(sequence(lit(0L),
+              greatest(size(col("tk")).cast("long") - 1L, lit(0L)),
+              lit(ChunkStride))))
+          .withColumn("chunk",
+            slice(col("tk"), col("start") + 1, lit(ChunkLen.toInt)))
+          .select(col("doc_id"), col("start").as("chunk_start"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            array_join(col("chunk"), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some(
+        s"""SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+           |  CAST(len(tk[start + 1 : start + $ChunkLen]) AS BIGINT) AS n_tokens,
+           |  array_to_string(tk[start + 1 : start + $ChunkLen], ' ') AS chunk_text
+           |FROM (
+           |  SELECT doc_id, tk,
+           |    UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), $ChunkStride)) AS start
+           |  FROM (
+           |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |    FROM documents) toks) starts
+           |ORDER BY doc_id, chunk_start""".stripMargin))
   )
+
+  /** Chunk window length / stride in whitespace tokens — stride <
+    * length gives overlapping context windows (the fixture docs run
+    * ~50-90 tokens, so many docs produce several chunks at these
+    * values).
+    */
+  private val ChunkLen = 64L
+  private val ChunkStride = 48L
 }
