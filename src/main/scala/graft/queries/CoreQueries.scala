@@ -521,6 +521,51 @@ object CoreQueries {
           |               ORDER BY c_acctbal DESC, c_custkey)) t
           |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin)),
 
+    Q("w4_moving_avg_range",
+      "RANGE-frame window — calendar-aware 7-day moving average of " +
+        "daily revenue (RANGE BETWEEN 6 PRECEDING over an integer day " +
+        "index, so gaps in the date series shrink the window instead " +
+        "of silently spanning them like a ROWS frame would). Completes " +
+        "the frame-type surface: ROWS (w1), RANGE (here), rank family " +
+        "(w3), LAG/LEAD (w2/g11). Exactness: the windowed SUM stays " +
+        "DECIMAL (association-free; DuckDB computes window aggregates " +
+        "over a segment tree, so a double sum could differ by " +
+        "association order) and the average is one double division at " +
+        "the end. Runs at date cardinality — the same documented " +
+        "global-window convention as w1; the fact-scale variant " +
+        "partitions first (w1p).",
+      (s, d) => {
+        import s.implicits._
+        val daily = t(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("date"))
+          .agg(sum($"o_totalprice".cast(
+            org.apache.spark.sql.types.DecimalType(38, 6))).as("rev"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(datediff($"date", lit("1970-01-01").cast("date")))
+          .rangeBetween(-6, 0)
+        daily.select($"date",
+            $"rev".cast("double").as("daily_revenue"),
+            count($"rev").over(w).cast("long").as("n_days_in_window"),
+            (sum($"rev").over(w).cast("double") / count($"rev").over(w))
+              .as("mov_avg_7d"))
+          .orderBy("date")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS date,
+          |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+          |  FROM orders GROUP BY 1)
+          |SELECT date,
+          |  CAST(rev AS DOUBLE) AS daily_revenue,
+          |  CAST(n AS BIGINT) AS n_days_in_window,
+          |  CAST(sw AS DOUBLE) / n AS mov_avg_7d
+          |FROM (
+          |  SELECT date, rev, SUM(rev) OVER w AS sw, COUNT(rev) OVER w AS n
+          |  FROM daily
+          |  WINDOW w AS (ORDER BY (date - DATE '1970-01-01')
+          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) t
+          |ORDER BY date""".stripMargin)),
+
     Q("u3_setops",
       "INTERSECT / EXCEPT — nations with customers vs nations with " +
         "suppliers (set-op surface beyond the reference's UNION ALL)",

@@ -80,6 +80,29 @@ class RollupSpec extends SparkTestBase {
     assert(rows(again) == once)
   }
 
+  test("streaming rollup maintenance == batch full recompute, restart is a no-op") {
+    val cat = freshWh("rollup_s")
+    val ckpt = graft.queries.Scratch.fresh(spark, "rollup_s_ckpt")
+    graft.streaming.RollupStream.maintain(cat, sfDir, ckpt)
+      .awaitTermination()
+    val full = graft.streaming.RollupStream.rollup(
+      graft.engine.Graft.events(spark, sfDir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value")))
+    def byDay(df: DataFrame): Set[(String, String, Long, Double)] =
+      df.select(col("day").cast("string"), col("event_type"),
+          col("n_events").cast("long"), col("total_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val streamed = byDay(spark.read.parquet(s"${cat.warehouse}/ev_rollup"))
+    assert(streamed == byDay(full))
+    // restart against the same checkpoint: everything already committed,
+    // so no micro-batch runs and the rollup bytes stay put
+    graft.streaming.RollupStream.maintain(cat, sfDir, ckpt)
+      .awaitTermination()
+    assert(byDay(spark.read.parquet(s"${cat.warehouse}/ev_rollup")) == streamed)
+  }
+
   test("empty batch leaves the rollup untouched") {
     val cat = freshWh("rollup_d")
     IncrementalRollup.ingest(cat, "f", "r", "day",
