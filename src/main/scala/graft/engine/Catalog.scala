@@ -169,6 +169,51 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def exists(name: String): Boolean =
     new java.io.File(s"$warehouse/$name").exists()
 
+  /** Small-file compaction — the warehouse-hygiene operator every
+    * incremental writer eventually needs: appends and per-batch
+    * partition overwrites (IncrementalIngest/IncrementalRollup,
+    * streaming sinks) accumulate files far smaller than a scan-efficient
+    * unit, and at 100 TB the file count itself becomes the bottleneck
+    * (listing, footer reads, task scheduling). Rewrites the table into
+    * `ceil(bytes / targetBytes)` files (preserving `sortBy` clustering
+    * when given), atomically: the rewrite lands in a sibling temp dir
+    * first, so a crash mid-compact leaves the live table untouched;
+    * the swap is two renames. Content-invariance is the caller-visible
+    * contract — [[Checksum]] before == after (proven in PipelineSpec).
+    */
+  def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
+              sortBy: Seq[String] = Nil): DataFrame = {
+    val dir = s"$warehouse/$name"
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum
+      else f.length()
+    val bytes = du(new java.io.File(dir))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val shaped =
+      if (sortBy.nonEmpty)
+        df.repartition(nFiles, sortBy.map(
+            org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.map(
+            org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val tmp = s"$dir.__compact_tmp"
+    shaped.write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(s"$dir.__compact_old")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(old) // stale leftovers from an interrupted previous swap
+    require(new java.io.File(dir).renameTo(old) &&
+      new java.io.File(tmp).renameTo(new java.io.File(dir)),
+      s"compact($name): atomic swap failed")
+    rm(old)
+    val back = spark.read.parquet(dir)
+    back.createOrReplaceTempView(name)
+    back
+  }
+
   /** Bucketed CTAS: co-locates rows by `bucketCols` so joins and
     * aggregations on those keys skip the shuffle entirely (both sides
     * read pre-partitioned, pre-sorted buckets). The 100 TB pattern for

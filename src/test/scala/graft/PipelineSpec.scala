@@ -166,6 +166,33 @@ class PipelineSpec extends SparkTestBase {
     assert(mut.getDouble(1) != base.getDouble(1))
   }
 
+  test("Catalog.compact shrinks the file count and preserves content exactly") {
+    import graft.engine.Checksum
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "compact_wh"))
+    // a deliberately fragmented table: 40 tiny files, the shape an
+    // incremental writer leaves behind
+    cat.save("frag", graft.engine.Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      .repartition(40))
+    def parquetFiles(): Seq[java.io.File] =
+      Option(new java.io.File(s"${cat.warehouse}/frag").listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".parquet")).toSeq
+    val cols = Seq("o_orderkey" -> Checksum.IntLike,
+      "o_orderstatus" -> Checksum.Str, "o_orderdate" -> Checksum.TsDay)
+    val before = Checksum.of(cat.table("frag"), cols).head()
+    assert(parquetFiles().size == 40)
+    val compacted = cat.compact("frag", targetBytes = Long.MaxValue)
+    assert(parquetFiles().size == 1, parquetFiles().map(_.getName))
+    val after = Checksum.of(compacted, cols).head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getDouble(1) == before.getDouble(1))
+    // no temp/old dirs left behind by the atomic swap
+    val siblings = Option(new java.io.File(cat.warehouse).listFiles())
+      .toSeq.flatten.map(_.getName)
+    assert(!siblings.exists(_.contains("__compact")), siblings)
+  }
+
   test("XML FX source validates currency and skips malformed observations") {
     val f = Files.createTempFile("fx", ".xml")
     Files.writeString(f,
