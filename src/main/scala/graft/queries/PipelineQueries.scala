@@ -889,21 +889,25 @@ object PipelineQueries {
       "Weekly retention cohorts — users grouped by first-seen week, " +
         "counted per activity week (the classic cohort-retention " +
         "matrix; weeks because the events table spans one month). " +
-        "Scale shape: two map-combinable user_id aggregations (first " +
-        "week, distinct active weeks) reusing one shuffle partitioning, " +
-        "then a week-cardinality rollup — no window over the raw " +
-        "stream, no driver-side state.",
+        "Scale shape: ONE user_id shuffle computes both the cohort " +
+        "(min week) and the distinct active weeks (map-combinable " +
+        "partial collect_set, bounded by weeks-since-cohort per user), " +
+        "then explode + one week-cardinality rollup — no join back to " +
+        "the raw stream, no window, no driver-side state. A " +
+        "distinct+join formulation measured 4 exchanges; this is 2.",
       (s, d) => {
         import s.implicits._
         val ev = Graft.events(s, d)
           .select($"user_id",
             date_trunc("week", $"ts").cast("date").as("week"))
-        val first = ev.groupBy($"user_id")
-          .agg(min($"week").as("cohort_week"))
-        ev.distinct()
-          .join(first, "user_id")
+        ev.groupBy($"user_id")
+          .agg(min($"week").as("cohort_week"),
+            collect_set($"week").as("weeks"))
+          .select($"cohort_week", explode($"weeks").as("week"))
           .groupBy($"cohort_week", $"week")
-          .agg(countDistinct($"user_id").as("n_users"))
+          // one row per (user, week) after the set explode, so the
+          // distinct-user count is a plain count
+          .agg(count(lit(1)).as("n_users"))
           .withColumn("week_offset",
             floor(datediff($"week", $"cohort_week") / lit(7.0)).cast("long"))
           .select($"cohort_week", $"week", $"week_offset", $"n_users")
