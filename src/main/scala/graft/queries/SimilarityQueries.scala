@@ -374,6 +374,57 @@ object SimilarityQueries {
            |SELECT cid, COUNT(*) AS n_vecs,
            |  CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist2
            |FROM asg2 GROUP BY 1 ORDER BY cid""".stripMargin
-      })
+      }),
+
+    Q("a5_knn_join",
+      "Distributed KNN-JOIN — top-3 neighbors for EVERY row of a query " +
+        "TABLE (vec_id % 10 == 0) against the rest of the corpus: the " +
+        "many-to-many retrieval/augmentation shape where neither side " +
+        "broadcasts (a2's broadcast-query path is the few-queries " +
+        "special case). Both sides carry the LSH bucket signature, " +
+        "candidates meet in ONE shuffle join on bucket, and per-query " +
+        "top-k is a window over the join output. At corpus scale " +
+        "NPlanes grows so bucket cardinality keeps pace with the " +
+        "cluster, and a skewed bucket splits by the e7 salt pattern.",
+      (s, d) => {
+        val e = withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("bucket"))
+        val scored = c.join(q, Seq("bucket"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c, bucket
+           |      FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q USING (bucket)),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -119,6 +119,23 @@ class PlanSpec extends SparkTestBase {
       scan)
   }
 
+  test("a5 knn-join shuffles on bucket when neither side can broadcast") {
+    // The many-to-many retrieval shape: at corpus scale neither the
+    // query table nor the candidate table broadcasts, so the bucket
+    // join must plan as a real shuffle join — a nested-loop or a
+    // forced broadcast here would be the all-pairs scan the LSH
+    // bucketing exists to avoid.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted("a5_knn_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(800))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     // The 100 TB knob for fact⋈filtered-dim shuffle joins that can't
     // broadcast: Catalyst's InjectRuntimeFilter builds a bloom filter
