@@ -184,6 +184,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
               sortBy: Seq[String] = Nil): DataFrame = {
     val dir = s"$warehouse/$name"
+    // A partition-keyed table must be compacted per partition directory
+    // (pass 'table/part=value' as the name): rewriting the root would
+    // silently flatten the partition layout and downstream scans would
+    // lose partition pruning.
+    require(!Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .exists(f => f.isDirectory && f.getName.contains("=")),
+      s"compact($name): partitioned table — compact one partition dir at a time")
     def du(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum
       else f.length()

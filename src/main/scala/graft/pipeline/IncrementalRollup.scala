@@ -47,7 +47,9 @@ object IncrementalRollup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(s"${cat.warehouse}/$rollup")
-    }
+    } else require(cat.exists(rollup),
+      s"refresh($rollup): a rollup that does not exist yet needs a " +
+        "non-empty batch (no schema to create an empty table from)")
     val back = cat.spark.read.parquet(s"${cat.warehouse}/$rollup")
     back.createOrReplaceTempView(rollup)
     back
