@@ -587,6 +587,34 @@ object CoreQueries {
           |    EXCEPT SELECT s_nationkey FROM supplier) b) t
           |ORDER BY set_op, nk""".stripMargin)),
 
+    Q("u4_union_evolved",
+      "Schema-evolution union — two ingest batches whose schema drifted " +
+        "(the later batch grew a column) unioned BY NAME with missing " +
+        "columns null-filled (unionByName(allowMissingColumns) / " +
+        "DuckDB's UNION ALL BY NAME): the batch-append shape every " +
+        "long-lived ingest hits when a field is added upstream. " +
+        "Positional UNION would silently misalign; this is the " +
+        "name-resolved contract.",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val early = o.filter(col("o_orderkey") % 1000 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val late = o.filter(col("o_orderkey") % 1000 === 1)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"))
+        early.unionByName(late, allowMissingColumns = true)
+          .orderBy("k")
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT o_orderkey AS k, o_orderstatus AS status
+          |  FROM orders WHERE o_orderkey % 1000 = 0
+          |  UNION ALL BY NAME
+          |  SELECT o_orderkey AS k, o_orderstatus AS status,
+          |    o_orderpriority AS priority
+          |  FROM orders WHERE o_orderkey % 1000 = 1)
+          |ORDER BY k""".stripMargin)),
+
     Q("e3_grouped_topk",
       "Grouped top-k — top-3 users by total value per event type via a " +
         "ranking window over an aggregate (WindowGroupLimit pushdown " +

@@ -193,6 +193,20 @@ class PipelineSpec extends SparkTestBase {
     assert(!siblings.exists(_.contains("__compact")), siblings)
   }
 
+  test("mergeSchema read reconciles batches whose schema drifted") {
+    import spark.implicits._
+    val dir = graft.queries.Scratch.fresh(spark, "evolve")
+    Seq((1L, "a")).toDF("k", "status")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", "HIGH")).toDF("k", "status", "priority")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("k", "priority", "status"))
+    val rows = merged.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("priority")))
+    assert(rows.toSeq == Seq((1L, null), (2L, "HIGH")))
+  }
+
   test("XML FX source validates currency and skips malformed observations") {
     val f = Files.createTempFile("fx", ".xml")
     Files.writeString(f,
