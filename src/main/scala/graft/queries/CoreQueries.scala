@@ -673,6 +673,39 @@ object CoreQueries {
       (s, d) => Checksum.of(t(s, d, "orders"), OrdersChecksumCols),
       Some(Checksum.duckSql("orders", OrdersChecksumCols))),
 
+    Q("x7_column_profile",
+      "Column profiling — per-column row/non-null/distinct counts and " +
+        "min/max (rendered to strings for a uniform row shape), the " +
+        "one-scan table summary behind the reference's " +
+        "data_exploration profilers (online_retail_data.py etc.) and " +
+        "any new-corpus triage. Doubles excluded (cross-engine printf); " +
+        "one scan, all columns profiled in the same pass via a " +
+        "per-column agg union.",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def profile(c: String) = o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"))
+          .withColumn("column", lit(c))
+          .select("column", "n_rows", "n_nonnull", "n_distinct",
+            "min_v", "max_v")
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(profile).reduce(_ unionByName _)
+          .orderBy("column")
+      },
+      Some(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(c =>
+            s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+               |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+               |  CAST(MIN($c) AS VARCHAR) AS min_v,
+               |  CAST(MAX($c) AS VARCHAR) AS max_v FROM orders""".stripMargin)
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY \"column\""))),
+
     Q("x6_partition_checksums",
       "Per-partition checksums — copy-validation step two: when the " +
         "whole-table numbers (x4) disagree, one checksum row per " +

@@ -363,7 +363,13 @@ object PipelineQueries {
           slice.groupBy($"day", $"event_type")
             .agg(count(lit(1)).as("n_events"),
               Functions.dsum($"value").as("total_value"))
-        val cut = lit("2024-01-21").cast("date") // mid-span of the Jan-2024 events
+        // data-derived mid-span cut: both batches are non-empty for any
+        // events date range (first ingest must carry rows — the rollup
+        // has no schema to exist from otherwise)
+        val b = ev.agg(min($"day"), max($"day")).head()
+        val (lo, hi) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+        val cut = lit(java.sql.Date.valueOf(
+          lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)))
         graft.pipeline.IncrementalRollup.ingest(cat, "ev_fact", "ev_rollup",
           "day", ev.filter($"day" < cut), rollup)
         graft.pipeline.IncrementalRollup.ingest(cat, "ev_fact", "ev_rollup",
