@@ -699,6 +699,57 @@ object PipelineQueries {
           |GROUP BY ROLLUP(1, 2)
           |ORDER BY year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    Q("g15_cube",
+      "GROUPING SETS — CUBE over (status, priority) emits all four " +
+        "grouping combinations in one Expand-based pass, with " +
+        "GROUPING() flags distinguishing a subtotal NULL from a data " +
+        "NULL (the g13 ROLLUP sibling; together they cover the " +
+        "grouping-sets surface)",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            grouping($"o_orderstatus").cast("long").as("g_status"),
+            grouping($"o_orderpriority").cast("long").as("g_priority"))
+          .orderBy($"g_status", $"g_priority",
+            $"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+          |FROM orders GROUP BY CUBE(1, 2)
+          |ORDER BY g_status, g_priority,
+          |  o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("g16_unpivot",
+      "UNPIVOT — the g14 inverse: per-status wide columns melted back " +
+        "to (status, metric, value) long rows (Spark unpivot/melt vs " +
+        "DuckDB UNPIVOT), the normalization step for metric tables " +
+        "whose schema grew a column per measure",
+      (s, d) => {
+        import s.implicits._
+        val wide = t(s, d, "lineitem")
+          .groupBy($"l_linestatus")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct($"l_orderkey").as("n_orders"))
+        wide.unpivot(
+            Array($"l_linestatus"),
+            Array($"n_items", $"n_orders"),
+            "metric", "value")
+          .orderBy($"l_linestatus", $"metric")
+      },
+      Some(
+        """SELECT l_linestatus, metric, value FROM (
+          |  SELECT l_linestatus, COUNT(*) AS n_items,
+          |    COUNT(DISTINCT l_orderkey) AS n_orders
+          |  FROM lineitem GROUP BY 1)
+          |UNPIVOT (value FOR metric IN (n_items, n_orders))
+          |ORDER BY l_linestatus, metric""".stripMargin)),
+
     Q("g14_pivot",
       "Pivot — return-flag counts pivoted to columns per line status " +
         "(fixed pivot values so the schema is static; conditional " +
