@@ -683,17 +683,24 @@ object CoreQueries {
         "per-column agg union.",
       (s, d) => {
         val o = t(s, d, "orders")
-        def profile(c: String) = o.agg(
-          count(lit(1)).as("n_rows"),
-          count(col(c)).as("n_nonnull"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_v"),
-          max(col(c)).cast("string").as("max_v"))
-          .withColumn("column", lit(c))
-          .select("column", "n_rows", "n_nonnull", "n_distinct",
-            "min_v", "max_v")
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-          .map(profile).reduce(_ unionByName _)
+        val cols = Seq("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_orderpriority")
+        // genuinely ONE scan: a single wide aggregate computes every
+        // column's measures (the multi-count-distinct Expand plan),
+        // then the 1-row result reshapes to long via explode — a
+        // per-column agg union would re-scan the table once per column
+        val wide = o.agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c"))): _*)
+        wide.select(explode(array(cols.map(c => struct(
+            lit(c).as("column"), col("n_rows"),
+            col(s"nn_$c").as("n_nonnull"), col(s"nd_$c").as("n_distinct"),
+            col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))): _*))
+            .as("p"))
+          .select("p.*")
           .orderBy("column")
       },
       Some(
