@@ -66,10 +66,18 @@ object IncrementalRollup {
   def ingest(cat: Catalog, fact: String, rollup: String, partCol: String,
              batch: DataFrame,
              compute: DataFrame => DataFrame): DataFrame = {
-    batch.write.mode("append").partitionBy(partCol)
-      .parquet(s"${cat.warehouse}/$fact")
-    val touched = batch.select(partCol).distinct()
-      .collect().map(_.get(0)).toSeq
-    refresh(cat, fact, rollup, partCol, touched, compute)
+    // One evaluation of the batch lineage: the append and the
+    // touched-set scan both read the persisted blocks — recomputing a
+    // lazy batch twice would be wasted work and, for a
+    // non-deterministic source, could desync the touched set from the
+    // rows actually written.
+    val b = batch.persist()
+    try {
+      b.write.mode("append").partitionBy(partCol)
+        .parquet(s"${cat.warehouse}/$fact")
+      val touched = b.select(partCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      refresh(cat, fact, rollup, partCol, touched, compute)
+    } finally { b.unpersist(false); () }
   }
 }

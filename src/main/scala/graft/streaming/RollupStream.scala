@@ -49,12 +49,18 @@ object RollupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").partitionBy("day")
-          .parquet(s"${cat.warehouse}/ev_fact/__batch_id=$batchId")
-        val touched = batch.select(col("day")).distinct()
-          .collect().map(_.get(0)).toSeq
-        IncrementalRollup.refresh(cat, "ev_fact", "ev_rollup", "day",
-          touched, rollup): Unit
+        // single evaluation of the micro-batch (same rationale as
+        // IncrementalRollup.ingest): write and touched-set scan share
+        // the persisted blocks
+        val b = batch.persist()
+        try {
+          b.write.mode("overwrite").partitionBy("day")
+            .parquet(s"${cat.warehouse}/ev_fact/__batch_id=$batchId")
+          val touched = b.select(col("day")).distinct()
+            .collect().map(_.get(0)).toSeq
+          IncrementalRollup.refresh(cat, "ev_fact", "ev_rollup", "day",
+            touched, rollup): Unit
+        } finally { b.unpersist(false); () }
       }
       .start()
   }
