@@ -103,6 +103,26 @@ class RollupSpec extends SparkTestBase {
     assert(byDay(spark.read.parquet(s"${cat.warehouse}/ev_rollup")) == streamed)
   }
 
+  test("streaming replay with a lost checkpoint overwrites, never duplicates") {
+    // The crash-replay path: if the checkpoint is lost after the fact
+    // write, the source re-delivers everything under the same batch ids
+    // -- the __batch_id=N overwrite layout must make that byte-stable
+    // instead of doubling the fact table.
+    val cat = freshWh("rollup_r")
+    graft.streaming.RollupStream.maintain(cat, sfDir,
+      graft.queries.Scratch.fresh(spark, "rollup_r_ck1")).awaitTermination()
+    val factRows = spark.read.parquet(s"${cat.warehouse}/ev_fact").count()
+    val rollupBefore = spark.read.parquet(s"${cat.warehouse}/ev_rollup")
+      .collect().map(_.toString).sorted.toSeq
+    // fresh checkpoint, same warehouse = full redelivery
+    graft.streaming.RollupStream.maintain(cat, sfDir,
+      graft.queries.Scratch.fresh(spark, "rollup_r_ck2")).awaitTermination()
+    assert(spark.read.parquet(s"${cat.warehouse}/ev_fact").count() == factRows,
+      "replayed batches must overwrite their __batch_id dirs, not append")
+    assert(spark.read.parquet(s"${cat.warehouse}/ev_rollup")
+      .collect().map(_.toString).sorted.toSeq == rollupBefore)
+  }
+
   test("empty batch leaves the rollup untouched") {
     val cat = freshWh("rollup_d")
     IncrementalRollup.ingest(cat, "f", "r", "day",
