@@ -42,7 +42,11 @@ object IncrementalRollup {
       // isin over literal partition values -> static partition pruning:
       // the recompute scan reads only the touched fact directories.
       val slice = factBack.filter(col(partCol).isInCollection(touched))
-      compute(slice).write
+      // cluster rollup rows by partition value before the write: one
+      // file per touched partition instead of one per task per
+      // partition (rollup rows are partition-value cardinality, so one
+      // task per value is never a bottleneck)
+      compute(slice).repartition(col(partCol)).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
@@ -73,7 +77,13 @@ object IncrementalRollup {
     // rows actually written.
     val b = batch.persist()
     try {
-      b.write.mode("append").partitionBy(partCol)
+      // cluster fact rows by partition value so a batch appends ONE
+      // file per touched partition, not one per task per partition —
+      // the small-file debt Catalog.compact otherwise has to pay down.
+      // If one partition's batch volume ever exceeds a task, salt the
+      // repartition (files per partition > 1) rather than dropping it.
+      b.repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol)
         .parquet(s"${cat.warehouse}/$fact")
       val touched = b.select(partCol).distinct()
         .collect().map(_.get(0)).toSeq
