@@ -166,6 +166,33 @@ class PipelineSpec extends SparkTestBase {
     assert(mut.getDouble(1) != base.getDouble(1))
   }
 
+  test("partition checksums locate the corrupted partition") {
+    import graft.engine.Checksum
+    import org.apache.spark.sql.functions.{col, when, year, to_date}
+    val li = graft.engine.Graft.table(spark, sfDir, "lineitem")
+    val cols = Seq("l_orderkey" -> Checksum.IntLike,
+      "l_returnflag" -> Checksum.Str, "l_shipdate" -> Checksum.TsDay)
+    val group = "cast(year(to_date(l_shipdate)) as bigint)"
+    def byYear(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      Checksum.by(df, group, cols).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = byYear(li)
+    // corrupt rows within exactly one year partition — the synthetic
+    // testdata has no unique row key (even (orderkey, linenumber)
+    // repeats), so the year bound IS the corruption scope
+    val victim = li.select(col("l_orderkey"), col("l_linenumber"),
+      year(to_date(col("l_shipdate"))).cast("long").as("y")).head()
+    val (badKey, badLine, badYear) =
+      (victim.getLong(0), victim.getInt(1), victim.getLong(2))
+    val mutated = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === badKey && col("l_linenumber") === badLine &&
+          year(to_date(col("l_shipdate"))).cast("long") === badYear,
+        "@").otherwise(col("l_returnflag")))
+    val diff = byYear(mutated).toSet.diff(base.toSet).map(_._1)
+    assert(diff == Set(badYear),
+      s"corruption in $badYear must move exactly that partition's checksum, got $diff")
+  }
+
   test("Catalog.compact shrinks the file count and preserves content exactly") {
     import graft.engine.Checksum
     val cat = new graft.engine.Catalog(spark,
