@@ -425,6 +425,80 @@ object SimilarityQueries {
            |      ORDER BY cosine DESC, vec_id) AS rank
            |  FROM scored)
            |SELECT query_id, rank, vec_id, cosine FROM ranked
-           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a6_ann_quantized",
+      "Int8-quantized ANN — per-vector scalar quantization " +
+        "(scale = max|x|/127, floor(x/scale + 0.5) — floor, not " +
+        "round: round-half rules differ across engines) shrinks the " +
+        "vector store 4x and turns the scoring hot path into exact " +
+        "int64 dot products; top-5 per query on the quantized cosine. " +
+        "The storage/bandwidth story for a 100 TB vector corpus: " +
+        "floats leave the wire entirely after the one quantization " +
+        "pass, and integer scoring is exact, so the whole pipeline " +
+        "still carries a bit-identical DuckDB oracle.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("scale",
+            expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0"))
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(floor(" +
+              "CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
+          .withColumn("qnorm",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .select(col("vec_id"), col("q"), col("qnorm"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("qnorm").as("qnorm_q"))
+        val scored = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+          .withColumn("qdot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("cosine_q",
+            col("qdot").cast("double") /
+              (sqrt(col("qnorm").cast("double")) *
+                sqrt(col("qnorm_q").cast("double"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine_q").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine_q"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) / (list_reduce(
+          |        list_transform(embedding, v -> abs(CAST(v AS DOUBLE))),
+          |        (a, b) -> greatest(a, b)) / 127.0) + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |n AS (
+          |  SELECT vec_id, q,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_zip(q, q),
+          |        p -> p[1] * p[2])), (acc, v) -> acc + v) AS qnorm
+          |  FROM e),
+          |qs AS (SELECT vec_id AS query_id, q AS qq, qnorm AS qnorm_q
+          |       FROM n WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT qs.query_id, n.vec_id,
+          |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(list_zip(n.q, qs.qq),
+          |        p -> p[1] * p[2])), (acc, v) -> acc + v) AS DOUBLE)
+          |      / (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(qs.qnorm_q AS DOUBLE)))
+          |      AS cosine_q
+          |  FROM n CROSS JOIN qs WHERE n.vec_id != qs.query_id),
+          |ranked AS (
+          |  SELECT query_id, vec_id, cosine_q,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY cosine_q DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, vec_id, cosine_q FROM ranked
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 }

@@ -61,6 +61,27 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a6 int8 quantization preserves most exact top-5 neighbors") {
+    // int8 is near-lossless for cosine ranking: the quantized top-5
+    // must recover a clear majority of the exact top-5 per query. The
+    // bound is deliberately loose (quantization CAN reorder close
+    // neighbors); the cross-engine exactness of the quantized pipeline
+    // itself is the oracle's job, this guards the semantic claim that
+    // quantized search is still SEARCH.
+    def top5(name: String): Map[Long, Set[Long]] = run(name).collect()
+      .filter(_.getLong(1) <= 5)
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top5("a1_ann_bruteforce")
+    val quant = top5("a6_ann_quantized")
+    assert(quant.nonEmpty)
+    val (hit, total) = exact.keys.toSeq.map { q =>
+      (quant.getOrElse(q, Set.empty).intersect(exact(q)).size, exact(q).size)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(hit.toDouble / total >= 0.6,
+      s"quantized recall $hit/$total below 0.6 — quantization too lossy")
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val left = Seq((1, "a", 5), (2, "a", 10), (3, "b", 7), (4, "a", 2))
