@@ -20,6 +20,53 @@ class PropertySpec extends SparkTestBase {
       .collect { case Some(a) => a }
       .take(n).toSeq
 
+  test("invariant: table checksum is partitioning- and order-independent") {
+    // The checksum's whole value is that two clusters can scan the same
+    // rows in ANY order/layout and get the same two numbers. The exact
+    // DECIMAL accumulation makes this true; a refactor to a double sum
+    // would still be commutative in theory but ulp-unstable in practice
+    // — this guard would catch it.
+    import graft.engine.Checksum
+    val li = graft.engine.Graft.table(spark, sfDir, "lineitem")
+    val cols = Seq("l_orderkey" -> Checksum.IntLike,
+      "l_returnflag" -> Checksum.Str, "l_shipdate" -> Checksum.TsDay)
+    val base = Checksum.of(li, cols).head()
+    Seq(li.repartition(17), li.coalesce(1),
+        li.orderBy(org.apache.spark.sql.functions.col("l_shipdate").desc))
+      .foreach { variant =>
+        val v = Checksum.of(variant, cols).head()
+        assert(v.getLong(0) == base.getLong(0))
+        assert(v.getDouble(1) == base.getDouble(1),
+          "checksum changed under a pure re-layout")
+      }
+  }
+
+  test("property: int8 quantization error is bounded by scale/2 per element") {
+    // a6's quantizer contract: q = floor(x/scale + 0.5) reconstructs to
+    // within half a quantization step for every element (scale =
+    // max|x|/127 per vector) — the bound that makes int8 cosine a
+    // faithful ranking proxy.
+    val rows = graft.engine.Graft.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0 AS scale",
+        "transform(embedding, x -> CAST(floor(" +
+          "CAST(x AS DOUBLE) / (aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x2) -> greatest(acc, abs(CAST(x2 AS DOUBLE)))) / 127.0) " +
+          "+ 0.5) AS BIGINT)) AS q")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Long](3)
+      emb.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: |$x - $qi*$scale| exceeds scale/2")
+      }
+    }
+  }
+
   test("property: graft_strhash equals the reference fold on random strings") {
     val gen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
