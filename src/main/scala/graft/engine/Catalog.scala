@@ -48,6 +48,13 @@ object Checksum {
     case _       => s"COALESCE(CAST($c AS VARCHAR), '<null>')"
   }
 
+  private def requireHashable(df: DataFrame, cols: Seq[(String, Kind)]): Unit =
+    cols.foreach { case (c, _) =>
+      val dt = df.schema(c).dataType.typeName
+      require(dt != "double" && dt != "float" && !dt.startsWith("decimal"),
+        s"checksum over $c: $dt excluded by design (cross-engine printf)")
+    }
+
   /** One-row `(n_rows, checksum)` frame over `df`. Every column is
     * coalesced to a sentinel BEFORE concat: concat_ws would silently
     * skip a NULL (and its delimiter), making ('a', NULL, 'b') hash like
@@ -55,11 +62,7 @@ object Checksum {
     * `||`.
     */
   def of(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
-    cols.foreach { case (c, _) =>
-      val dt = df.schema(c).dataType.typeName
-      require(dt != "double" && dt != "float" && !dt.startsWith("decimal"),
-        s"checksum over $c: $dt excluded by design (cross-engine printf)")
-    }
+    requireHashable(df, cols)
     val row = cols.map { case (c, k) => sparkRender(c, k) }.mkString(", ")
     df.selectExpr(s"graft_strhash(concat_ws('|', $row)) AS row_hash")
       .agg(org.apache.spark.sql.functions.count(
@@ -94,11 +97,7 @@ object Checksum {
     * (e.g. `year(l_shipdate)` both sides, cast to BIGINT).
     */
   def by(df: DataFrame, groupSpark: String, cols: Seq[(String, Kind)]): DataFrame = {
-    cols.foreach { case (c, _) =>
-      val dt = df.schema(c).dataType.typeName
-      require(dt != "double" && dt != "float" && !dt.startsWith("decimal"),
-        s"checksum over $c: $dt excluded by design (cross-engine printf)")
-    }
+    requireHashable(df, cols)
     val row = cols.map { case (c, k) => sparkRender(c, k) }.mkString(", ")
     df.selectExpr(s"$groupSpark AS group_key",
         s"graft_strhash(concat_ws('|', $row)) AS row_hash")
