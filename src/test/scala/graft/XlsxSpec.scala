@@ -130,6 +130,43 @@ class XlsxSpec extends SparkTestBase {
     assert(rows.head.getString(0) === "x" && rows.head.getLong(1) === 7L)
   }
 
+  test("XlsxSource reads formula cells' cached values, ignores formula text") {
+    // Real workbooks carry <f> formulas with cached <v> results — the
+    // reader must take the cached value (numeric and t="str" string
+    // formulas both) and never let the formula TEXT leak into data.
+    val f = Files.createTempFile("graft-formula", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |  <Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |  <row r="1"><c r="A1" t="inlineStr"><is><t>label</t></is></c>
+        |       <c r="B1" t="inlineStr"><is><t>total</t></is></c></row>
+        |  <row r="2"><c r="A2" t="str"><f>CONCAT("a","b")</f><v>ab</v></c>
+        |       <c r="B2"><f>SUM(C1:C9)</f><v>41.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("total", DoubleType)))
+    val rows = XlsxSource(f.toString, schema).load(spark).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "ab",
+      "string-formula cell must yield its cached value, not the formula")
+    assert(rows.head.getDouble(1) === 41.5,
+      "numeric-formula cell must yield its cached value")
+  }
+
   test("XlsxSource decodes date-styled serial cells via styles.xml") {
     val f = Files.createTempFile("graft-dates", ".xlsx")
     val zos = new ZipOutputStream(Files.newOutputStream(f))
