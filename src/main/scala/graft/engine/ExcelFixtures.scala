@@ -226,6 +226,20 @@ private[graft] object BiffWriter {
   def boolErr(row: Int, col: Int, v: Boolean): Array[Byte] =
     rec(0x0205, u16(row) ++ u16(col) ++ u16(0) ++
       Array((if (v) 1 else 0).toByte, 0.toByte))
+  /** FORMULA with a cached numeric result (empty parsed expression —
+    * readers take the cached value).
+    */
+  def formulaNum(row: Int, col: Int, xfIdx: Int, v: Double): Array[Byte] =
+    rec(0x0006, u16(row) ++ u16(col) ++ u16(xfIdx) ++ dbl(v) ++
+      u16(0) ++ u32(0) ++ u16(0)) // grbit, chn, cce=0
+  /** FORMULA whose cached result is a string: num = tag 0 + 0xFFFF
+    * marker; the value itself follows in a STRING record.
+    */
+  def formulaStr(row: Int, col: Int, xfIdx: Int): Array[Byte] =
+    rec(0x0006, u16(row) ++ u16(col) ++ u16(xfIdx) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0xFF.toByte, 0xFF.toByte) ++
+      u16(0) ++ u32(0) ++ u16(0))
+  def stringRec(s: String): Array[Byte] = rec(0x0207, str16(s))
 
   /** Minimal OLE2 container (regular FAT path: stream padded >= 4096 so
     * the mini-stream is not involved). Layout: header, FAT sector,

@@ -149,6 +149,8 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
   private val RLabelSst = 0x00FD
   private val RLabel = 0x0204
   private val RRString = 0x00D6
+  private val RFormula = 0x0006
+  private val RStringRec = 0x0207 // cached result of a string FORMULA
   private val RNumber = 0x0203
   private val RRk = 0x027E
   private val RMulRk = 0x00BD
@@ -320,10 +322,32 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
       require(sit.hasNext && { val b = sit.next(); b.id == RBof },
         s"$path: sheet $name does not start at a BOF record")
       var open = true
+      // a string FORMULA's cached value arrives in the NEXT STRING
+      // record (possibly after SHRFMLA/ARRAY helpers) — remember whose
+      var pendingStr: Option[(Int, Int)] = None
       while (open && sit.hasNext) {
         val r = sit.next()
         val d = r.data
         r.id match {
+          case RFormula =>
+            // cached result in bytes 6-13: an IEEE double, unless the
+            // last two bytes are 0xFFFF — then byte 6 tags a string
+            // (0, value in the following STRING record), boolean (1),
+            // error (2, -> NULL) or empty string (3)
+            val rc = (u16(d, 0), u16(d, 2))
+            if ((d(12) & 0xFF) == 0xFF && (d(13) & 0xFF) == 0xFF) d(6) match {
+              case 0 => pendingStr = Some(rc)
+              case 1 => cells(rc) = if (d(8) == 1) "true" else "false"
+              case 3 => cells(rc) = ""
+              case _ => () // error result -> missing cell -> NULL
+            } else {
+              val v = java.nio.ByteBuffer.wrap(d, 6, 8)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+              cells(rc) = numText(v, u16(d, 4))
+            }
+          case RStringRec =>
+            pendingStr.foreach(rc => cells(rc) = readStr(d, 0, shortLen = false)._1)
+            pendingStr = None
           case RLabelSst =>
             sst.lift(u32(d, 6).toInt).foreach(v =>
               cells((u16(d, 0), u16(d, 2))) = v)

@@ -91,6 +91,28 @@ class XlsSpec extends SparkTestBase {
     assert(rows.head.getString(0) === "x" && rows.head.getDouble(1) === 0.75)
   }
 
+  test("XlsSource reads FORMULA cells' cached results") {
+    // Real .xls sheets carry FORMULA records whose cached result is
+    // either an inline IEEE double or (for string formulas) a marker
+    // pointing at the following STRING record — both must land as
+    // cell values; the formula expression itself must not.
+    val globalsPrefix = bof(0x05) ++ xf(0) ++ sst(Seq("k", "v"))
+    val bsLen = boundSheet(0, "S").length
+    val globalsLen = globalsPrefix.length + bsLen + eof.length
+    val sheet = bof(0x10) ++
+      labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++
+      formulaStr(1, 0, 0) ++ stringRec("ab") ++
+      formulaNum(1, 1, 0, 41.5) ++ eof
+    val wb = globalsPrefix ++ boundSheet(globalsLen, "S") ++ eof ++ sheet
+    val f = Files.createTempFile("graft-formula", ".xls")
+    Files.write(f, ole2(wb))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val rows = XlsSource(f.toString, schema).load(spark).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "ab" && rows.head.getDouble(1) === 41.5)
+  }
+
   test("XlsSource honors a DATEMODE 1904 record") {
     val globalsPrefix = bof(0x05) ++
       rec(0x0022, u16(1)) ++ // DATEMODE = 1904 system
