@@ -345,6 +345,9 @@ private[engine] object XlsxStax {
           if (!vSeen) None
           else Some(if (vText.toString.trim == "1") "true" else "false")
         case "str" => if (vSeen) Some(vText.toString) else None
+        // error cells (#DIV/0!, #VALUE!, ...) are NULL in the
+        // pd.read_excel contract — never data, even for string columns
+        case "e" => None
         case _ =>
           if (!vSeen) None
           else {

@@ -155,15 +155,20 @@ class XlsxSpec extends SparkTestBase {
         |       <c r="B1" t="inlineStr"><is><t>total</t></is></c></row>
         |  <row r="2"><c r="A2" t="str"><f>CONCAT("a","b")</f><v>ab</v></c>
         |       <c r="B2"><f>SUM(C1:C9)</f><v>41.5</v></c></row>
+        |  <row r="3"><c r="A3" t="e"><f>1/0</f><v>#DIV/0!</v></c>
+        |       <c r="B3"><v>7</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
     val schema = StructType(Seq(
       StructField("label", StringType), StructField("total", DoubleType)))
-    val rows = XlsxSource(f.toString, schema).load(spark).collect()
-    assert(rows.length === 1)
-    assert(rows.head.getString(0) === "ab",
+    val rows = XlsxSource(f.toString, schema).load(spark)
+      .orderBy("total").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(0) && rows(0).getDouble(1) === 7.0,
+      "error cell must be NULL, never its error text")
+    assert(rows(1).getString(0) === "ab",
       "string-formula cell must yield its cached value, not the formula")
-    assert(rows.head.getDouble(1) === 41.5,
+    assert(rows(1).getDouble(1) === 41.5,
       "numeric-formula cell must yield its cached value")
   }
 
