@@ -239,6 +239,70 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     spark.table(name)
   }
 
+  // ---- versioned tables ----------------------------------------------
+  // The reproducibility primitive a training pipeline needs and plain
+  // parquet dirs lack: "which exact corpus did this model train on?".
+  // Each save writes a COMPLETE new version directory and then flips a
+  // one-line pointer file atomically — readers either see the old
+  // version or the new one, never a mix; a crash mid-write leaves an
+  // orphan directory and the pointer (and every reader) untouched.
+  // Old versions stay readable (and checksum-stable) until vacuumed.
+
+  private def versionDir(name: String, v: Int) = s"$warehouse/$name/_v=$v"
+  private def pointerFile(name: String) =
+    java.nio.file.Paths.get(s"$warehouse/$name/_LATEST")
+
+  /** Latest committed version of a versioned table, if any. */
+  def latestVersion(name: String): Option[Int] =
+    if (java.nio.file.Files.exists(pointerFile(name)))
+      new String(java.nio.file.Files.readAllBytes(pointerFile(name)),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+    else None
+
+  /** Write `df` as the next version and commit it via an atomic
+    * pointer flip. Returns the committed version number.
+    */
+  def saveVersioned(name: String, df: DataFrame): Int = {
+    val next = latestVersion(name).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(versionDir(name, next))
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(s"$warehouse/$name"), "_LATEST.", ".tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, pointerFile(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read one pinned version — the frame a training run records. */
+  def tableAt(name: String, version: Int): DataFrame =
+    spark.read.parquet(versionDir(name, version))
+
+  /** Read the latest committed version. */
+  def tableLatest(name: String): DataFrame =
+    tableAt(name, latestVersion(name).getOrElse(
+      throw new IllegalStateException(s"$name: no committed version")))
+
+  /** Drop committed versions older than the newest `keep` (and any
+    * orphan dirs above the pointer left by a crashed save). Callers own
+    * the retention policy — a version a run still pins must stay within
+    * `keep`.
+    */
+  def vacuumVersions(name: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the latest version")
+    val latest = latestVersion(name).getOrElse(return)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    Option(new java.io.File(s"$warehouse/$name").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
+      .map(f => f -> f.getName.stripPrefix("_v=").toInt)
+      .filter { case (_, v) => v <= latest - keep || v > latest }
+      .foreach { case (f, _) => rm(f) }
+  }
+
   /** S7: non-materialized view over the catalog. */
   def createView(name: String, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView(name)
