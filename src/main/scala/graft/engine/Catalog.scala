@@ -37,16 +37,37 @@ object Checksum {
   /** TIMESTAMP column, rendered at DATE granularity. */
   case object TsDay extends Kind
 
+  // String columns are length-prefixed ('S<len>:<value>', NULL -> 'N'):
+  // a bare delimiter join would hash ('a|b','c') and ('a','b|c')
+  // identically, and a literal '<null>' string would collide with NULL
+  // — both silent holes in a primitive whose job is detecting exactly
+  // such shifts. Non-string kinds render to character sets that cannot
+  // contain the delimiter, so the coalesce sentinel stays unambiguous.
   private def sparkRender(c: String, k: Kind): String = k match {
-    case Str     => s"coalesce($c, '<null>')"
+    case Str =>
+      s"case when $c is null then 'N' " +
+        s"else concat('S', length($c), ':', $c) end"
     case TsDay   => s"coalesce(cast(to_date($c) as string), '<null>')"
     case _       => s"coalesce(cast($c as string), '<null>')"
   }
   private def duckRender(c: String, k: Kind): String = k match {
-    case Str     => s"COALESCE($c, '<null>')"
+    case Str =>
+      s"CASE WHEN $c IS NULL THEN 'N' " +
+        s"ELSE 'S' || CAST(length($c) AS VARCHAR) || ':' || $c END"
     case TsDay   => s"COALESCE(CAST(CAST($c AS DATE) AS VARCHAR), '<null>')"
     case _       => s"COALESCE(CAST($c AS VARCHAR), '<null>')"
   }
+
+  /** The hash-sum is reduced modulo the largest prime below 2^53 so the
+    * final value is EXACT in a double at any row count: the raw
+    * DECIMAL sum of ~1e9-bounded row hashes passes 2^53 around a
+    * billion rows, after which a double cast would round away
+    * low-order bits — i.e. lose detection power at precisely the scale
+    * the primitive exists for. Modular reduction keeps every bit of
+    * every row hash significant (a corruption escapes only if its net
+    * delta is ≡ 0 mod P, ~1/9e15).
+    */
+  val SumPrime = 9007199254740881L
 
   private def requireHashable(df: DataFrame, cols: Seq[(String, Kind)]): Unit =
     cols.foreach { case (c, _) =>
@@ -61,16 +82,21 @@ object Checksum {
     * ('a', 'b', NULL) and diverging from the oracle's NULL-propagating
     * `||`.
     */
+  private def sumExpr: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(sum(col("row_hash").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))),
+      lit(SumPrime).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double").as("checksum")
+  }
+
   def of(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
     requireHashable(df, cols)
     val row = cols.map { case (c, k) => sparkRender(c, k) }.mkString(", ")
     df.selectExpr(s"graft_strhash(concat_ws('|', $row)) AS row_hash")
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_rows"),
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("row_hash")
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast("double").as("checksum"))
+        sumExpr)
   }
 
   /** The DuckDB twin for the same column list (the t5-proven
@@ -83,7 +109,8 @@ object Checksum {
        |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(regexp_extract_all($row, '(?s).'),
        |      c -> CAST(ascii(c) AS BIGINT))),
-       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0))
+       |    % $SumPrime AS DOUBLE) AS checksum
        |FROM $table""".stripMargin
   }
 
@@ -104,10 +131,7 @@ object Checksum {
       .groupBy(org.apache.spark.sql.functions.col("group_key"))
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_rows"),
-        org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("row_hash")
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast("double").as("checksum"))
+        sumExpr)
       .orderBy("group_key")
   }
 
@@ -120,12 +144,21 @@ object Checksum {
        |  CAST(CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(regexp_extract_all($row, '(?s).'),
        |      c -> CAST(ascii(c) AS BIGINT))),
-       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
+       |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0))
+       |    % $SumPrime AS DOUBLE) AS checksum
        |FROM $table GROUP BY 1 ORDER BY group_key""".stripMargin
   }
 }
 
 final class Catalog(val spark: SparkSession, val warehouse: String) {
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+    f.delete(): Unit
+  }
+  private def du(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum
+    else f.length()
 
   /** Order-independent checksum of a warehouse table (see [[Checksum]]). */
   def checksum(name: String, cols: Seq[(String, Checksum.Kind)]): DataFrame =
@@ -175,14 +208,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * unit, and at 100 TB the file count itself becomes the bottleneck
     * (listing, footer reads, task scheduling). Rewrites the table into
     * `ceil(bytes / targetBytes)` files (preserving `sortBy` clustering
-    * when given), atomically: the rewrite lands in a sibling temp dir
-    * first, so a crash mid-compact leaves the live table untouched;
-    * the swap is two renames. Content-invariance is the caller-visible
+    * when given). The swap is two renames, so it is not atomic — but it
+    * IS self-healing: the crash window (live dir moved aside, new dir
+    * not yet in place) is repaired on the next compact() call by
+    * restoring the `.__compact_old` copy, and a failed second rename
+    * rolls back in-process. Content-invariance is the caller-visible
     * contract — [[Checksum]] before == after (proven in PipelineSpec).
     */
   def compact(name: String, targetBytes: Long = 128L * 1024 * 1024,
               sortBy: Seq[String] = Nil): DataFrame = {
     val dir = s"$warehouse/$name"
+    val old = new java.io.File(s"$dir.__compact_old")
+    // heal a previous compact that crashed between its two renames:
+    // the live dir is missing but the moved-aside copy is intact
+    if (!new java.io.File(dir).exists() && old.exists())
+      require(old.renameTo(new java.io.File(dir)),
+        s"compact($name): could not restore $old after an interrupted swap")
     // A partition-keyed table must be compacted per partition directory
     // (pass 'table/part=value' as the name): rewriting the root would
     // silently flatten the partition layout and downstream scans would
@@ -190,9 +231,6 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     require(!Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .exists(f => f.isDirectory && f.getName.contains("=")),
       s"compact($name): partitioned table — compact one partition dir at a time")
-    def du(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum
-      else f.length()
     val bytes = du(new java.io.File(dir))
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
@@ -205,18 +243,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       else df.repartition(nFiles)
     val tmp = s"$dir.__compact_tmp"
     shaped.write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(s"$dir.__compact_old")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
     rm(old) // stale leftovers from an interrupted previous swap
-    require(new java.io.File(dir).renameTo(old) &&
-      new java.io.File(tmp).renameTo(new java.io.File(dir)),
-      s"compact($name): atomic swap failed")
+    require(new java.io.File(dir).renameTo(old),
+      s"compact($name): could not move the live table aside")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+      // roll back so readers keep the (uncompacted) live table
+      old.renameTo(new java.io.File(dir)): Unit
+      throw new IllegalStateException(
+        s"compact($name): swap failed, original restored")
+    }
     rm(old)
     val back = spark.read.parquet(dir)
-    back.createOrReplaceTempView(name)
+    // a partition directory ('table/part=value') is not a table name —
+    // only plain identifiers get (re-)registered as views
+    if (!name.exists(c => c == '/' || c == '='))
+      back.createOrReplaceTempView(name)
     back
   }
 
@@ -292,10 +333,6 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def vacuumVersions(name: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest version")
     val latest = latestVersion(name).getOrElse(return)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
-    }
     Option(new java.io.File(s"$warehouse/$name").listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("_v="))
       .map(f => f -> f.getName.stripPrefix("_v=").toInt)
@@ -351,10 +388,6 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** S11: database-file lifecycle — drop the warehouse directory. */
   def dropWarehouse(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     val root = new java.io.File(warehouse)
     if (root.exists()) rm(root)
   }

@@ -54,7 +54,6 @@ object Dashboard {
   }
 
   private def renderPanels(monthly: DataFrame, outPath: Option[String]): String = {
-    val rev = revCol(monthly)
     val revEur = "total_revenue_eur"
 
     // panel datasets — all chart-cardinality collects
