@@ -413,6 +413,31 @@ object PipelineQueries {
           |FROM grid g LEFT JOIN daily dv ON g.date = dv.date AND g.event_type = dv.event_type
           |ORDER BY g.date, g.event_type""".stripMargin)),
 
+    Q("o5_versioned_snapshot",
+      "Versioned-table reproducibility — v1 of a corpus (short docs " +
+        "only) is written and committed, then a superseding v2 (all " +
+        "docs) lands; the query reads the PINNED v1 afterwards. " +
+        "Hash-matching the v1-filter oracle proves a committed version " +
+        "is immutable under later saves — the 'which exact corpus did " +
+        "this run train on' contract (Catalog.saveVersioned/tableAt).",
+      (s, d) => {
+        import s.implicits._
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o5_wh"))
+        val docs = t(s, d, "documents")
+        val v1 = cat.saveVersioned("corpus", docs.filter($"n_chars" < 300))
+        cat.saveVersioned("corpus", docs): Unit // v2 supersedes v1
+        cat.tableAt("corpus", v1)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("total_chars"))
+          .orderBy($"lang")
+      },
+      Some(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents WHERE n_chars < 300
+          |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     Q("e1_hourly_window",
       "D6/streaming-equivalent — tumbling 1-hour window aggregation over " +
         "events (batch twin of the Structured Streaming query; also pins " +
