@@ -42,11 +42,15 @@ object IncrementalRollup {
       // isin over literal partition values -> static partition pruning:
       // the recompute scan reads only the touched fact directories.
       val slice = factBack.filter(col(partCol).isInCollection(touched))
+      val out = compute(slice)
+      require(out.columns.contains(partCol),
+        s"refresh($rollup): compute() must emit '$partCol' — a rollup " +
+          "without its partition column cannot be partition-swapped")
       // cluster rollup rows by partition value before the write: one
       // file per touched partition instead of one per task per
       // partition (rollup rows are partition-value cardinality, so one
       // task per value is never a bottleneck)
-      compute(slice).repartition(col(partCol)).write
+      out.repartition(col(partCol)).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
