@@ -132,6 +132,9 @@ object Checksum {
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_rows"),
         sumExpr)
+      // Spark's default orderBy is NULLS FIRST; duckSqlBy pins DuckDB
+      // (default NULLS LAST) to the same rule so a NULL grouping key
+      // cannot reorder the two engines' outputs against each other.
       .orderBy("group_key")
   }
 
@@ -146,7 +149,7 @@ object Checksum {
        |      c -> CAST(ascii(c) AS BIGINT))),
        |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS DECIMAL(38,0))
        |    % $SumPrime AS DOUBLE) AS checksum
-       |FROM $table GROUP BY 1 ORDER BY group_key""".stripMargin
+       |FROM $table GROUP BY 1 ORDER BY group_key NULLS FIRST""".stripMargin
   }
 }
 
@@ -197,9 +200,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     back
   }
 
+  /** Heal a [[compact]] that crashed between its two renames: the live
+    * dir is missing but the moved-aside copy is intact. Run by every
+    * read-path entry (table / exists / compact) so the repair is
+    * reachable through the FIRST operator to touch the table after the
+    * crash, not only through a retry of the operator that crashed.
+    */
+  private def healInterruptedCompact(name: String): Unit = {
+    val dir = new java.io.File(s"$warehouse/$name")
+    val old = new java.io.File(s"$warehouse/$name.__compact_old")
+    if (!dir.exists() && old.exists())
+      require(old.renameTo(dir),
+        s"compact($name): could not restore $old after an interrupted swap")
+  }
+
   /** Whether `name` has ever been materialized in this warehouse. */
-  def exists(name: String): Boolean =
+  def exists(name: String): Boolean = {
+    healInterruptedCompact(name)
     new java.io.File(s"$warehouse/$name").exists()
+  }
 
   /** Small-file compaction — the warehouse-hygiene operator every
     * incremental writer eventually needs: appends and per-batch
@@ -219,11 +238,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
               sortBy: Seq[String] = Nil): DataFrame = {
     val dir = s"$warehouse/$name"
     val old = new java.io.File(s"$dir.__compact_old")
-    // heal a previous compact that crashed between its two renames:
-    // the live dir is missing but the moved-aside copy is intact
-    if (!new java.io.File(dir).exists() && old.exists())
-      require(old.renameTo(new java.io.File(dir)),
-        s"compact($name): could not restore $old after an interrupted swap")
+    healInterruptedCompact(name)
     // A partition-keyed table must be compacted per partition directory
     // (pass 'table/part=value' as the name): rewriting the root would
     // silently flatten the partition layout and downstream scans would
@@ -258,6 +273,38 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // only plain identifiers get (re-)registered as views
     if (!name.exists(c => c == '/' || c == '='))
       back.createOrReplaceTempView(name)
+    back
+  }
+
+  /** Per-partition compaction of a partitioned table — the one-call
+    * path [[compact]]'s partitioned-root guard refuses. Walks the
+    * partition tree to its leaf directories (multi-level layouts
+    * included) and compacts each leaf independently, so the partition
+    * layout — and downstream partition pruning — is preserved
+    * byte-for-byte in structure. Each leaf reuses [[compact]]'s
+    * two-rename swap and its crash healing. At cluster scale the leaf
+    * compactions are independent jobs; here they run sequentially,
+    * which is the same I/O either way on one machine.
+    */
+  def compactPartitions(name: String, targetBytes: Long = 128L * 1024 * 1024,
+                        sortBy: Seq[String] = Nil): DataFrame = {
+    healInterruptedCompact(name)
+    val root = new java.io.File(s"$warehouse/$name")
+    require(root.isDirectory, s"compactPartitions($name): no such table")
+    def leaves(rel: String): Seq[String] = {
+      val parts = Option(new java.io.File(s"$warehouse/$rel").listFiles())
+        .toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("=") &&
+          !f.getName.contains(".__compact"))
+      if (parts.isEmpty) Seq(rel)
+      else parts.flatMap(p => leaves(s"$rel/${p.getName}"))
+    }
+    val leafDirs = leaves(name)
+    require(leafDirs != Seq(name),
+      s"compactPartitions($name): not partitioned — use compact()")
+    leafDirs.foreach(compact(_, targetBytes, sortBy): Unit)
+    val back = spark.read.parquet(s"$warehouse/$name")
+    back.createOrReplaceTempView(name)
     back
   }
 
@@ -299,6 +346,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       new String(java.nio.file.Files.readAllBytes(pointerFile(name)),
         java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
     else None
+
+  /** All committed versions of a versioned table, ascending — the
+    * discoverability half of the retention contract: a training run
+    * pins one of these numbers, [[vacuumVersions]]`(name, keep)` is the
+    * retention policy (keep ≥ the age of the oldest still-pinned run),
+    * and orphan directories above the pointer (crashed saves) are
+    * never listed because they were never committed.
+    */
+  def versions(name: String): Seq[Int] = {
+    val latest = latestVersion(name).getOrElse(return Nil)
+    Option(new java.io.File(s"$warehouse/$name").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
+      .flatMap(_.getName.stripPrefix("_v=").toIntOption)
+      .filter(_ <= latest)
+      .sorted
+  }
 
   /** Write `df` as the next version and commit it via an atomic
     * pointer flip. Returns the committed version number.
@@ -376,7 +439,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     spark.table(name)
   }
 
-  def table(name: String): DataFrame = spark.table(name)
+  def table(name: String): DataFrame = {
+    // plain identifiers only: partition-dir paths and dotted names are
+    // not warehouse table dirs, and the heal is a no-op for views that
+    // never lived in this warehouse
+    if (!name.exists(c => c == '/' || c == '=')) healInterruptedCompact(name)
+    spark.table(name)
+  }
 
   /** S10: introspection — registered table names (SHOW TABLES analog). */
   def tables(): Seq[String] =

@@ -16,13 +16,19 @@ import graft.engine.Catalog
   * O(facts in touched partitions), independent of history size.
   *
   * Consistency: the rollup is derived state — every partition value is
-  * a pure function of the fact partitions with the same key, so a
-  * crash between the fact append and the rollup overwrite leaves the
-  * rollup stale but repairable: re-running [[refresh]] for the same
-  * partition values (or replaying [[ingest]], whose refresh is
-  * idempotent) converges to the same bytes. Partition swap itself is
-  * per-directory overwrite — readers never see a half-written
-  * partition mixed with old files.
+  * a pure function of the fact partitions with the same key. Each
+  * batch's fact rows land under their own `__batch_id=<id>/` directory
+  * with mode(overwrite) (the [[IncrementalIngest]] /
+  * [[graft.streaming.RollupStream]] layout), so a crash between the
+  * fact write and the rollup refresh has two safe repairs: re-running
+  * [[refresh]] for the same partition values (recomputes from fact
+  * state), or replaying [[ingest]] with the SAME `batchId` (overwrites
+  * its own directory with identical content, then re-refreshes). A
+  * replay WITHOUT an explicit batchId allocates a fresh directory and
+  * duplicates the batch — callers with at-least-once upstreams must
+  * thread a stable id. Partition swap itself is per-directory
+  * overwrite — readers never see a half-written partition mixed with
+  * old files.
   */
 object IncrementalRollup {
 
@@ -41,7 +47,10 @@ object IncrementalRollup {
       val factBack = cat.spark.read.parquet(s"${cat.warehouse}/$fact")
       // isin over literal partition values -> static partition pruning:
       // the recompute scan reads only the touched fact directories.
+      // `__batch_id` is batch *placement*, not part of the fact's
+      // column contract — shed it before compute sees the slice.
       val slice = factBack.filter(col(partCol).isInCollection(touched))
+        .drop("__batch_id")
       val out = compute(slice)
       require(out.columns.contains(partCol),
         s"refresh($rollup): compute() must emit '$partCol' — a rollup " +
@@ -63,35 +72,58 @@ object IncrementalRollup {
     back
   }
 
-  /** Append `batch` to the `partCol`-partitioned `fact` table, then
-    * [[refresh]] the rollup for the batch's partition values. The
-    * touched set is collected to the driver — it is bounded by
-    * partitions-per-batch (days, for a date-partitioned fact), not by
-    * rows. Late-arriving rows are first-class: a batch carrying an old
-    * `partCol` value just puts that value in the touched set and the
-    * old rollup partition is recomputed from all facts now present.
+  /** Land `batch` under `fact/__batch_id=<id>/` (partitioned by
+    * `partCol` inside the batch directory), then [[refresh]] the
+    * rollup for the batch's partition values. The touched set is
+    * collected to the driver — it is bounded by partitions-per-batch
+    * (days, for a date-partitioned fact), not by rows. Late-arriving
+    * rows are first-class: a batch carrying an old `partCol` value
+    * just puts that value in the touched set and the old rollup
+    * partition is recomputed from all facts now present.
+    *
+    * `batchId`: pass the upstream's stable batch id (a streaming
+    * micro-batch id, an ingest-log sequence number) to make the call
+    * replay-idempotent — the replay overwrites its own directory.
+    * `None` allocates max-existing+1, which is correct for a
+    * single-writer exactly-once upstream but duplicates on replay.
+    * An empty batch writes nothing and consumes no id.
     */
   def ingest(cat: Catalog, fact: String, rollup: String, partCol: String,
-             batch: DataFrame,
-             compute: DataFrame => DataFrame): DataFrame = {
-    // One evaluation of the batch lineage: the append and the
+             batch: DataFrame, compute: DataFrame => DataFrame,
+             batchId: Option[Long] = None): DataFrame = {
+    // One evaluation of the batch lineage: the write and the
     // touched-set scan both read the persisted blocks — recomputing a
     // lazy batch twice would be wasted work and, for a
     // non-deterministic source, could desync the touched set from the
     // rows actually written.
     val b = batch.persist()
     try {
-      // cluster fact rows by partition value so a batch appends ONE
-      // file per touched partition, not one per task per partition —
-      // the small-file debt Catalog.compact otherwise has to pay down.
-      // If one partition's batch volume ever exceeds a task, salt the
-      // repartition (files per partition > 1) rather than dropping it.
-      b.repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol)
-        .parquet(s"${cat.warehouse}/$fact")
       val touched = b.select(partCol).distinct()
         .collect().map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        val id = batchId.getOrElse(nextBatchId(cat, fact))
+        // cluster fact rows by partition value so a batch writes ONE
+        // file per touched partition, not one per task per partition —
+        // the small-file debt Catalog.compact otherwise has to pay
+        // down. If one partition's batch volume ever exceeds a task,
+        // salt the repartition (files per partition > 1) rather than
+        // dropping it.
+        b.repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"${cat.warehouse}/$fact/__batch_id=$id")
+      }
       refresh(cat, fact, rollup, partCol, touched, compute)
     } finally { b.unpersist(false); () }
+  }
+
+  /** Next free batch directory id under the fact root (max + 1, 0 for
+    * a fresh table) — one driver-side LIST of top-level prefixes.
+    */
+  private def nextBatchId(cat: Catalog, fact: String): Long = {
+    val root = new java.io.File(s"${cat.warehouse}/$fact")
+    val ids = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+      .map(_.getName.stripPrefix("__batch_id=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 }

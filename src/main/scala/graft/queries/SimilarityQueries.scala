@@ -429,7 +429,10 @@ object SimilarityQueries {
 
     Q("a6_ann_quantized",
       "Int8-quantized ANN — per-vector scalar quantization " +
-        "(scale = max|x|/127, floor(x/scale + 0.5) — floor, not " +
+        "(scale = greatest(max|x|/127, 1e-30) — the epsilon floor " +
+        "keeps an all-zero embedding from dividing by zero, where " +
+        "Spark's non-ANSI CAST(NaN AS BIGINT)=0 and DuckDB's NaN " +
+        "floor/cast diverge; floor(x/scale + 0.5) — floor, not " +
         "round: round-half rules differ across engines) shrinks the " +
         "vector store 4x and turns the scoring hot path into exact " +
         "int64 dot products; top-5 per query on the quantized cosine. " +
@@ -440,8 +443,9 @@ object SimilarityQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
           .withColumn("scale",
-            expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-              "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0"))
+            expr("greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0, " +
+              "1e-30)"))
           .withColumn("q",
             expr("transform(embedding, x -> CAST(floor(" +
               "CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
@@ -473,9 +477,9 @@ object SimilarityQueries {
         """WITH e AS (
           |  SELECT vec_id,
           |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) / (list_reduce(
+          |      x -> CAST(floor(CAST(x AS DOUBLE) / greatest(list_reduce(
           |        list_transform(embedding, v -> abs(CAST(v AS DOUBLE))),
-          |        (a, b) -> greatest(a, b)) / 127.0) + 0.5) AS BIGINT)) AS q
+          |        (a, b) -> greatest(a, b)) / 127.0, 1e-30) + 0.5) AS BIGINT)) AS q
           |  FROM embeddings),
           |n AS (
           |  SELECT vec_id, q,

@@ -220,6 +220,56 @@ class PipelineSpec extends SparkTestBase {
     assert(!siblings.exists(_.contains("__compact")), siblings)
   }
 
+  test("Catalog.compactPartitions compacts each partition, keeps layout + checksum") {
+    import graft.engine.Checksum
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "compactp_wh"))
+    // a partitioned table fragmented inside every partition — the
+    // state an incremental per-batch writer leaves behind
+    cat.save("pfrag", graft.engine.Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      .repartition(8),
+      partitionBy = Seq("o_orderstatus"))
+    def partDirs(): Seq[java.io.File] =
+      Option(new java.io.File(s"${cat.warehouse}/pfrag").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory && f.getName.contains("="))
+    def filesIn(d: java.io.File): Int =
+      Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val layoutBefore = partDirs().map(_.getName).sorted
+    assert(layoutBefore.nonEmpty && partDirs().exists(filesIn(_) > 1))
+    val cols = Seq("o_orderkey" -> Checksum.IntLike,
+      "o_orderstatus" -> Checksum.Str, "o_orderdate" -> Checksum.TsDay)
+    val before = Checksum.of(cat.table("pfrag"), cols).head()
+    // the root-level guard still refuses; the per-partition path works
+    assertThrows[IllegalArgumentException] { cat.compact("pfrag") }
+    val compacted = cat.compactPartitions("pfrag", targetBytes = Long.MaxValue)
+    assert(partDirs().map(_.getName).sorted == layoutBefore,
+      "partition layout must survive compaction")
+    assert(partDirs().forall(filesIn(_) == 1),
+      partDirs().map(d => d.getName -> filesIn(d)))
+    val after = Checksum.of(compacted, cols).head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getDouble(1) == before.getDouble(1))
+  }
+
+  test("a crashed compact swap is healed by the next reader, not only the next compact") {
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "heal_wh"))
+    cat.save("t", graft.engine.Graft.table(spark, sfDir, "region"))
+    val n = cat.table("t").count()
+    // simulate a crash between compact()'s two renames: live dir moved
+    // aside, replacement never arrived
+    val dir = new java.io.File(s"${cat.warehouse}/t")
+    assert(dir.renameTo(new java.io.File(s"${cat.warehouse}/t.__compact_old")))
+    assert(cat.exists("t"), "exists() must heal the interrupted swap")
+    assert(cat.table("t").count() == n)
+    // and again via table() as the first toucher
+    assert(dir.renameTo(new java.io.File(s"${cat.warehouse}/t.__compact_old")))
+    assert(cat.table("t").count() == n)
+    assert(!new java.io.File(s"${cat.warehouse}/t.__compact_old").exists())
+  }
+
   test("mergeSchema read reconciles batches whose schema drifted") {
     import spark.implicits._
     val dir = graft.queries.Scratch.fresh(spark, "evolve")

@@ -44,16 +44,26 @@ class PropertySpec extends SparkTestBase {
   test("property: int8 quantization error is bounded by scale/2 per element") {
     // a6's quantizer contract: q = floor(x/scale + 0.5) reconstructs to
     // within half a quantization step for every element (scale =
-    // max|x|/127 per vector) — the bound that makes int8 cosine a
-    // faithful ranking proxy.
-    val rows = graft.engine.Graft.table(spark, sfDir, "embeddings")
+    // greatest(max|x|/127, 1e-30) per vector — the epsilon floor keeps
+    // an all-zero vector from producing NaN) — the bound that makes
+    // int8 cosine a faithful ranking proxy. An injected all-zero
+    // vector exercises the degenerate path the fixture corpus avoids.
+    val corpus = graft.engine.Graft.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding")
+    val dim = corpus.selectExpr("size(embedding) AS d").head().getInt(0)
+    val zero = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS vec_id, " +
+        s"array_repeat(CAST(0.0 AS FLOAT), $dim) AS embedding")
+    val rows = corpus.unionByName(zero)
       .selectExpr("vec_id", "embedding",
-        "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0 AS scale",
+        "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0, " +
+          "1e-30) AS scale",
         "transform(embedding, x -> CAST(floor(" +
-          "CAST(x AS DOUBLE) / (aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-          "(acc, x2) -> greatest(acc, abs(CAST(x2 AS DOUBLE)))) / 127.0) " +
-          "+ 0.5) AS BIGINT)) AS q")
+          "CAST(x AS DOUBLE) / greatest(aggregate(embedding, " +
+          "CAST(0.0 AS DOUBLE), " +
+          "(acc, x2) -> greatest(acc, abs(CAST(x2 AS DOUBLE)))) / 127.0, " +
+          "1e-30) + 0.5) AS BIGINT)) AS q")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -65,6 +75,9 @@ class PropertySpec extends SparkTestBase {
           s"vec ${r.getLong(0)}: |$x - $qi*$scale| exceeds scale/2")
       }
     }
+    // the all-zero vector quantizes to exactly zeros, not NaN-cast junk
+    val zq = rows.find(_.getLong(0) == -1L).get.getSeq[Long](3)
+    assert(zq.forall(_ == 0L), s"all-zero vector must quantize to zeros: $zq")
   }
 
   test("property: graft_strhash equals the reference fold on random strings") {

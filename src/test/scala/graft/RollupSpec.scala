@@ -123,6 +123,29 @@ class RollupSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq == rollupBefore)
   }
 
+  test("batch-path ingest replayed with the same batchId is idempotent") {
+    val cat = freshWh("rollup_e")
+    val b1 = mkBatch(Seq(("2024-03-01", "x", 10L), ("2024-03-02", "y", 5L)))
+    IncrementalRollup.ingest(cat, "f", "r", "day", b1, rollup,
+      batchId = Some(7L))
+    val factOnce = spark.read.parquet(s"${cat.warehouse}/f").count()
+    val rollupOnce = rows(cat.table("r"))
+    // crash-replay: the upstream redelivers the SAME batch id — the
+    // write must overwrite __batch_id=7, not append a duplicate
+    IncrementalRollup.ingest(cat, "f", "r", "day", b1, rollup,
+      batchId = Some(7L))
+    assert(spark.read.parquet(s"${cat.warehouse}/f").count() == factOnce,
+      "replay with the same batchId must overwrite its own directory")
+    assert(rows(cat.table("r")) == rollupOnce)
+    // and a genuinely new batch (no id) still lands in a fresh dir
+    IncrementalRollup.ingest(cat, "f", "r", "day",
+      mkBatch(Seq(("2024-03-03", "x", 1L))), rollup)
+    assert(new java.io.File(s"${cat.warehouse}/f/__batch_id=8").isDirectory,
+      "auto-allocated id must be max existing + 1")
+    assert(rows(cat.table("r")) == rollupOnce +
+      (("2024-03-03", "x", 1L, 1L)))
+  }
+
   test("empty batch leaves the rollup untouched") {
     val cat = freshWh("rollup_d")
     IncrementalRollup.ingest(cat, "f", "r", "day",

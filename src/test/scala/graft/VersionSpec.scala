@@ -44,6 +44,24 @@ class VersionSpec extends SparkTestBase {
     assert(cat.tableLatest("corpus").select(sum($"k")).head().getLong(0) == 2L)
   }
 
+  test("versions() lists committed versions only — orphans and vacuumed excluded") {
+    val cat = freshCat("ver_d")
+    assert(cat.versions("corpus").isEmpty)
+    (1 to 3).foreach(i =>
+      cat.saveVersioned("corpus", Seq((i.toLong, s"v$i")).toDF("k", "s")))
+    assert(cat.versions("corpus") == Seq(1, 2, 3))
+    // an orphan above the pointer (crashed save) is NOT listed: it was
+    // never committed
+    Seq((9L, "x")).toDF("k", "s").write
+      .parquet(s"${cat.warehouse}/corpus/_v=4")
+    assert(cat.versions("corpus") == Seq(1, 2, 3))
+    // retention: vacuum trims the listing in step with what's readable
+    cat.vacuumVersions("corpus", keep = 2)
+    assert(cat.versions("corpus") == Seq(2, 3))
+    cat.versions("corpus").foreach(v =>
+      assert(cat.tableAt("corpus", v).count() == 1))
+  }
+
   test("vacuum keeps the newest K versions and clears orphans") {
     val cat = freshCat("ver_c")
     (1 to 4).foreach(i =>
