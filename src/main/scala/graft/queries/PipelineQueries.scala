@@ -678,31 +678,74 @@ object PipelineQueries {
       "Approximate percentiles — the documented 100 TB swap for g12: " +
         "approx_percentile (t-digest-style sketch, mergeable across " +
         "partitions, bounded memory) instead of the exact sort-based " +
-        "percentile. Approximate by design: no SQL oracle (driver " +
-        "records rows-only); ApproxSpec asserts agreement with the " +
-        "exact g12 within the sketch's accuracy bound.",
+        "percentile. Driver-visible as an exact-vs-approx " +
+        "DIFFERENTIAL: the frame carries the exact percentiles (which " +
+        "DuckDB reproduces) plus booleans asserting the sketch value's " +
+        "RANK lands within the published guarantee (rank error <= " +
+        "n/accuracy; an observed value v satisfies a quantile q iff " +
+        "[count(<v)+1, count(<=v)] intersects q*n +- err). A sketch " +
+        "regression flips a boolean and the driver's hash check fails.",
       (s, d) => {
         import s.implicits._
-        Graft.events(s, d)
+        val ev = Graft.events(s, d).select($"event_type", $"value")
+        val approx = ev.groupBy($"event_type")
+          .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50a"),
+            expr("approx_percentile(value, 0.9, 10000)").as("p90a"))
+        def rankOk(q: Double, lt: Column, le: Column): Column = {
+          val err = $"n" / 10000.0 + 1.0
+          (lt + lit(1.0) <= $"n" * q + err) && (le >= $"n" * q - err)
+        }
+        ev.join(broadcast(approx), "event_type")
           .groupBy($"event_type")
-          .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-            expr("approx_percentile(value, 0.9, 10000)").as("p90"),
-            count(lit(1)).as("n"))
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            count(lit(1)).as("n"),
+            sum(when($"value" < $"p50a", 1L).otherwise(0L)).as("lt50"),
+            sum(when($"value" <= $"p50a", 1L).otherwise(0L)).as("le50"),
+            sum(when($"value" < $"p90a", 1L).otherwise(0L)).as("lt90"),
+            sum(when($"value" <= $"p90a", 1L).otherwise(0L)).as("le90"))
+          .select($"event_type", $"p50", $"p90", $"n",
+            rankOk(0.5, $"lt50", $"le50").as("p50_ok"),
+            rankOk(0.9, $"lt90", $"le90").as("p90_ok"))
           .orderBy($"event_type")
       },
-      None),
+      Some(
+        """SELECT event_type,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.9) AS p90,
+          |  COUNT(*) AS n,
+          |  TRUE AS p50_ok, TRUE AS p90_ok
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     Q("x2b_approx_count_distinct",
       "Approximate COUNT(DISTINCT) — the 100 TB swap for exact distinct " +
         "counts (X2): HyperLogLog++ sketches merge map-side with no " +
-        "Expand explosion and bounded memory per key. Approximate by " +
-        "design: no SQL oracle; ApproxSpec asserts relative error vs " +
-        "the exact counts is within the configured rsd.",
+        "Expand explosion and bounded memory per key. Driver-visible " +
+        "as an exact-vs-approx DIFFERENTIAL: exact counts (DuckDB " +
+        "reproduces them) plus booleans asserting the sketch is within " +
+        "3x the configured rsd (0.02 -> 6%, a deterministic pass for " +
+        "any correct HLL++ on this data); a broken sketch flips a " +
+        "boolean and fails the driver's hash check.",
       (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders_approx"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("n_suppliers_approx")),
-      None),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
+        .select(col("n_orders"), col("n_parts"), col("n_suppliers"),
+          (abs(col("ao") - col("n_orders")) <=
+            col("n_orders").cast("double") * 0.06).as("orders_ok"),
+          (abs(col("ap") - col("n_parts")) <=
+            col("n_parts").cast("double") * 0.06).as("parts_ok"),
+          (abs(col("asu") - col("n_suppliers")) <=
+            col("n_suppliers").cast("double") * 0.06).as("suppliers_ok")),
+      Some(
+        """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+          |  COUNT(DISTINCT l_partkey) AS n_parts,
+          |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+          |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS suppliers_ok
+          |FROM lineitem""".stripMargin)),
 
     Q("g13_rollup",
       "GROUPING SETS — ROLLUP over (year, priority) with subtotal and " +

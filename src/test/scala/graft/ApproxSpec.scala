@@ -3,40 +3,41 @@ package graft
 import graft.queries.Registry
 
 /** The approximate scale-path variants must stay within their published
-  * accuracy bounds of the exact twins they replace at 100 TB.
+  * accuracy bounds of the exact twins they replace at 100 TB. Since
+  * round 9 the bound check is computed IN the queries themselves (the
+  * `*_ok` differential booleans the driver oracle asserts are TRUE);
+  * this spec pins the frame's contract — exact columns match the exact
+  * twins bit-for-bit, and every differential boolean holds.
   */
 class ApproxSpec extends SparkTestBase {
 
   private def run(name: String) =
     Registry.all.find(_.name == name).get.run(spark, sfDir)
 
-  test("g12b approx percentiles agree with exact g12 per event type") {
+  test("g12b carries g12's exact percentiles plus in-bound sketch booleans") {
     val exact = run("g12_percentiles").collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = run("g12b_percentiles_approx").collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, (p50, p90)) =>
-      val (a50, a90) = approx(k)
-      // accuracy 10000 => rank error <= n/10000; value tolerance loose
-      // but catches a broken sketch (wrong column, wrong fraction).
-      assert(math.abs(a50 - p50) <= math.max(1.0, math.abs(p50) * 0.05),
-        s"$k p50: exact $p50 vs approx $a50")
-      assert(math.abs(a90 - p90) <= math.max(1.0, math.abs(p90) * 0.05),
-        s"$k p90: exact $p90 vs approx $a90")
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val diff = run("g12b_percentiles_approx").collect()
+    assert(diff.map(_.getString(0)).toSet === exact.keySet)
+    diff.foreach { r =>
+      val (p50, p90, n) = exact(r.getString(0))
+      // the exact columns are the SAME formulation as g12 — bit equality
+      assert(r.getDouble(1) == p50 && r.getDouble(2) == p90 &&
+        r.getLong(3) == n, s"${r.getString(0)}: exact columns drifted from g12")
+      assert(r.getBoolean(4), s"${r.getString(0)} p50 sketch out of rank bound")
+      assert(r.getBoolean(5), s"${r.getString(0)} p90 sketch out of rank bound")
     }
   }
 
-  test("x2b approx distinct counts are within rsd of exact") {
-    val exact = run("g3_global_multi_agg").collect().head
-    val (nOrders, nParts, nSupp) =
-      (exact.getLong(1), exact.getLong(2), exact.getLong(3))
+  test("x2b carries exact distinct counts plus in-rsd sketch booleans") {
+    val g3 = run("g3_global_multi_agg").collect().head
     val a = run("x2b_approx_count_distinct").collect().head
-    def check(approx: Long, ex: Long, name: String): Unit =
-      assert(math.abs(approx - ex).toDouble / ex <= 0.1,
-        s"$name: exact $ex vs approx $approx")
-    check(a.getLong(0), nOrders, "orders")
-    check(a.getLong(1), nParts, "parts")
-    check(a.getLong(2), nSupp, "suppliers")
+    assert(a.getLong(0) == g3.getLong(1), "n_orders drifted from g3's exact")
+    assert(a.getLong(1) == g3.getLong(2), "n_parts drifted from g3's exact")
+    assert(a.getLong(2) == g3.getLong(3), "n_suppliers drifted from g3's exact")
+    Seq("orders_ok" -> 3, "parts_ok" -> 4, "suppliers_ok" -> 5).foreach {
+      case (name, i) => assert(a.getBoolean(i), s"$name: HLL++ out of 3*rsd")
+    }
   }
 }
