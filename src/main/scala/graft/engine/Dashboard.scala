@@ -46,11 +46,14 @@ object Dashboard {
     // One pipeline pass, not one per panel: the view frame may be an
     // unmaterialized fused plan (monthlySummaryLazy), and the three
     // panel collects below would otherwise each recompute the whole
-    // 8-stage pipeline. Persist for the duration of the render — the
-    // frame is month×country cardinality, trivially cached.
-    val monthly = monthlyIn.persist()
-    try renderPanels(monthly, outPath)
-    finally { monthly.unpersist(false); () }
+    // 8-stage pipeline. Scratch-materialize rather than persist(): this
+    // repo's measured finding (r3's comment in PipelineQueries) is that
+    // persist() materializes a fused plan at ~2x plain compute cost,
+    // while a parquet round-trip of this month×country-cardinality
+    // frame costs one compute plus a trivial write.
+    val monthly = graft.queries.Scratch.materialize(
+      monthlyIn.sparkSession, "dashboard_monthly", monthlyIn)
+    renderPanels(monthly, outPath)
   }
 
   private def renderPanels(monthly: DataFrame, outPath: Option[String]): String = {

@@ -65,6 +65,15 @@ object Scratch {
     */
   def memoized(s: SparkSession, key: String, name: String,
                df: => DataFrame): DataFrame = {
+    // Enforce the immutability contract instead of trusting the comment:
+    // every mutable table this engine writes (warehouses, fixtures,
+    // materialized intermediates) lives under the session scratch root,
+    // so a key naming a path under it is memoizing over a directory
+    // that can be rewritten mid-session — a silent stale-index replay.
+    require(!key.contains(s"graft_${s.sparkContext.applicationId}"),
+      s"Scratch.memoized: key '$key' references a session scratch/" +
+        "warehouse path, which is mutable by definition — memo keys " +
+        "must name immutable inputs; use materialize/fresh instead")
     val fullKey = s"${s.sparkContext.applicationId}:$key"
     // Build OUTSIDE any map lock: memoized frames nest (the LSH
     // candidate table forces the shingle table), and a nested

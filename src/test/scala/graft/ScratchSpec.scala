@@ -29,6 +29,22 @@ class ScratchSpec extends SparkTestBase {
     assert(builds === 2)
   }
 
+  test("memoized refuses keys naming mutable scratch/warehouse paths") {
+    // The memo key encodes a PATH, not contents — memoizing over a dir
+    // this session can rewrite would silently replay a stale index.
+    // Every mutable dir this engine writes lives under the session
+    // scratch root, so such keys must fail loudly at call time.
+    val mutableDir = Scratch.fresh(spark, "mutable_ingest")
+    val e = intercept[IllegalArgumentException] {
+      Scratch.memoized(spark, s"shingles:$mutableDir", "memo_bad",
+        Seq(1L).toDF("v"))
+    }
+    assert(e.getMessage.contains("immutable"))
+    // immutable inputs (the read-only testdata dirs) stay accepted
+    assert(Scratch.memoized(spark, s"ok:$sfDir:${System.nanoTime()}",
+      "memo_ok", Seq(1L).toDF("v")).count() === 1)
+  }
+
   test("nested memoized builds are legal (outer forces inner)") {
     // The LSH candidate table forces the shingle table from inside its
     // own build — the exact shape that deadlocked/threw under the old
