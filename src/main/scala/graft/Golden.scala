@@ -110,7 +110,8 @@ object Golden {
       ("min_date", m.minDate, fctStats.getString(2)),
       ("max_date", m.maxDate, fctStats.getString(3)),
       ("net_revenue_gbp", m.netRevenueGbp, achievedGbp),
-      ("net_revenue_eur", m.netRevenueEur, achievedEur))
+      ("net_revenue_eur", m.netRevenueEur, achievedEur),
+      ("agg_country_day", m.aggCountryDay, dims("agg_country_day")))
     val failures = checks.filter { case (_, exp, got) =>
       exp.toString != got.toString
     }

@@ -80,11 +80,22 @@ object GoldenFixture {
   def stockCode(p: Int): String = s"SC${10000 + p}"
   def description(p: Int): String =
     s"PRODUCT ${Adjectives(p % Adjectives.length)} ${10000 + p}"
-  /** Unit price in exact cents → double via /100.0 on both sides. */
-  def priceCents(p: Int): Int = 30 + (p * 37) % 495
+  /** Unit price in exact cents → double via /100.0 on both sides.
+    * The level (43..537, mean ~290) is calibrated so the full-scale
+    * net GBP revenue lands on the README's published £19.3 M
+    * (`/root/reference/README.md:114`).
+    */
+  def priceCents(p: Int): Int =
+    43 + (p * 37) % 495 + (if (p % 5 == 0) 1 else 0)
+  /** Non-UK share (1/18 of post-coverage customers) is calibrated so
+    * full-scale `agg_country_day` lands on the README's published
+    * ~3.7 K country-day rows (`/root/reference/README.md:108`): UK and
+    * UNKNOWN transact every day; each of the 41 other countries only
+    * on the days its few customers order.
+    */
   def countryOf(custIdx: Int): Int =
     if (custIdx < Countries.length) custIdx
-    else if (custIdx % 10 < 9) 0
+    else if (custIdx % 20 < 19) 0
     else 1 + pos(custIdx.toLong * 13 + 5, Countries.length - 1)
 
   /** One raw workbook row. `stockIdx == -1` ⇒ blank StockCode cell;
@@ -173,14 +184,18 @@ object GoldenFixture {
 
   /** Business days (Mon-Fri) 2009-11-27..2011-12-31 — obs BEFORE the
     * first sale date so the forward-fill has no leading NULL gap, obs
-    * beyond the last so the range clip is exercised.
+    * beyond the last so the range clip is exercised. The GBP-per-EUR
+    * level (0.8200..0.9099, the 2010-2011 historical band) is
+    * calibrated so full-scale EUR revenue lands on the README's
+    * published €22.3 M (`/root/reference/README.md:114`, EUR/GBP
+    * ratio ≈ 1.156).
     */
   def fxObs: Seq[(java.time.LocalDate, String)] = {
     val from = java.time.LocalDate.of(2009, 11, 27)
     val to = java.time.LocalDate.of(2011, 12, 31)
     Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to))
       .filter(d => d.getDayOfWeek.getValue <= 5)
-      .map(d => d -> f"0.${7700 + (d.toEpochDay * 7919) % 1200}%04d")
+      .map(d => d -> f"0.${8200 + (d.toEpochDay * 7919) % 900}%04d")
       .toSeq
   }
 
@@ -347,7 +362,8 @@ object GoldenFixture {
       fctRows: Long, invoices: Long, products: Long, customers: Long,
       countries: Long, calendarDays: Long, fxDays: Long,
       minDate: String, maxDate: String,
-      netRevenueGbp: BigDecimal, netRevenueEur: BigDecimal)
+      netRevenueGbp: BigDecimal, netRevenueEur: BigDecimal,
+      aggCountryDay: Long)
 
   def manifest(cfg: Config): Manifest = {
     val rateByDay: Map[Long, Double] = {
@@ -366,6 +382,11 @@ object GoldenFixture {
     val prods = scala.collection.mutable.HashSet.empty[Int]
     val custs = scala.collection.mutable.HashSet.empty[Long]
     val ctrys = scala.collection.mutable.HashSet.empty[Int]
+    // agg_country_day = distinct (date, dim-customer country): NULL
+    // customer → the UNKNOWN dim row (encoded -1), known customer →
+    // its fixed country (the pipeline's per-customer MODE is exact
+    // here because fixture customers never move).
+    val countryDays = scala.collection.mutable.HashSet.empty[Long]
     var minSerial = Double.MaxValue; var maxSerial = Double.MinValue
     var gbp = java.math.BigDecimal.ZERO
     var eur = java.math.BigDecimal.ZERO
@@ -384,6 +405,9 @@ object GoldenFixture {
           .setScale(6, java.math.RoundingMode.HALF_UP))
         val day = java.time.LocalDate.of(1899, 12, 31)
           .plusDays(math.floor(r.serial).toLong - 1).toEpochDay
+        val dimCountry = r.custId
+          .map(c => countryOf((c - cfg.custBase).toInt)).getOrElse(-1)
+        countryDays += (day << 8) | (dimCountry + 1).toLong
         val grossEur = gross / rateByDay(day)
         eur = eur.add(java.math.BigDecimal.valueOf(grossEur)
           .setScale(6, java.math.RoundingMode.HALF_UP))
@@ -405,6 +429,22 @@ object GoldenFixture {
         calStart, calEnd) + 1,
       fxDays = java.time.temporal.ChronoUnit.DAYS.between(minD, maxD) + 1,
       minDate = minD.toString, maxDate = maxD.toString,
-      netRevenueGbp = BigDecimal(gbp), netRevenueEur = BigDecimal(eur))
+      netRevenueGbp = BigDecimal(gbp), netRevenueEur = BigDecimal(eur),
+      aggCountryDay = countryDays.size.toLong)
+  }
+
+  /** Manifest-only walk at full scale — the calibration loop
+    * (seconds, no file IO or Spark): prints the golden numbers next to
+    * the README's published targets.
+    */
+  def main(args: Array[String]): Unit = {
+    val m = manifest(Config())
+    println(f"net_revenue_gbp ${m.netRevenueGbp.toDouble / 1e6}%.4f M (README 19.3)")
+    println(f"net_revenue_eur ${m.netRevenueEur.toDouble / 1e6}%.4f M (README 22.3)")
+    println(s"agg_country_day ${m.aggCountryDay} (README ~3.7K)")
+    println(s"raw ${m.rawRows} fct ${m.fctRows} invoices ${m.invoices} " +
+      s"products ${m.products} customers ${m.customers} " +
+      s"countries ${m.countries} cal ${m.calendarDays} fx ${m.fxDays} " +
+      s"span ${m.minDate}..${m.maxDate}")
   }
 }

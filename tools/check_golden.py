@@ -285,6 +285,39 @@ def main():
             lines.append(f"| {k} | {v['expected']} | {v['actual']} | "
                          f"{'yes' if v['match'] else 'NO'} |")
     lines.append("")
+    lines.append("## README published values (reference README.md:96-118) "
+                 "vs this run")
+    lines.append("")
+    lines.append("| published | README | this run |")
+    lines.append("|---|---|---|")
+
+    def fmt_m(v):
+        try:
+            return f"{float(v) / 1e6:.1f}M"
+        except (TypeError, ValueError):
+            return "?"
+
+    def actual(k):
+        v = goldens.get(k)
+        return v.get("actual") if isinstance(v, dict) else None
+
+    readme_rows = [
+        ("dim_product", "5.3K products", actual("products")),
+        ("dim_customer", "5.9K customers", actual("customers")),
+        ("dim_calendar", "761 dates", actual("calendar_days")),
+        ("fct_sales", "1.07M line items", actual("fct_rows")),
+        ("daily_fx_rates", "739 rates", actual("fx_days")),
+        ("agg_country_day", "3.7K records", actual("agg_country_day")),
+        ("total revenue GBP", "£19.3M", fmt_m(actual("net_revenue_gbp"))),
+        ("total revenue EUR", "€22.3M", fmt_m(actual("net_revenue_eur"))),
+        ("invoices", "53K invoices", actual("invoices")),
+        ("countries", "42 countries", actual("countries")),
+        ("time span", "25 months (Dec 2009 - Dec 2011)",
+         f"{actual('min_date')}..{actual('max_date')}"),
+    ]
+    for name, pub, got in readme_rows:
+        lines.append(f"| {name} | {pub} | {got} |")
+    lines.append("")
     lines.append(f"Build: {goldens.get('build_secs', '?')} s; generation: "
                  f"{goldens.get('gen_secs', '?')} s; agg rows: "
                  f"{goldens.get('agg_rows', '?')}; view rows: "
