@@ -723,7 +723,66 @@ object CoreQueries {
         "cast(year(to_date(l_shipdate)) as bigint)", LineitemChecksumCols),
       Some(Checksum.duckSqlBy("lineitem",
         "CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)",
-        LineitemChecksumCols)))
+        LineitemChecksumCols))),
+
+    Q("x8_version_diff",
+      "Table-version diff — the audit operator versioned snapshots " +
+        "(o5, Catalog.tableAt) exist for: full-outer join two versions " +
+        "on the key, classify every row added / removed / changed / " +
+        "unchanged by within-engine content comparison, and emit " +
+        "per-class counts with key ranges — 'what changed between the " +
+        "corpus my last run trained on and today's?'. The versions " +
+        "here are content-derived slices of orders (v2 shifts the " +
+        "membership window and reprices every 10th key) so the query " +
+        "is warehouse-free and oracle-exact; the storage half is " +
+        "proven by o5/VersionSpec. At 100 TB this is ONE shuffle " +
+        "co-partitioning both sides on the key — no sorting, no " +
+        "driver-side diffing.",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val m = col("o_orderkey") % 1000
+        val v1 = o.filter(m < 500)
+          .select(col("o_orderkey").as("k1"),
+            col("o_totalprice").as("p1"), col("o_orderstatus").as("st1"))
+        val v2 = o.filter(m >= 100 && m < 600)
+          .select(col("o_orderkey").as("k2"),
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("p2"),
+            col("o_orderstatus").as("st2"))
+        v1.join(v2, col("k1") === col("k2"), "full_outer")
+          .select(
+            when(col("k1").isNull, "added")
+              .when(col("k2").isNull, "removed")
+              .when(col("p1") =!= col("p2") || col("st1") =!= col("st2"),
+                "changed")
+              .otherwise("unchanged").as("change_type"),
+            coalesce(col("k1"), col("k2")).as("k"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("k")).as("key_min"), max(col("k")).as("key_max"))
+          .orderBy("change_type")
+      },
+      Some(
+        """WITH v1 AS (
+          |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+          |  FROM orders WHERE o_orderkey % 1000 < 500),
+          |v2 AS (
+          |  SELECT o_orderkey AS k,
+          |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+          |         ELSE o_totalprice END AS p,
+          |    o_orderstatus AS st
+          |  FROM orders
+          |  WHERE o_orderkey % 1000 >= 100 AND o_orderkey % 1000 < 600)
+          |SELECT
+          |  CASE WHEN v1.k IS NULL THEN 'added'
+          |       WHEN v2.k IS NULL THEN 'removed'
+          |       WHEN v1.p != v2.p OR v1.st != v2.st THEN 'changed'
+          |       ELSE 'unchanged' END AS change_type,
+          |  COUNT(*) AS n_rows,
+          |  MIN(COALESCE(v1.k, v2.k)) AS key_min,
+          |  MAX(COALESCE(v1.k, v2.k)) AS key_max
+          |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+          |GROUP BY 1 ORDER BY change_type""".stripMargin))
   )
 
   import Checksum.{IntLike, Str, TsDay}

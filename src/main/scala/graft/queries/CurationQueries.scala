@@ -187,7 +187,64 @@ object CurationQueries {
            |  FROM (
            |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
            |    FROM documents) toks) starts
-           |ORDER BY doc_id, chunk_start""".stripMargin))
+           |ORDER BY doc_id, chunk_start""".stripMargin)),
+
+    Q("c5_length_buckets",
+      "Length-bucketed batching — fixed-shape accelerator batches pad " +
+        "every sequence to the batch max, so batching docs of wildly " +
+        "different lengths together burns compute on pad tokens. Band " +
+        "docs by whitespace-token count (width-32 bands), form batches " +
+        "of 8 within each band in (tokens, doc_id) order, pad each " +
+        "batch to its own max, and emit per-band batch/padding " +
+        "accounting with the pad fraction — the number a batching " +
+        "config is tuned on. At 100 TB: one shuffle on the band key " +
+        "for the in-band window, then band-local aggregation; no " +
+        "global sort anywhere.",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+          .withColumn("band", (col("tokens") / 32).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band")).orderBy(col("tokens"), col("doc_id"))
+        val batched = toks.withColumn("rn", row_number().over(w))
+          .withColumn("batch", ((col("rn") - 1) / 8).cast("long"))
+        batched.groupBy(col("band"), col("batch"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).as("batch_tokens"),
+            max(col("tokens")).as("batch_max"))
+          .groupBy(col("band"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            count(lit(1)).as("n_batches"),
+            sum(col("batch_tokens")).as("real_tokens"),
+            sum(col("batch_max") * col("n_docs")).as("padded_tokens"))
+          .withColumn("pad_frac",
+            (col("padded_tokens") - col("real_tokens")).cast("double") /
+              col("padded_tokens").cast("double"))
+          .orderBy("band")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+          |  FROM documents),
+          |banded AS (SELECT doc_id, tokens, tokens // 32 AS band FROM toks),
+          |batched AS (
+          |  SELECT band, tokens,
+          |    (ROW_NUMBER() OVER (PARTITION BY band
+          |       ORDER BY tokens, doc_id) - 1) // 8 AS batch
+          |  FROM banded),
+          |per_batch AS (
+          |  SELECT band, batch, COUNT(*) AS n_docs,
+          |    SUM(tokens) AS batch_tokens, MAX(tokens) AS batch_max
+          |  FROM batched GROUP BY 1, 2)
+          |SELECT band, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          |  COUNT(*) AS n_batches,
+          |  CAST(SUM(batch_tokens) AS BIGINT) AS real_tokens,
+          |  CAST(SUM(batch_max * n_docs) AS BIGINT) AS padded_tokens,
+          |  CAST(SUM(batch_max * n_docs) - SUM(batch_tokens) AS DOUBLE)
+          |    / CAST(SUM(batch_max * n_docs) AS DOUBLE) AS pad_frac
+          |FROM per_batch GROUP BY 1 ORDER BY band""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <

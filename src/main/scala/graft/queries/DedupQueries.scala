@@ -546,10 +546,8 @@ object DedupQueries {
         "cluster keyed by its surviving (minimum) doc_id. Oracle: " +
         "recursive-CTE transitive closure + MIN per vertex.",
       (s, d) => {
-        // Shared hamming<=3 pair table (see d4b): memoized per corpus.
-        val edges = simhashNearPairs(s, d)
-          .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        connectedComponents(s, edges)
+        // Shared CC label table (see d10): memoized per corpus.
+        ccLabelsSimhash(s, d)
           .groupBy(col("l"))
           .agg(count(lit(1)).as("n_docs"), max(col("v")).as("doc_max"))
           .select(col("l").as("cluster"), col("n_docs"), col("doc_max"))
@@ -573,7 +571,49 @@ object DedupQueries {
            |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
            |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
            |SELECT cluster, COUNT(*) AS n_docs, CAST(MAX(v) AS BIGINT) AS doc_max
-           |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin))
+           |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin)),
+
+    Q("d10_dedup_corpus",
+      "Dedup corpus emission — the step cluster formation exists FOR: " +
+        "project the d7 component labels back onto the full corpus and " +
+        "emit a per-document keep/drop verdict (kept = not near-dup at " +
+        "all, or the cluster's canonical minimum doc_id). Downstream " +
+        "training reads WHERE kept. One broadcast-sized label join " +
+        "against the corpus scan at 100 TB (labels are near-dup " +
+        "participants only); the label table itself is the memoized " +
+        "per-corpus CC output shared with d7, built once per session. " +
+        "Oracle: the same recursive-CTE closure LEFT JOINed to " +
+        "documents.",
+      (s, d) => {
+        val docs = Graft.table(s, d, "documents").select(col("doc_id"))
+        val labels = ccLabelsSimhash(s, d)
+        docs.join(labels, docs("doc_id") === labels("v"), "left")
+          .select(col("doc_id"),
+            col("l").as("cluster"),
+            (col("l").isNull || col("doc_id") === col("l")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $SimhashDocsSql,
+           |banded AS (
+           |  SELECT doc_id, simhash, g.k,
+           |    (simhash >> (16 * g.k)) & 65535 AS band
+           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM banded a JOIN banded b
+           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(v, u) AS (
+           |  SELECT a AS v, a AS u FROM bidir
+           |  UNION
+           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
+           |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
+           |SELECT d.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
+           |  (c.cluster IS NULL OR d.doc_id = c.cluster) AS kept
+           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+           |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** The memoized per-corpus simhash signature index shared by
@@ -582,6 +622,16 @@ object DedupQueries {
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"simhash_sigs:$d", "simhash_sigs",
       simhashDocs(Graft.table(s, d, "documents")))
+
+  /** Per-corpus memoized connected-component label table `(v, l)` over
+    * the simhash hamming<=3 pair graph — cluster formation runs once
+    * per session; d7 (cluster stats) and d10 (corpus emission) both
+    * read it from scratch parquet.
+    */
+  private def ccLabelsSimhash(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"cc_labels:$d", "cc_labels_shared",
+      connectedComponents(s, simhashNearPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))))
 
   /** d6/d8's pruned winnowing fingerprint frame `(doc_id, fp)`: all
     * char-8-gram hashes in one compiled O(len) rolling pass

@@ -192,6 +192,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("test", 1L, 1L, 1L)))
   }
 
+  test("d10 keeps exactly one canonical doc per cluster, all loners, nothing else") {
+    val corpus = run("d10_dedup_corpus").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getBoolean(2)))
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+    // the verdict covers the whole corpus, exactly once
+    assert(corpus.length.toLong == docs.count())
+    assert(corpus.map(_._1).distinct.length == corpus.length)
+    // every cluster keeps exactly its minimum member
+    corpus.filter(_._2.isDefined).groupBy(_._2.get).foreach {
+      case (cluster, members) =>
+        val kept = members.filter(_._3).map(_._1)
+        assert(kept.toSeq == Seq(cluster),
+          s"cluster $cluster kept ${kept.toSeq}, expected Seq($cluster)")
+        assert(members.map(_._1).min == cluster,
+          s"cluster label $cluster is not the min member")
+    }
+    // docs outside any cluster are all kept
+    assert(corpus.filter(_._2.isEmpty).forall(_._3))
+    // and the clustered universe agrees with d7's stats
+    val d7 = run("d7_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = corpus.filter(_._2.isDefined)
+      .groupBy(_._2.get).view.mapValues(_.length.toLong).toMap
+    assert(byCluster == d7)
+  }
+
   test("connected components of an empty edge frame is empty, not a crash") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")

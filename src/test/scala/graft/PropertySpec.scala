@@ -173,6 +173,49 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("invariant: length-bucketed batching conserves tokens and docs (c5 vs t1)") {
+    // Bucketing reshapes WHERE docs sit, never what they carry: c5's
+    // doc and real-token totals equal the corpus totals t1 reports,
+    // padding only ever adds (padded >= real), pad_frac is a true
+    // fraction, and batch counts are exactly ceil(n_docs/8) per band.
+    def byName(n: String) =
+      graft.queries.Registry.all.find(_.name == n).get.run(spark, sfDir)
+    val bands = byName("c5_length_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(bands.nonEmpty)
+    val t1 = byName("t1_token_stats").collect()
+    assert(bands.map(_._2).sum == t1.map(_.getLong(1)).sum, "doc loss")
+    assert(bands.map(_._4).sum == t1.map(_.getLong(2)).sum, "token loss")
+    bands.foreach { case (band, nDocs, nBatches, real, padded, frac) =>
+      assert(nBatches == (nDocs + 7) / 8, s"band $band batch count")
+      assert(padded >= real, s"band $band padded < real")
+      assert(frac >= 0.0 && frac < 1.0, s"band $band pad_frac $frac")
+      assert(frac == (padded - real).toDouble / padded)
+    }
+  }
+
+  test("invariant: x8 version-diff classes partition the key universe") {
+    // The four change classes must be a partition of v1 ∪ v2 — counted
+    // independently here with plain filters over orders.
+    val o = graft.engine.Graft.table(spark, sfDir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("k"))
+      .collect().map(_.getLong(0))
+    def m(k: Long) = k % 1000
+    val v1 = o.filter(m(_) < 500).toSet
+    val v2 = o.filter(k => m(k) >= 100 && m(k) < 600).toSet
+    val expected = Map(
+      "added" -> v2.diff(v1).size.toLong,
+      "removed" -> v1.diff(v2).size.toLong,
+      "changed" -> v1.intersect(v2).count(_ % 10 == 0).toLong,
+      "unchanged" -> v1.intersect(v2).count(_ % 10 != 0).toLong)
+    val got = graft.queries.Registry.all.find(_.name == "x8_version_diff")
+      .get.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0))
+    assert(got.values.sum == v1.union(v2).size.toLong)
+  }
+
   test("property: partitioned forwardFill equals a per-key scanLeft") {
     // random sparse per-key series: (key, idx, Option[value])
     val gen = for {
