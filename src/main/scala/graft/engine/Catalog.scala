@@ -189,6 +189,27 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     back
   }
 
+  /** Columnar-format interchange. The warehouse itself is
+    * parquet-native by design — ONE storage format keeps every read
+    * path (table, compact, checksum, incremental writers) on the same
+    * code — so foreign-format data crosses the boundary through
+    * explicit import/export rather than a mixed-format warehouse.
+    * [[importTable]] stages any `spark.read`-able columnar format
+    * (orc, avro where available, parquet from elsewhere) as a
+    * first-class warehouse table; [[exportTable]] writes one for
+    * external consumers. Round-trip fidelity is checksum-proven
+    * (PipelineSpec): ORC⇄parquet carries the full type lattice this
+    * engine uses, so import(export(t)) == t bit-for-bit.
+    */
+  def importTable(name: String, path: String, format: String): DataFrame =
+    save(name, spark.read.format(format).load(path))
+
+  /** See [[importTable]]. */
+  def exportTable(name: String, path: String, format: String,
+                  codec: String = "snappy"): Unit =
+    table(name).write.mode("overwrite")
+      .option("compression", codec).format(format).save(path)
+
   /** Append rows to an existing table (creating it if absent) and
     * re-register — the incremental-ingest primitive `save`'s overwrite
     * semantics can't express.

@@ -253,6 +253,28 @@ class PipelineSpec extends SparkTestBase {
     assert(after.getDouble(1) == before.getDouble(1))
   }
 
+  test("ORC export/import round-trip is checksum-invariant") {
+    import graft.engine.Checksum
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "orc_wh"))
+    cat.save("src_t", graft.engine.Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+    val cols = Seq("o_orderkey" -> Checksum.IntLike,
+      "o_custkey" -> Checksum.IntLike, "o_orderstatus" -> Checksum.Str,
+      "o_orderdate" -> Checksum.TsDay)
+    val before = Checksum.of(cat.table("src_t"), cols).head()
+    val orcPath = graft.queries.Scratch.fresh(spark, "orc_export")
+    cat.exportTable("src_t", orcPath, "orc")
+    // a foreign consumer could read it; we re-import as a new table
+    val back = cat.importTable("roundtrip_t", orcPath, "orc")
+    assert(back.schema == cat.table("src_t").schema,
+      "ORC round-trip must preserve the schema exactly")
+    val after = Checksum.of(cat.table("roundtrip_t"), cols).head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getDouble(1) == before.getDouble(1),
+      "ORC round-trip changed table content")
+  }
+
   test("a crashed compact swap is healed by the next reader, not only the next compact") {
     val cat = new graft.engine.Catalog(spark,
       graft.queries.Scratch.fresh(spark, "heal_wh"))
