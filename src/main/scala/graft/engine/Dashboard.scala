@@ -50,9 +50,17 @@ object Dashboard {
     // repo's measured finding (r3's comment in PipelineQueries) is that
     // persist() materializes a fused plan at ~2x plain compute cost,
     // while a parquet round-trip of this month×country-cardinality
-    // frame costs one compute plus a trivial write.
-    val monthly = graft.queries.Scratch.materialize(
-      monthlyIn.sparkSession, "dashboard_monthly", monthlyIn)
+    // frame costs one compute plus a trivial write. A frame that is
+    // ALREADY a bare storage scan (a warehouse table) re-reads cheaply
+    // per panel — skip the redundant round-trip for those.
+    val isBareScan = monthlyIn.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    val monthly =
+      if (isBareScan) monthlyIn
+      else graft.queries.Scratch.materialize(
+        monthlyIn.sparkSession, "dashboard_monthly", monthlyIn)
     renderPanels(monthly, outPath)
   }
 
