@@ -22,6 +22,12 @@ object CurationQueries {
   /** Packing length (tokens per training sequence). */
   private val SeqLen = 2048L
 
+  /** c6: max docs kept per source — small enough that the fixture's
+    * sources actually get capped (they carry ~15-30 docs each at the
+    * oracle scale), so the cap path is exercised, not vacuous.
+    */
+  private val DomainCap = 15L
+
   def all: Seq[Q] = Seq(
 
     Q("c2_mixture_sample",
@@ -244,7 +250,47 @@ object CurationQueries {
           |  CAST(SUM(batch_max * n_docs) AS BIGINT) AS padded_tokens,
           |  CAST(SUM(batch_max * n_docs) - SUM(batch_tokens) AS DOUBLE)
           |    / CAST(SUM(batch_max * n_docs) AS DOUBLE) AS pad_frac
-          |FROM per_batch GROUP BY 1 ORDER BY band""".stripMargin))
+          |FROM per_batch GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    Q("c6_domain_cap",
+      "Per-domain capping — over-represented sources drown a training " +
+        "mixture, so curation caps each source at K docs. The kept set " +
+        "must be reproducible with no stored state: docs rank within " +
+        "their source by (content hash, doc_id) — graft_strhash, the " +
+        "t5-proven cross-engine fold — and rank <= K survives. Emits " +
+        "per-source before/after counts plus the kept-id sum (an " +
+        "order-independent exact witness of WHICH docs survived). One " +
+        "window shuffle on the source key at 100 TB; source " +
+        "cardinality is domains, not docs, so skew salts the same way " +
+        "e7 does if one domain dominates.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(expr("graft_strhash(text)"), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") <= DomainCap, col("doc_id")).otherwise(0L))
+              .as("kept_docid_sum"))
+          .orderBy("source")
+      },
+      Some(
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(SUM(CASE WHEN rn <= $DomainCap THEN doc_id ELSE 0 END) AS BIGINT)
+           |    AS kept_docid_sum
+           |FROM (
+           |  SELECT source, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+           |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(regexp_extract_all(text, '(?s).'),
+           |          c -> CAST(ascii(c) AS BIGINT))),
+           |        (acc, c) -> (acc * 31 + c) % 1000000007), doc_id) AS rn
+           |  FROM documents) r
+           |GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <

@@ -195,6 +195,19 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("invariant: c6 domain cap keeps exactly min(K, n_docs) per source") {
+    val rows = graft.queries.Registry.all.find(_.name == "c6_domain_cap")
+      .get.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nKept) =>
+      assert(nKept == math.min(15L, nDocs),
+        s"$src: kept $nKept of $nDocs docs, cap is 15")
+    }
+    // total kept never exceeds cap * |sources|
+    assert(rows.map(_._3).sum <= 15L * rows.length)
+  }
+
   test("invariant: x8 version-diff classes partition the key universe") {
     // The four change classes must be a partition of v1 ∪ v2 — counted
     // independently here with plain filters over orders.
