@@ -69,6 +69,40 @@ class PlanSpec extends SparkTestBase {
     assert(windowLine.contains("lang"), windowLine)
   }
 
+  test("c5/c6 curation windows are band/source-partitioned, not global") {
+    // Both batching windows must partition on their bounded key — a
+    // global window would single-task the 100 TB corpus.
+    val c5 = formatted("c5_length_buckets")
+    val c5w = c5.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window node in c5 plan:\n${c5.take(1200)}"))
+    assert(c5w.contains("band"), c5w)
+    val c6 = formatted("c6_domain_cap")
+    val c6w = c6.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window node in c6 plan:\n${c6.take(1200)}"))
+    assert(c6w.contains("source"), c6w)
+  }
+
+  test("x8 version diff is one co-partitioned join, never a broadcast of a version") {
+    // Both versions are fact-scale at 100 TB: the diff must be a
+    // shuffle join on the key (SortMergeJoin/ShuffledHashJoin), not a
+    // BroadcastHashJoin (an OOM at scale) or a nested loop (all-pairs).
+    val p = formatted("x8_version_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"x8 must shuffle-join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "x8 fell back to NL join")
+    assert(p.contains("FullOuter"), "x8 must be a full-outer diff")
+  }
+
+  test("d10 joins the corpus to labels without recomputing cluster formation") {
+    // The label side must be a storage scan (the memoized CC output),
+    // not an inlined re-run of the component loop.
+    val p = formatted("d10_dedup_corpus")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans >= 2, s"expected corpus + label parquet scans:\n${p.take(1200)}")
+    assert(!p.contains("windowspecdefinition"),
+      "d10 should be a plain join+project, no windows")
+  }
+
   test("graft_dot runs inside whole-stage codegen over the scan") {
     // single-stage projection: AQE collapses multi-stage plans' inner
     // trees in toString, hiding the codegen markers a1 itself carries.
