@@ -155,6 +155,10 @@ object Checksum {
 
 final class Catalog(val spark: SparkSession, val warehouse: String) {
 
+  // a warehouse is mutable by definition — make Scratch.memoized's
+  // immutability guard aware of it (user-supplied paths included)
+  graft.queries.Scratch.registerMutableRoot(warehouse)
+
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
     f.delete(): Unit
@@ -313,8 +317,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val root = new java.io.File(s"$warehouse/$name")
     require(root.isDirectory, s"compactPartitions($name): no such table")
     def leaves(rel: String): Seq[String] = {
-      val parts = Option(new java.io.File(s"$warehouse/$rel").listFiles())
-        .toSeq.flatten
+      val dir = new java.io.File(s"$warehouse/$rel")
+      // Heal LEAF compacts that crashed between their two renames: the
+      // live partition dir is gone and only `X.__compact_old` remains.
+      // Without this, the crashed leaf would be skipped by the walk and
+      // partition discovery would misread the leftover as a partition
+      // VALUE ('F.__compact_old') — rows reappearing under a bogus key.
+      // (A stale old WITH a live sibling is cleaned by compact() itself.)
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.endsWith(".__compact_old"))
+        .foreach { old =>
+          val live = new java.io.File(dir,
+            old.getName.stripSuffix(".__compact_old"))
+          if (!live.exists())
+            require(old.renameTo(live),
+              s"compactPartitions($name): could not restore $old")
+        }
+      val parts = Option(dir.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.contains("=") &&
           !f.getName.contains(".__compact"))
       if (parts.isEmpty) Seq(rel)

@@ -87,7 +87,7 @@ object GoldenFixture {
     */
   def priceCents(p: Int): Int =
     43 + (p * 37) % 495 + (if (p % 5 == 0) 1 else 0)
-  /** Non-UK share (1/18 of post-coverage customers) is calibrated so
+  /** Non-UK share (1/20 of post-coverage customers) is calibrated so
     * full-scale `agg_country_day` lands on the README's published
     * ~3.7 K country-day rows (`/root/reference/README.md:108`): UK and
     * UNKNOWN transact every day; each of the 41 other countries only

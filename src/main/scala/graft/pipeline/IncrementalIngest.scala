@@ -50,15 +50,17 @@ object IncrementalIngest {
 
   /** Commit test: Hadoop's FileOutputCommitter drops `_SUCCESS` only
     * after every task file is in place (at scale: the same marker on
-    * the object store).
+    * the object store). Shared with [[IncrementalRollup]] — one
+    * definition of "committed" for every `__batch_id=` layout.
     */
-  private def committed(dir: String): Boolean =
+  private[pipeline] def committed(dir: String): Boolean =
     new java.io.File(dir, "_SUCCESS").exists()
 
   /** All `__batch_id=` partition ids present under the row table,
-    * committed or partial (one LIST of top-level prefixes).
+    * committed or partial (one LIST of top-level prefixes). Shared
+    * with [[IncrementalRollup]].
     */
-  private def batchIds(cat: Catalog, table: String): Seq[Long] = {
+  private[pipeline] def batchIds(cat: Catalog, table: String): Seq[Long] = {
     val root = new java.io.File(s"${cat.warehouse}/$table")
     Option(root.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))

@@ -19,8 +19,13 @@ import graft.engine.Catalog
   * a pure function of the fact partitions with the same key. Each
   * batch's fact rows land under their own `__batch_id=<id>/` directory
   * with mode(overwrite) (the [[IncrementalIngest]] /
-  * [[graft.streaming.RollupStream]] layout), so a crash between the
-  * fact write and the rollup refresh has two safe repairs: re-running
+  * [[graft.streaming.RollupStream]] layout), and a directory counts as
+  * committed only when its `_SUCCESS` marker exists — [[ingest]] and
+  * [[refresh]] both start by deleting partial (marker-less) batch
+  * directories, so a crash DURING a fact write never leaks fragment
+  * rows into a recompute, and an auto-allocated id never double-counts
+  * a fragment next to its redelivery. A crash BETWEEN the fact write
+  * and the rollup refresh then has two safe repairs: re-running
   * [[refresh]] for the same partition values (recomputes from fact
   * state), or replaying [[ingest]] with the SAME `batchId` (overwrites
   * its own directory with identical content, then re-refreshes). A
@@ -43,6 +48,7 @@ object IncrementalRollup {
   def refresh(cat: Catalog, fact: String, rollup: String, partCol: String,
               touched: Seq[Any],
               compute: DataFrame => DataFrame): DataFrame = {
+    recoverFact(cat, fact)
     if (touched.nonEmpty) {
       val factBack = cat.spark.read.parquet(s"${cat.warehouse}/$fact")
       // isin over literal partition values -> static partition pruning:
@@ -96,12 +102,17 @@ object IncrementalRollup {
     // lazy batch twice would be wasted work and, for a
     // non-deterministic source, could desync the touched set from the
     // rows actually written.
+    recoverFact(cat, fact)
     val b = batch.persist()
     try {
       val touched = b.select(partCol).distinct()
         .collect().map(_.get(0)).toSeq
       if (touched.nonEmpty) {
-        val id = batchId.getOrElse(nextBatchId(cat, fact))
+        // all partial dirs were just removed, so max-existing is a
+        // committed batch and the fresh id cannot collide with (or
+        // hide behind) a crashed fragment
+        val id = batchId.getOrElse(
+          IncrementalIngest.batchIds(cat, fact).foldLeft(-1L)(math.max) + 1)
         // cluster fact rows by partition value so a batch writes ONE
         // file per touched partition, not one per task per partition —
         // the small-file debt Catalog.compact otherwise has to pay
@@ -116,14 +127,32 @@ object IncrementalRollup {
     } finally { b.unpersist(false); () }
   }
 
-  /** Next free batch directory id under the fact root (max + 1, 0 for
-    * a fresh table) — one driver-side LIST of top-level prefixes.
+  /** Crash recovery + layout guard, run at every entry (one driver-side
+    * LIST): delete uncommitted (`_SUCCESS`-less) batch directories —
+    * Spark creates the directory at job start, so a crash mid-write
+    * leaves a partial partition that every later recompute would
+    * silently read; the batch never completed its ingest call, so the
+    * at-least-once upstream redelivers it. Anything at the fact root
+    * that is NOT a `__batch_id=` directory is a different layout (the
+    * old flat `partCol=` scheme, or a stray [[Catalog.append]] file) —
+    * mixing the two makes Spark's partition discovery throw a cryptic
+    * 'conflicting directory structures', so refuse loudly with the
+    * migration hint instead.
     */
-  private def nextBatchId(cat: Catalog, fact: String): Long = {
+  private def recoverFact(cat: Catalog, fact: String): Unit = {
     val root = new java.io.File(s"${cat.warehouse}/$fact")
-    val ids = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-      .map(_.getName.stripPrefix("__batch_id=").toLong)
-    if (ids.isEmpty) 0L else ids.max + 1L
+    Option(root.listFiles()).toSeq.flatten.foreach { f =>
+      require(f.isDirectory && f.getName.startsWith("__batch_id="),
+        s"$fact: entry '${f.getName}' is not a __batch_id= directory — " +
+          "this fact table uses the per-batch layout; write through " +
+          "IncrementalRollup.ingest (a flat pre-existing table must be " +
+          "re-ingested as one batch)")
+      if (!IncrementalIngest.committed(f.getPath)) rm(f)
+    }
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+    f.delete(): Unit
   }
 }

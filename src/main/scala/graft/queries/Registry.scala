@@ -45,6 +45,19 @@ object Scratch {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Every mutable root this engine writes: the session scratch tree
+  // plus every Catalog warehouse constructed in this JVM (Catalog
+  // registers itself). memoized() consults this so the immutability
+  // guard holds for user-supplied warehouse paths too, not only for
+  // scratch-rooted ones.
+  private val mutableRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Called by `Catalog` for its warehouse path: keys naming anything
+    * under a registered root are rejected by [[memoized]].
+    */
+  def registerMutableRoot(path: String): Unit = { mutableRoots.add(path): Unit }
+
   /** Like [[materialize]], but keyed: the first call for `key` computes
     * and writes; later calls in the same session read the existing
     * parquet. For derived tables shared by several queries over the
@@ -66,14 +79,15 @@ object Scratch {
   def memoized(s: SparkSession, key: String, name: String,
                df: => DataFrame): DataFrame = {
     // Enforce the immutability contract instead of trusting the comment:
-    // every mutable table this engine writes (warehouses, fixtures,
-    // materialized intermediates) lives under the session scratch root,
-    // so a key naming a path under it is memoizing over a directory
-    // that can be rewritten mid-session — a silent stale-index replay.
-    require(!key.contains(s"graft_${s.sparkContext.applicationId}"),
-      s"Scratch.memoized: key '$key' references a session scratch/" +
-        "warehouse path, which is mutable by definition — memo keys " +
-        "must name immutable inputs; use materialize/fresh instead")
+    // a key naming a dir this engine can rewrite mid-session (the
+    // scratch tree, any constructed Catalog warehouse) is memoizing
+    // over mutable storage — a silent stale-index replay. External
+    // read-only inputs (the testdata sf dirs) pass.
+    require(!key.contains(s"graft_${s.sparkContext.applicationId}") &&
+        !mutableRoots.stream().anyMatch(r => key.contains(r)),
+      s"Scratch.memoized: key '$key' references a scratch or warehouse " +
+        "path, which is mutable by definition — memo keys must name " +
+        "immutable inputs; use materialize/fresh instead")
     val fullKey = s"${s.sparkContext.applicationId}:$key"
     // Build OUTSIDE any map lock: memoized frames nest (the LSH
     // candidate table forces the shingle table), and a nested

@@ -253,6 +253,33 @@ class PipelineSpec extends SparkTestBase {
     assert(after.getDouble(1) == before.getDouble(1))
   }
 
+  test("compactPartitions heals a leaf compact that crashed mid-swap") {
+    import graft.engine.Checksum
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "healp_wh"))
+    cat.save("pt", graft.engine.Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus").repartition(4),
+      partitionBy = Seq("o_orderstatus"))
+    val cols = Seq("o_orderkey" -> Checksum.IntLike,
+      "o_orderstatus" -> Checksum.Str)
+    val before = Checksum.of(cat.table("pt"), cols).head()
+    // simulate a leaf compact crash between its two renames: the live
+    // partition dir is gone, only the moved-aside copy remains
+    val leaf = Option(new java.io.File(s"${cat.warehouse}/pt").listFiles())
+      .toSeq.flatten.filter(_.getName.contains("=")).head
+    assert(leaf.renameTo(
+      new java.io.File(leaf.getParent, leaf.getName + ".__compact_old")))
+    val compacted = cat.compactPartitions("pt", targetBytes = Long.MaxValue)
+    // healed: the partition value is back, no bogus '.__compact_old'
+    // partition value leaked into discovery, content intact
+    val partVals = compacted.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!partVals.exists(_.contains("__compact")), partVals)
+    val after = Checksum.of(compacted, cols).head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getDouble(1) == before.getDouble(1))
+  }
+
   test("ORC export/import round-trip is checksum-invariant") {
     import graft.engine.Checksum
     val cat = new graft.engine.Catalog(spark,

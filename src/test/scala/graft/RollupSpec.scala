@@ -146,6 +146,45 @@ class RollupSpec extends SparkTestBase {
       (("2024-03-03", "x", 1L, 1L)))
   }
 
+  test("a partial (crashed, _SUCCESS-less) fact batch is purged, never counted") {
+    val cat = freshWh("rollup_f")
+    IncrementalRollup.ingest(cat, "f", "r", "day",
+      mkBatch(Seq(("2024-03-01", "x", 1L))), rollup)
+    // simulate a crash DURING the fact write of batch 1: dir exists,
+    // some data landed, no _SUCCESS marker
+    val partial = new java.io.File(s"${cat.warehouse}/f/__batch_id=1")
+    mkBatch(Seq(("2024-03-01", "x", 999L))).write.parquet(partial.getPath)
+    assert(new java.io.File(partial, "_SUCCESS").delete())
+    // the upstream redelivers; recovery must purge the fragment first —
+    // its 999 must appear exactly once, and the fresh id must be 1
+    // again (not 2 behind a zombie dir)
+    val out = IncrementalRollup.ingest(cat, "f", "r", "day",
+      mkBatch(Seq(("2024-03-01", "x", 999L))), rollup)
+    assert(!partial.exists() ||
+      new java.io.File(partial, "_SUCCESS").exists())
+    assert(rows(out) == Set(("2024-03-01", "x", 2L, 1000L)),
+      "fragment rows double-counted or lost")
+    // refresh alone (the crash-repair path) also purges partials
+    mkBatch(Seq(("2024-03-01", "x", 777L))).write
+      .parquet(s"${cat.warehouse}/f/__batch_id=9")
+    assert(new java.io.File(s"${cat.warehouse}/f/__batch_id=9/_SUCCESS").delete())
+    val repaired = IncrementalRollup.refresh(cat, "f", "r", "day",
+      Seq(java.sql.Date.valueOf("2024-03-01")), rollup)
+    assert(rows(repaired) == Set(("2024-03-01", "x", 2L, 1000L)))
+  }
+
+  test("a flat (non-batch) fact layout is refused loudly, not misread") {
+    val cat = freshWh("rollup_g")
+    // an old-layout table: partition dirs directly at the root
+    mkBatch(Seq(("2024-03-01", "x", 1L)))
+      .write.partitionBy("day").parquet(s"${cat.warehouse}/f")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRollup.ingest(cat, "f", "r", "day",
+        mkBatch(Seq(("2024-03-02", "y", 2L))), rollup)
+    }
+    assert(e.getMessage.contains("__batch_id"), e.getMessage)
+  }
+
   test("empty batch leaves the rollup untouched") {
     val cat = freshWh("rollup_d")
     IncrementalRollup.ingest(cat, "f", "r", "day",

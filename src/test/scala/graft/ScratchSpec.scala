@@ -40,6 +40,16 @@ class ScratchSpec extends SparkTestBase {
         Seq(1L).toDF("v"))
     }
     assert(e.getMessage.contains("immutable"))
+    // a Catalog warehouse OUTSIDE the scratch tree (a user-supplied
+    // path) is just as mutable — constructing the Catalog registers it
+    val external = java.nio.file.Files
+      .createTempDirectory("external_wh").toString
+    new graft.engine.Catalog(spark, external)
+    val e2 = intercept[IllegalArgumentException] {
+      Scratch.memoized(spark, s"shingles:$external/docs", "memo_bad2",
+        Seq(1L).toDF("v"))
+    }
+    assert(e2.getMessage.contains("immutable"))
     // immutable inputs (the read-only testdata dirs) stay accepted
     assert(Scratch.memoized(spark, s"ok:$sfDir:${System.nanoTime()}",
       "memo_ok", Seq(1L).toDF("v")).count() === 1)
