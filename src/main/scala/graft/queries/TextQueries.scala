@@ -470,6 +470,49 @@ object TextQueries {
         """SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
           |  CAST(FLOOR(n_chars / 50) * 50 + 50 AS BIGINT) AS bucket_hi,
           |  COUNT(*) AS n_docs
-          |FROM documents GROUP BY 1, 2 ORDER BY bucket_lo""".stripMargin))
+          |FROM documents GROUP BY 1, 2 ORDER BY bucket_lo""".stripMargin)),
+
+    Q("t11_equidepth_histogram",
+      "Equi-depth (quantile) histogram of document length — the other " +
+        "half of corpus profiling: where t10's fixed-width bins show " +
+        "shape, equi-depth deciles show the quantile bounds a length " +
+        "cut actually lands on. Computed the scale-correct way: exact " +
+        "decile bounds via one sort-based percentile aggregate (the " +
+        "g12-proven cross-engine formulation), broadcast back, and " +
+        "each doc banded by counting bounds below it — NO global-sort " +
+        "ntile window (which would single-task a 100 TB corpus). Ties " +
+        "land in the lower band on both engines, so decile populations " +
+        "are content-determined, not forced equal.",
+      (s, d) => {
+        val docs = Graft.table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val bounds = docs.agg(expr(
+          "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+        docs.crossJoin(broadcast(bounds))
+          .withColumn("decile",
+            expr("1 + aggregate(bs, 0, (acc, b) -> acc + " +
+              "(CASE WHEN CAST(n_chars AS DOUBLE) > b THEN 1 ELSE 0 END))")
+              .cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("decile")
+      },
+      Some(
+        """WITH bs AS (
+          |  SELECT quantile_cont(n_chars,
+          |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+          |  FROM documents)
+          |SELECT decile, COUNT(*) AS n_docs,
+          |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+          |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+          |FROM (
+          |  SELECT doc_id, n_chars,
+          |    CAST(1 + len(list_filter(bs.b,
+          |      x -> CAST(n_chars AS DOUBLE) > x)) AS BIGINT) AS decile
+          |  FROM documents, bs) banded
+          |GROUP BY 1 ORDER BY decile""".stripMargin))
   )
 }
