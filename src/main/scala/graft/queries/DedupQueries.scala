@@ -770,8 +770,15 @@ object DedupQueries {
     val bd = Scratch.materialize(s, "cc_edges",
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    // Seed labels one hop ahead: l0(v) = min(v, min neighbor) is
+    // exactly the state after a propagation round from l=v, at the
+    // same cost as the naive init (one groupBy of the edge table
+    // instead of a distinct) — measured: one full round saved on both
+    // cluster queries (sf0.1: d10 10→9, d9 11→10 rounds).
     var labels = Scratch.materialize(s, "cc_labels",
-      bd.select(col("a").as("v")).distinct().withColumn("l", col("v")))
+      bd.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("l"))
+        .select(col("a").as("v"), col("l")))
     def step(lb: DataFrame): DataFrame = ccStep(bd, lb)
     var prevSum = -1L
     var rounds = 0
