@@ -300,4 +300,18 @@ object RetailPipeline {
     monthlyFromAgg(spark, agg)
   }
 
+  /** The monthly view materialized ONCE per session per input dir —
+    * the warehouse shape for a view with several consumers:
+    * `pipe_monthly_summary` (alphabetically first, pays the build) and
+    * `r3_dashboard_insights` both read the same scratch parquet
+    * instead of recomputing the fused 8-stage plan each. The fused
+    * plan itself stays exercised — it IS this memo's builder — and
+    * [[monthlySummaryLazy]] remains available where the unmaterialized
+    * plan is the point (DashboardSpec's render-from-lazy case).
+    */
+  def monthlySummaryShared(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.queries.Scratch.memoized(spark, s"pipe_monthly:$sfDir",
+      "pipe_monthly", monthlySummaryLazy(spark, sfDir))
+  }
+
 }

