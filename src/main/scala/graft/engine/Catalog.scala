@@ -153,11 +153,44 @@ object Checksum {
   }
 }
 
+/** Session-wide registry of mutable storage roots (every constructed
+  * warehouse). Lives in the engine layer — `Scratch.memoized`'s
+  * immutability guard consults it, keeping the dependency direction
+  * queries→engine only. Paths are canonicalized so relative and
+  * absolute spellings of the same dir agree.
+  */
+object Catalog {
+  private val roots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[engine] def registerMutableRoot(path: String): Unit = {
+    // both spellings: a key may embed the path as the caller wrote it
+    // (e.g. relative) or fully resolved
+    roots.add(path): Unit
+    roots.add(new java.io.File(path).getCanonicalPath): Unit
+  }
+
+  /** Whether `key` (any string that may embed a path) references a
+    * registered mutable root — matched on a path-separator boundary
+    * ('/data/w' must not match '/data/warehouse-ro') against both the
+    * raw and canonical spelling.
+    */
+  def referencesMutableRoot(key: String): Boolean = {
+    val it = roots.iterator()
+    var hit = false
+    while (!hit && it.hasNext) {
+      val r = it.next()
+      hit = key.contains(r + java.io.File.separator) || key.endsWith(r)
+    }
+    hit
+  }
+}
+
 final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   // a warehouse is mutable by definition — make Scratch.memoized's
   // immutability guard aware of it (user-supplied paths included)
-  graft.queries.Scratch.registerMutableRoot(warehouse)
+  Catalog.registerMutableRoot(warehouse)
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -227,9 +260,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** Heal a [[compact]] that crashed between its two renames: the live
     * dir is missing but the moved-aside copy is intact. Run by every
-    * read-path entry (table / exists / compact) so the repair is
-    * reachable through the FIRST operator to touch the table after the
-    * crash, not only through a retry of the operator that crashed.
+    * read-path entry (table / exists / compact / compactPartitions) so
+    * the repair is reachable through the FIRST operator to touch the
+    * table after the crash, not only through a retry of the operator
+    * that crashed. Covers both the root swap and LEAF swaps inside a
+    * partitioned tree — without the leaf walk, partition discovery
+    * would misread a leftover `X.__compact_old` as the partition value
+    * 'X.__compact_old' and report the real X missing. Local directory
+    * LISTs are cheap; at object-store scale this per-read walk becomes
+    * a periodic maintenance scan instead.
     */
   private def healInterruptedCompact(name: String): Unit = {
     val dir = new java.io.File(s"$warehouse/$name")
@@ -237,6 +276,24 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (!dir.exists() && old.exists())
       require(old.renameTo(dir),
         s"compact($name): could not restore $old after an interrupted swap")
+    healLeafCompacts(dir)
+  }
+
+  private def healLeafCompacts(dir: java.io.File): Unit = {
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.endsWith(".__compact_old"))
+      .foreach { o =>
+        val live = new java.io.File(dir,
+          o.getName.stripSuffix(".__compact_old"))
+        if (!live.exists())
+          require(o.renameTo(live),
+            s"compact: could not restore $o after an interrupted leaf swap")
+      }
+    // re-list so a just-healed dir is walked for nested partitions too
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("=") &&
+        !f.getName.contains(".__compact"))
+      .foreach(healLeafCompacts)
   }
 
   /** Whether `name` has ever been materialized in this warehouse. */
@@ -316,24 +373,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     healInterruptedCompact(name)
     val root = new java.io.File(s"$warehouse/$name")
     require(root.isDirectory, s"compactPartitions($name): no such table")
+    // leaf-crash healing already ran in healInterruptedCompact above
     def leaves(rel: String): Seq[String] = {
-      val dir = new java.io.File(s"$warehouse/$rel")
-      // Heal LEAF compacts that crashed between their two renames: the
-      // live partition dir is gone and only `X.__compact_old` remains.
-      // Without this, the crashed leaf would be skipped by the walk and
-      // partition discovery would misread the leftover as a partition
-      // VALUE ('F.__compact_old') — rows reappearing under a bogus key.
-      // (A stale old WITH a live sibling is cleaned by compact() itself.)
-      Option(dir.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.endsWith(".__compact_old"))
-        .foreach { old =>
-          val live = new java.io.File(dir,
-            old.getName.stripSuffix(".__compact_old"))
-          if (!live.exists())
-            require(old.renameTo(live),
-              s"compactPartitions($name): could not restore $old")
-        }
-      val parts = Option(dir.listFiles()).toSeq.flatten
+      val parts = Option(new java.io.File(s"$warehouse/$rel").listFiles())
+        .toSeq.flatten
         .filter(f => f.isDirectory && f.getName.contains("=") &&
           !f.getName.contains(".__compact"))
       if (parts.isEmpty) Seq(rel)

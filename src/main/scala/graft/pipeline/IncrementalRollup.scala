@@ -49,7 +49,24 @@ object IncrementalRollup {
               touched: Seq[Any],
               compute: DataFrame => DataFrame): DataFrame = {
     recoverFact(cat, fact)
+    refreshRecovered(cat, fact, rollup, partCol, touched, compute)
+  }
+
+  /** [[refresh]] body after recovery — split out so [[ingest]], which
+    * has just recovered and written its own committed batch, doesn't
+    * pay a second recovery LIST per call.
+    */
+  private def refreshRecovered(cat: Catalog, fact: String, rollup: String,
+                               partCol: String, touched: Seq[Any],
+                               compute: DataFrame => DataFrame): DataFrame = {
     if (touched.nonEmpty) {
+      // a purged lone partial leaves the root existing but empty —
+      // surface the repair contract instead of Spark's cryptic
+      // 'unable to infer schema'
+      require(IncrementalIngest.batchIds(cat, fact).nonEmpty,
+        s"refresh($rollup): $fact has no committed batches — nothing " +
+          "to recompute from; replay the ingest (the crashed batch " +
+          "never committed)")
       val factBack = cat.spark.read.parquet(s"${cat.warehouse}/$fact")
       // isin over literal partition values -> static partition pruning:
       // the recompute scan reads only the touched fact directories.
@@ -123,7 +140,9 @@ object IncrementalRollup {
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"${cat.warehouse}/$fact/__batch_id=$id")
       }
-      refresh(cat, fact, rollup, partCol, touched, compute)
+      // recovery already ran at this ingest's entry, and the only new
+      // directory since is the committed batch just written
+      refreshRecovered(cat, fact, rollup, partCol, touched, compute)
     } finally { b.unpersist(false); () }
   }
 

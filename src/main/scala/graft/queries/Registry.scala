@@ -45,18 +45,10 @@ object Scratch {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  // Every mutable root this engine writes: the session scratch tree
-  // plus every Catalog warehouse constructed in this JVM (Catalog
-  // registers itself). memoized() consults this so the immutability
-  // guard holds for user-supplied warehouse paths too, not only for
-  // scratch-rooted ones.
-  private val mutableRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Called by `Catalog` for its warehouse path: keys naming anything
-    * under a registered root are rejected by [[memoized]].
-    */
-  def registerMutableRoot(path: String): Unit = { mutableRoots.add(path): Unit }
+  // Mutable warehouse roots are tracked by the engine layer (every
+  // Catalog registers its warehouse at construction); memoized()
+  // consults that registry so the immutability guard holds for
+  // user-supplied warehouse paths too, not only scratch-rooted ones.
 
   /** Like [[materialize]], but keyed: the first call for `key` computes
     * and writes; later calls in the same session read the existing
@@ -84,7 +76,7 @@ object Scratch {
     // over mutable storage — a silent stale-index replay. External
     // read-only inputs (the testdata sf dirs) pass.
     require(!key.contains(s"graft_${s.sparkContext.applicationId}") &&
-        !mutableRoots.stream().anyMatch(r => key.contains(r)),
+        !graft.engine.Catalog.referencesMutableRoot(key),
       s"Scratch.memoized: key '$key' references a scratch or warehouse " +
         "path, which is mutable by definition — memo keys must name " +
         "immutable inputs; use materialize/fresh instead")

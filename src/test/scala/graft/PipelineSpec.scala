@@ -253,6 +253,29 @@ class PipelineSpec extends SparkTestBase {
     assert(after.getDouble(1) == before.getDouble(1))
   }
 
+  test("a crashed LEAF compact is healed by the next plain reader") {
+    val cat = new graft.engine.Catalog(spark,
+      graft.queries.Scratch.fresh(spark, "healleaf_wh"))
+    cat.save("lt", graft.engine.Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus"),
+      partitionBy = Seq("o_orderstatus"))
+    val n = cat.table("lt").count()
+    val vals = cat.table("lt").select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    val leaf = Option(new java.io.File(s"${cat.warehouse}/lt").listFiles())
+      .toSeq.flatten.filter(_.getName.contains("=")).head
+    assert(leaf.renameTo(
+      new java.io.File(leaf.getParent, leaf.getName + ".__compact_old")))
+    // an ordinary read — NOT a compaction call — must restore the leaf;
+    // without the heal, discovery reports the partition under the
+    // bogus value 'X.__compact_old' and the real X missing
+    val back = cat.table("lt")
+    assert(back.count() == n)
+    assert(back.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet == vals)
+    assert(leaf.exists(), "live leaf dir must be restored")
+  }
+
   test("compactPartitions heals a leaf compact that crashed mid-swap") {
     import graft.engine.Checksum
     val cat = new graft.engine.Catalog(spark,

@@ -173,6 +173,20 @@ class RollupSpec extends SparkTestBase {
     assert(rows(repaired) == Set(("2024-03-01", "x", 2L, 1000L)))
   }
 
+  test("refresh after purging the table's only (partial) batch fails with the repair hint") {
+    val cat = freshWh("rollup_h")
+    // first-ever ingest crashed mid fact write: only a partial batch
+    // dir exists, no _SUCCESS anywhere
+    mkBatch(Seq(("2024-03-01", "x", 1L))).write
+      .parquet(s"${cat.warehouse}/f/__batch_id=0")
+    assert(new java.io.File(s"${cat.warehouse}/f/__batch_id=0/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRollup.refresh(cat, "f", "r", "day",
+        Seq(java.sql.Date.valueOf("2024-03-01")), rollup)
+    }
+    assert(e.getMessage.contains("no committed batches"), e.getMessage)
+  }
+
   test("a flat (non-batch) fact layout is refused loudly, not misread") {
     val cat = freshWh("rollup_g")
     // an old-layout table: partition dirs directly at the root

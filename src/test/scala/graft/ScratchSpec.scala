@@ -50,6 +50,12 @@ class ScratchSpec extends SparkTestBase {
         Seq(1L).toDF("v"))
     }
     assert(e2.getMessage.contains("immutable"))
+    // boundary-aware: a SIBLING dir sharing the root as a name prefix
+    // is not under it and must stay accepted
+    val sibling = external + "-readonly/corpus"
+    assert(Scratch.memoized(spark,
+      s"ok:$sibling:${System.nanoTime()}", "memo_sib",
+      Seq(1L).toDF("v")).count() === 1)
     // immutable inputs (the read-only testdata dirs) stay accepted
     assert(Scratch.memoized(spark, s"ok:$sfDir:${System.nanoTime()}",
       "memo_ok", Seq(1L).toDF("v")).count() === 1)
