@@ -782,7 +782,47 @@ object CoreQueries {
           |  MIN(COALESCE(v1.k, v2.k)) AS key_min,
           |  MAX(COALESCE(v1.k, v2.k)) AS key_max
           |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
-          |GROUP BY 1 ORDER BY change_type""".stripMargin))
+          |GROUP BY 1 ORDER BY change_type""".stripMargin)),
+
+    Q("x9_corpus_card",
+      "Corpus datasheet — the one-row dataset card a training run " +
+        "records next to its pinned corpus version: doc/source/" +
+        "language cardinalities, exact-unique text count (dedup rate's " +
+        "numerator, via the cross-engine content hash), token and " +
+        "char totals, and the summed quality score. One corpus scan " +
+        "feeding a single wide aggregate (the g3-style multi-distinct " +
+        "Expand plan); every number is exact and engine-portable, so " +
+        "two sites can attest the same card for the same bytes.",
+      (s, d) => {
+        val scored = Functions.qualityScored(t(s, d, "documents"))
+        scored.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(expr("graft_strhash(text)")).as("n_unique_texts"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          Functions.dsum(col("score")).as("total_quality"))
+      },
+      Some(
+        """SELECT COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT source) AS n_sources,
+          |  COUNT(DISTINCT lang) AS n_langs,
+          |  COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(regexp_extract_all(text, '(?s).'),
+          |      c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS n_unique_texts,
+          |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+          |    AS total_ws_tokens,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(CAST(
+          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text,
+          |        '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+          |        THEN 0.25 ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS total_quality
+          |FROM documents""".stripMargin))
   )
 
   import Checksum.{IntLike, Str, TsDay}
