@@ -71,6 +71,31 @@ object IncrementalIngest {
   private def committedBatches(cat: Catalog, table: String): Seq[Long] =
     batchIds(cat, table).filter(id => committed(rowsDir(cat, table, id)))
 
+  /** Shared recovery step for every per-batch writer (rollup facts,
+    * near-dup corpus + signature index): purge uncommitted
+    * (`_SUCCESS`-less) `__batch_id=` directories — a crash mid-write
+    * leaves a partial partition no recompute may read, and the batch
+    * never completed its ingest call so an at-least-once upstream
+    * redelivers it — and refuse foreign layouts loudly instead of
+    * letting Spark's partition discovery throw a cryptic
+    * conflicting-structures error.
+    */
+  private[pipeline] def purgePartialBatches(cat: Catalog, table: String): Unit = {
+    val root = new java.io.File(s"${cat.warehouse}/$table")
+    Option(root.listFiles()).toSeq.flatten.foreach { f =>
+      require(f.isDirectory && f.getName.startsWith("__batch_id="),
+        s"$table: entry '${f.getName}' is not a __batch_id= directory — " +
+          "this table uses the per-batch layout (a flat pre-existing " +
+          "table must be re-ingested as one batch)")
+      if (!committed(f.getPath)) rmDir(f)
+    }
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmDir)
+    f.delete(): Unit
+  }
+
   /** Close the crash windows: if the newest row batch (committed or
     * partial) is missing its `_SUCCESS` or its digest partition's,
     * rewrite the incomplete partition(s) from the `<table>_last_batch`

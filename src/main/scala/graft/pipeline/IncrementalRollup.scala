@@ -146,32 +146,9 @@ object IncrementalRollup {
     } finally { b.unpersist(false); () }
   }
 
-  /** Crash recovery + layout guard, run at every entry (one driver-side
-    * LIST): delete uncommitted (`_SUCCESS`-less) batch directories —
-    * Spark creates the directory at job start, so a crash mid-write
-    * leaves a partial partition that every later recompute would
-    * silently read; the batch never completed its ingest call, so the
-    * at-least-once upstream redelivers it. Anything at the fact root
-    * that is NOT a `__batch_id=` directory is a different layout (the
-    * old flat `partCol=` scheme, or a stray [[Catalog.append]] file) —
-    * mixing the two makes Spark's partition discovery throw a cryptic
-    * 'conflicting directory structures', so refuse loudly with the
-    * migration hint instead.
+  /** Crash recovery + layout guard, run at every public entry (one
+    * driver-side LIST) — see [[IncrementalIngest.purgePartialBatches]].
     */
-  private def recoverFact(cat: Catalog, fact: String): Unit = {
-    val root = new java.io.File(s"${cat.warehouse}/$fact")
-    Option(root.listFiles()).toSeq.flatten.foreach { f =>
-      require(f.isDirectory && f.getName.startsWith("__batch_id="),
-        s"$fact: entry '${f.getName}' is not a __batch_id= directory — " +
-          "this fact table uses the per-batch layout; write through " +
-          "IncrementalRollup.ingest (a flat pre-existing table must be " +
-          "re-ingested as one batch)")
-      if (!IncrementalIngest.committed(f.getPath)) rm(f)
-    }
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-    f.delete(): Unit
-  }
+  private def recoverFact(cat: Catalog, fact: String): Unit =
+    IncrementalIngest.purgePartialBatches(cat, fact)
 }

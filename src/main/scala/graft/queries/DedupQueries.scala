@@ -172,7 +172,7 @@ object DedupQueries {
     * CTE pair (bit 63's addend prints as Long.MinValue; DuckDB widens
     * the sum through HUGEINT and the final CAST lands back in BIGINT).
     */
-  private val SimhashDocsSql: String = {
+  private[graft] val SimhashDocsSql: String = {
     def fold(base: Int) =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(regexp_extract_all(t.tk, '(?s).'), " +

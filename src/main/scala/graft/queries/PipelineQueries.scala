@@ -383,6 +383,75 @@ object PipelineQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    Q("o6_incremental_neardup",
+      "Incremental NEAR-dup ingest — the two-batch drive of " +
+        "pipeline/IncrementalNearDup: batch 1 (doc_id < 250) " +
+        "establishes the corpus and its simhash signature index, " +
+        "batch 2 dedups against BOTH itself and the index (band join, " +
+        "hamming <= 3) without any corpus-sized recompute. Emits " +
+        "per-batch in/kept counts plus the kept-id sum (exact witness " +
+        "of WHICH docs survived). Oracle: the same banded-simhash " +
+        "suppression rules replayed as one DuckDB CTE chain — " +
+        "hash-matching proves the incremental path computes exactly " +
+        "the declarative spec.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o6_wh"))
+        val docs = Graft.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val b1 = docs.filter(col("doc_id") < 250)
+        val b2 = docs.filter(col("doc_id") >= 250)
+        val k1 = graft.pipeline.IncrementalNearDup
+          .ingest(cat, b1, "corpus", Some(1L))
+        val k2 = graft.pipeline.IncrementalNearDup
+          .ingest(cat, b2, "corpus", Some(2L))
+        def stats(batch: Long, in: DataFrame, kept: DataFrame): DataFrame =
+          in.agg(count(lit(1)).as("n_in")).crossJoin(
+            kept.agg(count(lit(1)).as("n_kept"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("kept_docid_sum")))
+            .select(lit(batch).as("batch"), col("n_in"),
+              col("n_kept"), col("kept_docid_sum"))
+        stats(1L, b1, k1).unionByName(stats(2L, b2, k2)).orderBy("batch")
+      },
+      Some(
+        s"""WITH ${graft.queries.DedupQueries.SimhashDocsSql},
+           |bands AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+           |sh1 AS (SELECT * FROM sh WHERE doc_id < 250),
+           |sh2 AS (SELECT * FROM sh WHERE doc_id >= 250),
+           |b1 AS (SELECT doc_id, simhash, k,
+           |  (simhash >> (16 * k)) & 65535 AS band FROM sh1, bands),
+           |b2 AS (SELECT doc_id, simhash, k,
+           |  (simhash >> (16 * k)) & 65535 AS band FROM sh2, bands),
+           |dup1 AS (
+           |  SELECT DISTINCT y.doc_id FROM b1 x JOIN b1 y
+           |    ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id
+           |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+           |kept1 AS (SELECT doc_id, simhash FROM sh1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+           |bk1 AS (SELECT doc_id, simhash, k,
+           |  (simhash >> (16 * k)) & 65535 AS band FROM kept1, bands),
+           |dup2w AS (
+           |  SELECT DISTINCT y.doc_id FROM b2 x JOIN b2 y
+           |    ON x.k = y.k AND x.band = y.band AND x.doc_id < y.doc_id
+           |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+           |dup2i AS (
+           |  SELECT DISTINCT x.doc_id FROM b2 x JOIN bk1 i
+           |    ON x.k = i.k AND x.band = i.band
+           |  WHERE bit_count(xor(x.simhash, i.simhash)) <= 3),
+           |kept2 AS (SELECT doc_id FROM sh2 WHERE doc_id NOT IN
+           |  (SELECT doc_id FROM dup2w UNION SELECT doc_id FROM dup2i))
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS batch,
+           |    (SELECT COUNT(*) FROM sh1) AS n_in,
+           |    (SELECT COUNT(*) FROM kept1) AS n_kept,
+           |    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept1)
+           |      AS kept_docid_sum
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT),
+           |    (SELECT COUNT(*) FROM sh2),
+           |    (SELECT COUNT(*) FROM kept2),
+           |    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept2)
+           |) ORDER BY batch""".stripMargin)),
+
     Q("w1p_forward_fill_partitioned",
       "W1(partitioned)/J4 — per-event-type daily series forward-fill " +
         "using the partitionCols path (the 100 TB-scalable variant of " +

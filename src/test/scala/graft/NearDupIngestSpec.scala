@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Catalog
+import graft.pipeline.IncrementalNearDup
+
+/** IncrementalNearDup: batch-vs-index and within-batch suppression on
+  * planted fixtures, replay idempotency, and crash recovery of the
+  * signature index — the invariants that make incremental fuzzy dedup
+  * safe at 100 TB.
+  */
+class NearDupIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshCat(name: String): Catalog =
+    new Catalog(spark, graft.queries.Scratch.fresh(spark, name))
+
+  // long distinct texts (simhash needs token mass; short strings
+  // collide trivially)
+  private def txt(seed: String): String =
+    (1 to 40).map(i => s"$seed$i token$i word${i * 7}").mkString(" ")
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("a later batch's near-dup of an indexed doc is dropped; novel docs kept") {
+    val cat = freshCat("nd_a")
+    val k1 = IncrementalNearDup.ingest(cat,
+      docs(1L -> txt("alpha"), 2L -> txt("beta")), "c", Some(1L))
+    assert(k1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // batch 2: doc 10 duplicates doc 1's text exactly (hamming 0 —
+    // through the same <=3 band machinery), doc 11 is novel
+    val k2 = IncrementalNearDup.ingest(cat,
+      docs(10L -> txt("alpha"), 11L -> txt("gamma")), "c", Some(2L))
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+    assert(IncrementalNearDup.corpus(cat, "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+  }
+
+  test("within-batch near-dups collapse to the lowest doc_id") {
+    val cat = freshCat("nd_b")
+    val kept = IncrementalNearDup.ingest(cat,
+      docs(5L -> txt("delta"), 6L -> txt("delta"), 7L -> txt("epsilon")),
+      "c", Some(1L))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 7L), "6 duplicates 5 and must be suppressed; 5 and 7 survive")
+  }
+
+  test("replay with the same batchId is idempotent") {
+    val cat = freshCat("nd_c")
+    IncrementalNearDup.ingest(cat, docs(1L -> txt("a1")), "c", Some(1L))
+    IncrementalNearDup.ingest(cat,
+      docs(2L -> txt("b2"), 3L -> txt("c3")), "c", Some(2L))
+    val rows = IncrementalNearDup.corpus(cat, "c").count()
+    val sigs = spark.read.parquet(s"${cat.warehouse}/c_sigs").count()
+    // crash-replay: batch 2 redelivered with the same id
+    IncrementalNearDup.ingest(cat,
+      docs(2L -> txt("b2"), 3L -> txt("c3")), "c", Some(2L))
+    assert(IncrementalNearDup.corpus(cat, "c").count() == rows)
+    assert(spark.read.parquet(s"${cat.warehouse}/c_sigs").count() == sigs)
+  }
+
+  test("a partial (crashed) signature batch is purged and rebuilt by the replay") {
+    val cat = freshCat("nd_d")
+    IncrementalNearDup.ingest(cat, docs(1L -> txt("x")), "c", Some(1L))
+    // simulate a crash between the row write and the sig write of
+    // batch 2: rows committed, sigs partial (no _SUCCESS)
+    IncrementalNearDup.ingest(cat, docs(2L -> txt("y")), "c", Some(2L))
+    val sigDir = new java.io.File(s"${cat.warehouse}/c_sigs/__batch_id=2")
+    assert(new java.io.File(sigDir, "_SUCCESS").delete())
+    // replay of batch 2: the partial sig dir is purged at entry and
+    // both dirs rewritten — doc 2 ends up exactly once, with its sig
+    IncrementalNearDup.ingest(cat, docs(2L -> txt("y")), "c", Some(2L))
+    assert(new java.io.File(sigDir, "_SUCCESS").exists())
+    assert(IncrementalNearDup.corpus(cat, "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // and the rebuilt index suppresses a later near-dup of doc 2
+    val k3 = IncrementalNearDup.ingest(cat, docs(9L -> txt("y")), "c", Some(3L))
+    assert(k3.isEmpty)
+  }
+
+  test("an all-duplicate batch writes nothing and consumes no id") {
+    val cat = freshCat("nd_e")
+    IncrementalNearDup.ingest(cat, docs(1L -> txt("solo")), "c", Some(1L))
+    val kept = IncrementalNearDup.ingest(cat, docs(8L -> txt("solo")), "c")
+    assert(kept.isEmpty)
+    assert(!new java.io.File(s"${cat.warehouse}/c/__batch_id=2").exists())
+    // the next novel batch takes id 2 (auto-allocated, nothing skipped)
+    IncrementalNearDup.ingest(cat, docs(9L -> txt("fresh")), "c")
+    assert(new java.io.File(s"${cat.warehouse}/c/__batch_id=2").isDirectory)
+  }
+}
