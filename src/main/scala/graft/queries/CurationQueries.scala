@@ -290,7 +290,130 @@ object CurationQueries {
            |          c -> CAST(ascii(c) AS BIGINT))),
            |        (acc, c) -> (acc * 31 + c) % 1000000007), doc_id) AS rn
            |  FROM documents) r
-           |GROUP BY 1 ORDER BY source""".stripMargin))
+           |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    Q("c7_temperature_mixture",
+      "Temperature-flattened domain mixture (alpha = 0.5, the " +
+        "published multilingual-sampling smoothing): each source's " +
+        "retention rate is sqrt(n_source / n_max) — large domains " +
+        "sample at 1.0, small domains are boosted relatively — and a " +
+        "doc survives iff its content hash lands under the rate. Rates " +
+        "are derived from an exact integer count via single correctly- " +
+        "rounded IEEE ops (divide, sqrt, multiply, floor), so both " +
+        "engines compute bit-identical thresholds; the keep decision " +
+        "is the t5-proven polynomial hash, no RNG. At 100 TB: one " +
+        "map-side-combined count over the domain key (domains, not " +
+        "docs), rates broadcast back, then a map-only filter — the " +
+        "doc-level data never shuffles.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("h",
+            expr("pmod(graft_strhash(concat(cast(doc_id as string), " +
+              "':', source, ':temp')), 100000)"))
+        // n_max via a window over the DOMAIN-cardinality counts frame
+        // (single partition of ~tens of rows by construction) — a
+        // crossJoin with counts.agg(max) would re-aggregate the corpus
+        // scan a second time instead.
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"))
+        val rates = counts
+          .withColumn("n_max", max(col("n_total"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("rate_1e5",
+            floor(sqrt(col("n_total").cast("double") /
+              col("n_max").cast("double")) * 100000.0).cast("long"))
+          .select(col("source"), col("n_total"), col("rate_1e5"))
+        docs.join(broadcast(rates), "source")
+          .withColumn("kept", col("h") < col("rate_1e5"))
+          .groupBy(col("source"))
+          .agg(first(col("n_total")).as("n_total"),
+            first(col("rate_1e5")).as("rate_1e5"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            coalesce(sum(when(col("kept"), col("ws_tokens"))), lit(0L))
+              .as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT source,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS ws_tokens,
+          |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |       list_transform(regexp_extract_all(
+          |         CAST(doc_id AS VARCHAR) || ':' || source || ':temp',
+          |         '(?s).'),
+          |         c -> CAST(ascii(c) AS BIGINT))),
+          |       (acc, c) -> (acc * 31 + c) % 1000000007) % 100000) AS h
+          |  FROM documents),
+          |counts AS (SELECT source, COUNT(*) AS n_total FROM toks GROUP BY 1),
+          |rates AS (
+          |  SELECT source, n_total,
+          |    CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE) /
+          |      (SELECT CAST(MAX(n_total) AS DOUBLE) FROM counts)) * 100000)
+          |      AS BIGINT) AS rate_1e5
+          |  FROM counts)
+          |SELECT t.source, r.n_total, r.rate_1e5,
+          |  CAST(COUNT(*) FILTER (t.h < r.rate_1e5) AS BIGINT) AS n_kept,
+          |  CAST(COALESCE(SUM(ws_tokens) FILTER (t.h < r.rate_1e5), 0)
+          |    AS BIGINT) AS tokens_kept
+          |FROM toks t JOIN rates r USING (source)
+          |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
+
+    Q("c8_corpus_shuffle",
+      "Deterministic epoch shuffle + sharding — the training-order " +
+        "permutation every epoch needs: shard = content_hash(doc_id, " +
+        "epoch_seed) mod 8, position within shard by (hash, doc_id) " +
+        "order. Seed-reproducible with no RNG state to ship, and any " +
+        "worker can compute any doc's (shard, neighborhood) locally. " +
+        "Emits per-shard doc/token counts, the hash range, and an " +
+        "order-sensitive witness (sum of doc_id * position) proving " +
+        "both engines assign the SAME permutation, not just the same " +
+        "membership. At 100 TB this is exactly one hash-partition " +
+        "shuffle — the op IS the shuffle — plus a shard-local sort; " +
+        "shards are uniform by construction (hash balance), so no " +
+        "skew handling is needed.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("h",
+            expr("graft_strhash(concat(cast(doc_id as string), ':epoch1'))"))
+          .withColumn("shard", pmod(col("h"), lit(8)).cast("long"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("n_tokens"),
+            min(col("h")).as("min_hash"),
+            max(col("h")).as("max_hash"),
+            sum(col("doc_id") * col("pos")).as("order_witness"))
+          .orderBy("shard")
+      },
+      Some(
+        """WITH hashed AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          |      AS ws_tokens,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(regexp_extract_all(
+          |        CAST(doc_id AS VARCHAR) || ':epoch1', '(?s).'),
+          |        c -> CAST(ascii(c) AS BIGINT))),
+          |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          |  FROM documents),
+          |positioned AS (
+          |  SELECT doc_id, ws_tokens, h, h % 8 AS shard,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+          |      ORDER BY h, doc_id) AS BIGINT) AS pos
+          |  FROM hashed)
+          |SELECT shard, COUNT(*) AS n_docs,
+          |  CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(MIN(h) AS BIGINT) AS min_hash,
+          |  CAST(MAX(h) AS BIGINT) AS max_hash,
+          |  CAST(SUM(doc_id * pos) AS BIGINT) AS order_witness
+          |FROM positioned GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <

@@ -404,10 +404,16 @@ object PipelineQueries {
           .ingest(cat, b1, "corpus", Some(1L))
         val k2 = graft.pipeline.IncrementalNearDup
           .ingest(cat, b2, "corpus", Some(2L))
+        // tag-and-union, not crossJoin-of-scalars: one aggregate over
+        // both frames keeps the plan census free of cartesians
         def stats(batch: Long, in: DataFrame, kept: DataFrame): DataFrame =
-          in.agg(count(lit(1)).as("n_in")).crossJoin(
-            kept.agg(count(lit(1)).as("n_kept"),
-              coalesce(sum(col("doc_id")), lit(0L)).as("kept_docid_sum")))
+          in.select(lit(1L).as("in_flag"), lit(0L).as("kept_flag"),
+              lit(0L).as("kid"))
+            .unionByName(kept.select(lit(0L).as("in_flag"),
+              lit(1L).as("kept_flag"), col("doc_id").as("kid")))
+            .agg(coalesce(sum(col("in_flag")), lit(0L)).as("n_in"),
+              coalesce(sum(col("kept_flag")), lit(0L)).as("n_kept"),
+              coalesce(sum(col("kid")), lit(0L)).as("kept_docid_sum"))
             .select(lit(batch).as("batch"), col("n_in"),
               col("n_kept"), col("kept_docid_sum"))
         stats(1L, b1, k1).unionByName(stats(2L, b2, k2)).orderBy("batch")

@@ -513,6 +513,55 @@ object TextQueries {
           |    CAST(1 + len(list_filter(bs.b,
           |      x -> CAST(n_chars AS DOUBLE) > x)) AS BIGINT) AS decile
           |  FROM documents, bs) banded
-          |GROUP BY 1 ORDER BY decile""".stripMargin))
+          |GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    Q("t12_bpe_pairs",
+      "One BPE merge iteration (the tokenizer-training inner loop, " +
+        "Sennrich et al. 2016): lowercase whitespace words are " +
+        "pre-tokenized to the letters-only vocabulary, then adjacent " +
+        "character pairs are counted WEIGHTED BY WORD FREQUENCY and the " +
+        "top-20 merge candidates emitted in (count, pair) order. The " +
+        "scale trick is the published one: the corpus-sized scan " +
+        "collapses to a vocab-sized word-count first (map-side combine " +
+        "on the word key), and pair extraction runs over DISTINCT words " +
+        "only — at 100 TB the pair stage touches millions of vocab " +
+        "rows, not trillions of corpus tokens. The final ranking window " +
+        "is over the pair table, bounded by the pair alphabet " +
+        "(<= 26^2 rows), not the data.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pair_count").desc, col("pair"))
+        val vocab = t(s, d, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+        vocab
+          .withColumn("i", explode(sequence(lit(1), length(col("word")) - 1)))
+          .select(expr("substring(word, i, 2)").as("pair"), col("wcount"))
+          .groupBy(col("pair")).agg(sum(col("wcount")).as("pair_count"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("pair"), col("pair_count"))
+          .orderBy("rank")
+      },
+      Some(
+        """WITH words AS (
+          |  SELECT word, COUNT(*) AS wcount FROM (
+          |    SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word
+          |    FROM documents) w
+          |  WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+          |  GROUP BY 1),
+          |positions AS (
+          |  SELECT word, wcount,
+          |    UNNEST(generate_series(1, len(word) - 1)) AS i
+          |  FROM words),
+          |pairs AS (
+          |  SELECT substr(word, CAST(i AS INT), 2) AS pair,
+          |    SUM(wcount) AS pair_count
+          |  FROM positions GROUP BY 1)
+          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+          |    AS BIGINT) AS rank,
+          |  pair, CAST(pair_count AS BIGINT) AS pair_count
+          |FROM pairs ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin))
   )
 }
