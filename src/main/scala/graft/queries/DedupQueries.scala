@@ -533,6 +533,92 @@ object DedupQueries {
            |SELECT cluster, COUNT(*) AS n_vecs, CAST(MAX(v) AS BIGINT) AS vec_max
            |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin)),
 
+    Q("d11_semantic_dedup",
+      "SemDeDup (Abbas et al. 2023) — semantic dedup with CLUSTER-" +
+        "scoped pairwise search: every vector is assigned to its " +
+        "nearest codebook centroid (exact index-order fold distance, " +
+        "argmin ties to the lower cid — the a4 assignment), and the " +
+        "quadratic cosine scan runs WITHIN each cluster only; a vector " +
+        "is dropped when a lower-id cluster-mate scores >= 0.35. " +
+        "Complements d5: the same keep-rule under learned-centroid " +
+        "blocking instead of random hyperplanes — the paper's argument " +
+        "is that k-means cells track semantic structure, so near-dups " +
+        "co-locate. Emits per-cluster population, drop count, and the " +
+        "dropped-id sum witness. At 100 TB: k grows with the corpus so " +
+        "cluster size stays bounded (the SemDeDup cost model), " +
+        "centroids broadcast, ONE cid shuffle carries the corpus, and " +
+        "the pair scan is cluster-local — never global all-pairs.",
+      (s, d) => {
+        val k = 8
+        val toD = "transform(embedding, x -> cast(x as double))"
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr(toD).as("v"))
+          .withColumn("norm", sqrt(expr(
+            "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+        val c0 = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, e2) -> acc + e2)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        val asg = e.crossJoin(broadcast(c0)).withColumn("d2", d2)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("v"), col("norm"))
+        val cosine = expr("aggregate(zip_with(xv, yv, (a, b) -> a * b), " +
+          "cast(0 as double), (acc, p) -> acc + p)") /
+          (col("xn") * col("yn"))
+        val drops = asg.select(col("cid"), col("vec_id").as("xid"),
+            col("v").as("xv"), col("norm").as("xn"))
+          .join(asg.select(col("cid"), col("vec_id").as("yid"),
+            col("v").as("yv"), col("norm").as("yn")), Seq("cid"))
+          .filter(col("xid") < col("yid"))
+          .filter(cosine >= 0.35)
+          .select(col("cid"), col("yid")).distinct()
+        asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+          .join(drops.groupBy(col("cid"))
+            .agg(count(lit(1)).as("nd"), sum(col("yid")).as("ds")),
+            Seq("cid"), "left")
+          .select(col("cid"), col("n_vecs"),
+            coalesce(col("nd"), lit(0L)).as("n_dropped"),
+            coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+          .orderBy("cid")
+      },
+      Some {
+        val distSql =
+          "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+            "list_zip(e.v, c0.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(embedding,
+           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |      (acc, x) -> acc + x)) AS norm
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, cid, v, norm FROM (
+           |    SELECT e.vec_id, e.v, e.norm, c0.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $distSql, c0.cid) AS rn
+           |    FROM e, c0) t WHERE rn = 1),
+           |drops AS (
+           |  SELECT DISTINCT y.cid, y.vec_id
+           |  FROM asg x JOIN asg y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])),
+           |      (acc, p) -> acc + p) / (x.norm * y.norm) >= 0.35),
+           |ds AS (SELECT cid, COUNT(*) AS nd, SUM(vec_id) AS dsum
+           |  FROM drops GROUP BY 1)
+           |SELECT s.cid, s.n_vecs,
+           |  CAST(COALESCE(ds.nd, 0) AS BIGINT) AS n_dropped,
+           |  CAST(COALESCE(ds.dsum, 0) AS BIGINT) AS dropped_id_sum
+           |FROM (SELECT cid, COUNT(*) AS n_vecs FROM asg GROUP BY 1) s
+           |LEFT JOIN ds USING (cid) ORDER BY cid""".stripMargin
+      }),
+
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
         "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +

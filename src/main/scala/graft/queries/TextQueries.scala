@@ -562,6 +562,65 @@ object TextQueries {
           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
           |    AS BIGINT) AS rank,
           |  pair, CAST(pair_count AS BIGINT) AS pair_count
-          |FROM pairs ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin))
+          |FROM pairs ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)),
+
+    Q("t13_model_quality",
+      "Model-based quality filter — the fastText/CCNet-shaped linear " +
+        "scorer production pipelines run after the t2 heuristics: each " +
+        "doc's score is the mean over tokens of a per-token weight " +
+        "looked up from a hashed weight table, kept iff that mean " +
+        ">= 0. The WEIGHTS here are a deterministic stand-in (token " +
+        "hash mapped to [-1000, 1000]/1000) standing where a trained " +
+        "model's shipped coefficients would load — the m1-m4 stub " +
+        "convention; the engine-side shape is the real one: per-token " +
+        "hash lookup, index-order left-fold accumulation, threshold. " +
+        "All arithmetic stays in the x1000 INTEGER numerator (mean>=0 " +
+        "iff the integer weight sum >= 0), because a per-doc double " +
+        "mean re-quantized to DECIMAL(38,6) for the cross-doc sum " +
+        "hits 6dp midpoints where Java's Double.toString (HALF_UP on " +
+        "its repr) and DuckDB's shortest-repr cast disagree by 1 ulp " +
+        "— observed at sf0.1. The single /1000.0 after the exact " +
+        "integer agg is IEEE-deterministic on both engines. At 100 TB " +
+        "this is a pure map-only scan (weights live IN the expression " +
+        "/ a broadcast table, no join, no shuffle) plus one lang-key " +
+        "aggregation; exactly how a hashed linear classifier scores a " +
+        "corpus without moving it.",
+      (s, d) => {
+        val wsum = expr(
+          "aggregate(transform(tk, tok -> " +
+            "pmod(graft_strhash(tok), 2001) - 1000L), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)")
+        t(s, d, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .withColumn("wsum", wsum)
+          .withColumn("kept", col("wsum") >= 0L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L))
+              .as("kept_docid_sum"),
+            (coalesce(sum(when(col("kept"), col("wsum"))), lit(0L))
+              .cast("double") / 1000.0).as("kept_weight_sum"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, lang,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split_regex(trim(text), '\s+'),
+          |        tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(regexp_extract_all(tok, '(?s).'),
+          |            ch -> CAST(ascii(ch) AS BIGINT))),
+          |          (a2, c2) -> (a2 * 31 + c2) % 1000000007) % 2001
+          |          - 1000)),
+          |      (acc, x) -> acc + x) AS wsum
+          |  FROM documents)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(COUNT(*) FILTER (wsum >= 0) AS BIGINT) AS n_kept,
+          |  CAST(COALESCE(SUM(doc_id) FILTER (wsum >= 0), 0) AS BIGINT)
+          |    AS kept_docid_sum,
+          |  CAST(COALESCE(SUM(wsum) FILTER (wsum >= 0), 0) AS DOUBLE)
+          |    / 1000.0 AS kept_weight_sum
+          |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }

@@ -5,12 +5,13 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.queries.{CurationQueries, TextQueries}
 
-/** Planted fixtures for the three training-order operators added in
-  * round 9: t12 (BPE pair counts), c7 (temperature-flattened mixture),
-  * c8 (deterministic epoch shuffle). Each expectation is hand-computed
-  * (t12) or derived from a Scala replica of the cross-engine base-31
-  * fold (c7/c8) — so the tests pin the SEMANTICS, independently of the
-  * DuckDB oracle the driver also checks.
+/** Planted fixtures for the round-9 operators: t12 (BPE pair counts),
+  * c7 (temperature-flattened mixture), c8 (deterministic epoch
+  * shuffle), t13 (hashed linear quality scorer), d11 (SemDeDup
+  * cluster-scoped semantic dedup). Each expectation is hand-computed
+  * (t12/d11) or derived from a Scala replica of the cross-engine
+  * base-31 fold (c7/c8/t13) — so the tests pin the SEMANTICS,
+  * independently of the DuckDB oracle the driver also checks.
   */
 class MixtureSpec extends SparkTestBase {
 
@@ -83,5 +84,58 @@ class MixtureSpec extends SparkTestBase {
     }
     assert(got.toSeq === expected)
     assert(got.map(_._2).sum === 40L) // partition of the corpus
+  }
+
+  test("t13 scores docs by the fold-replica integer weight sum") {
+    val rows = Seq(
+      (0L, "en", "s1", "alpha beta gamma"),
+      (1L, "en", "s1", "delta epsilon"),
+      (2L, "de", "s2", "zeta eta theta iota"))
+    val dir = writeDocs(rows)
+    val q = TextQueries.all.find(_.name == "t13_model_quality").get
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+
+    // replica: x1000 integer numerator of the mean token weight
+    // (mean >= 0 iff wsum >= 0); witness = sum of kept wsums / 1000
+    def wsum(text: String): Long =
+      text.trim.split("\\s+").foldLeft(0L)((acc, tok) =>
+        acc + (poly(tok) % 2001) - 1000L)
+    val expected = rows.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lang, docs) =>
+        val kept = docs.filter(dc => wsum(dc._4) >= 0L)
+        (lang, docs.size.toLong, kept.size.toLong, kept.map(_._1).sum,
+          kept.map(dc => wsum(dc._4)).sum.toDouble / 1000.0)
+    }
+    assert(got.toSeq === expected)
+  }
+
+  test("d11 drops within-cluster near-dups and keeps the angularly-far member") {
+    // 8 basis centroids (vec 0-7); vec 8 duplicates e0 (cluster 0,
+    // cos 1 -> dropped), vec 9 = 2*e1 (cluster 1, cos 1 -> dropped),
+    // vec 10 is L2-closest to c0 but angularly far (cos 0.125 < 0.35
+    // vs both cluster-0 mates) -> kept.
+    val dim = 8
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0 until dim).map(i =>
+        (i.toLong, Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f))) ++
+      Seq(
+        (8L, Seq.tabulate(dim)(j => if (j == 0) 1.0f else 0.0f)),
+        (9L, Seq.tabulate(dim)(j => if (j == 1) 2.0f else 0.0f)),
+        (10L, Seq.tabulate(dim)(j => if (j == 0) 0.1f else -0.3f)))
+    val dir = Files.createTempDirectory("graft_semdedup").toString
+    spark.createDataFrame(vecs.map { case (id, v) => (id, v, 0) })
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val q = graft.queries.DedupQueries.all
+      .find(_.name == "d11_semantic_dedup").get
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Seq(
+      (0L, 3L, 1L, 8L), (1L, 2L, 1L, 9L)) ++
+      (2 until dim).map(i => (i.toLong, 1L, 0L, 0L))
+    assert(got.toSeq === expected)
   }
 }
