@@ -619,6 +619,80 @@ object DedupQueries {
            |LEFT JOIN ds USING (cid) ORDER BY cid""".stripMargin
       }),
 
+    Q("d12_exact_substring",
+      "Exact substring dedup (Lee et al. 2022, ExactSubstr) — finds " +
+        "every position whose 24-char window recurs ANYWHERE in the " +
+        "corpus (within or across docs) and reports, per affected doc, " +
+        "the merged-interval char mass an ExactSubstr pass would " +
+        "delete. The paper's suffix array is a single-machine " +
+        "structure; the shuffle-native equivalent is digest grouping: " +
+        "every window's rolling hash (compiled graft_kgram_hashes, one " +
+        "O(len) pass per doc) is counted corpus-wide, positions whose " +
+        "digest recurs re-derive their literal gram (a join back to " +
+        "the docs of candidate positions ONLY), and the final dup set " +
+        "is grouped by the literal gram — so hash collisions can only " +
+        "add candidates, never false dups. Overlapping dup windows " +
+        "merge via a per-doc LEAD interval union (contribution = " +
+        "min(next_pos - pos, L)), all in exact integer arithmetic. " +
+        "At 100 TB: the position table is O(corpus chars) rows but " +
+        "carries only (doc_id, pos, 8-byte digest) — strings never " +
+        "ride the first two shuffles; the candidate re-join touches " +
+        "only docs containing a recurring digest (O(duplicated " +
+        "content) at real dup rates); the per-doc window partitions " +
+        "on doc_id. No suffix array, no all-pairs, no driver state.",
+      (s, d) => {
+        val L = 24
+        val docs = t(s, d, "documents")
+          .filter(length(col("text")) >= L)
+          .select(col("doc_id"), col("text"))
+        val pos = docs.select(col("doc_id"),
+          posexplode(expr(s"graft_kgram_hashes(text, $L)"))
+            .as(Seq("pos", "h")))
+        val nWin = pos.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        val hot = pos.groupBy("h").agg(count(lit(1)).as("nh"))
+          .filter(col("nh") >= 2).select("h")
+        val cand = pos.join(hot, Seq("h")).join(docs, Seq("doc_id"))
+          .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+          .select(col("doc_id"), col("pos"), col("gram"))
+        val dupGram = cand.groupBy("gram").agg(count(lit(1)).as("ng"))
+          .filter(col("ng") >= 2).select("gram")
+        val dpos = cand.join(dupGram, Seq("gram"))
+          .select(col("doc_id"), col("pos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        dpos.withColumn("nxt", lead(col("pos"), 1).over(w))
+          .withColumn("cov",
+            least(coalesce(col("nxt") - col("pos"), lit(L)), lit(L)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_windows"),
+            sum(col("cov")).cast("long").as("dup_chars"))
+          .join(nWin, Seq("doc_id"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+            col("dup_chars"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents WHERE length(text) >= 24),
+          |pos AS (
+          |  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+          |    substr(text, CAST(u.i AS INTEGER), 24) AS gram
+          |  FROM docs,
+          |    LATERAL UNNEST(range(1, length(text) - 24 + 2)) u(i)),
+          |nwin AS (SELECT doc_id, COUNT(*) AS n_windows FROM pos GROUP BY 1),
+          |dupg AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+          |dpos AS (SELECT doc_id, pos FROM pos JOIN dupg USING (gram)),
+          |iv AS (
+          |  SELECT doc_id, pos,
+          |    LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          |  FROM dpos)
+          |SELECT iv.doc_id, nwin.n_windows,
+          |  COUNT(*) AS n_dup_windows,
+          |  CAST(SUM(LEAST(COALESCE(nxt - pos, 24), 24)) AS BIGINT)
+          |    AS dup_chars
+          |FROM iv JOIN nwin ON iv.doc_id = nwin.doc_id
+          |GROUP BY 1, 2 ORDER BY iv.doc_id""".stripMargin)),
+
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
         "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +

@@ -192,6 +192,38 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("test", 1L, 1L, 1L)))
   }
 
+  test("d12 reports merged dup intervals: cross-doc passage, in-doc repeat, " +
+      "clean and short docs absent") {
+    import spark.implicits._
+    // P is a 30-char passage shared by docs 1 and 2 at offset 5; both
+    // docs flank it with spaces, so the true shared substring is
+    // " P " = 32 chars: exactly 32-24+1 = 9 windows (pos 4..12) recur,
+    // and their interval union is 8x1 + 24 = 32 chars.
+    // Doc 3 repeats a 24-char string X at pos 0 and 29 (gap > 24, so
+    // the union is 24 + 24 = 48). Doc 4 is unique (absent from the
+    // report); doc 5 is shorter than L (filtered before windowing).
+    val P = "THE-QUICK-BROWN-FOX-JUMPS-OVER"
+    val X = "0123456789ABCDEFGHIJKLMN"
+    val docs = Seq(
+      (1L, s"aaaa $P bbbb cccc dddd"),
+      (2L, s"zzzz $P yyyy xxxx wwww"),
+      (3L, s"$X-----$X"),
+      (4L, "completely unique text with no repeats at all ok!!"),
+      (5L, "short text"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d12").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.all.find(_.name == "d12_exact_substring").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 27L, 9L, 32L),
+      (2L, 27L, 9L, 32L),
+      (3L, 30L, 2L, 48L)))
+  }
+
   test("d10 keeps exactly one canonical doc per cluster, all loners, nothing else") {
     val corpus = run("d10_dedup_corpus").collect()
       .map(r => (r.getLong(0),
