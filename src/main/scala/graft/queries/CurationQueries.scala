@@ -361,6 +361,67 @@ object CurationQueries {
           |FROM toks t JOIN rates r USING (source)
           |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin)),
 
+    Q("c9_token_budget",
+      "Data-recipe planner (the Gopher/Chinchilla-style mixture " +
+        "budget sheet): given a target training budget of 10M tokens, " +
+        "allocate per-source token targets proportional to " +
+        "sqrt(n_tokens) — the temperature-flattened weights c7 " +
+        "samples by — and report each source's weight, target, and " +
+        "implied epoch count (target / available; > 1 means the " +
+        "source repeats). The normalizer Z = sum of sqrt(n_s) is a " +
+        "cross-source DOUBLE sum, which a plain agg would make " +
+        "order-nondeterministic: instead both engines fold the " +
+        "source-sorted value list in index order (the a4 sorted-fold " +
+        "pattern), so Z — and every weight derived from it — is " +
+        "bit-identical. All other arithmetic is exact-integer or " +
+        "single correctly-rounded IEEE ops. At 100 TB: one map-side- " +
+        "combined token count over the domain key; the sorted fold " +
+        "runs over the DOMAIN-cardinality frame (tens of rows by " +
+        "construction); doc rows never shuffle.",
+      (s, d) => {
+        val budget = 10000000L
+        val counts = t(s, d, "documents")
+          .withColumn("ws_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("n_tokens"))
+        val z = counts.agg(expr(
+          "aggregate(array_sort(collect_list(struct(source as s, " +
+            "sqrt(cast(n_tokens as double)) as v))), " +
+            "cast(0 as double), (acc, x) -> acc + x.v)").as("z"))
+        counts.crossJoin(broadcast(z))
+          .withColumn("weight",
+            sqrt(col("n_tokens").cast("double")) / col("z"))
+          .withColumn("target_tokens",
+            floor(lit(budget.toDouble) * col("weight")).cast("long"))
+          .withColumn("epochs",
+            col("target_tokens").cast("double") /
+              col("n_tokens").cast("double"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("weight"), col("target_tokens"), col("epochs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH counts AS (
+          |  SELECT source, COUNT(*) AS n_docs,
+          |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+          |      AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |z AS (
+          |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+          |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+          |    (acc, x) -> acc + x) AS z
+          |  FROM counts)
+          |SELECT source, n_docs, n_tokens,
+          |  sqrt(CAST(n_tokens AS DOUBLE)) / z.z AS weight,
+          |  CAST(floor(10000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z.z))
+          |    AS BIGINT) AS target_tokens,
+          |  CAST(CAST(floor(10000000.0 * (sqrt(CAST(n_tokens AS DOUBLE))
+          |      / z.z)) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          |    AS epochs
+          |FROM counts, z ORDER BY source""".stripMargin)),
+
     Q("c8_corpus_shuffle",
       "Deterministic epoch shuffle + sharding — the training-order " +
         "permutation every epoch needs: shard = content_hash(doc_id, " +

@@ -619,6 +619,59 @@ object DedupQueries {
            |LEFT JOIN ds USING (cid) ORDER BY cid""".stripMargin
       }),
 
+    Q("d13_source_overlap",
+      "Inter-source contamination matrix — the provider-level view of " +
+        "d6: for every ordered pair of sources, how many cross-source " +
+        "doc pairs share >= 3 surviving winnowing fingerprints, how " +
+        "many distinct docs on each side are implicated, and the total " +
+        "shared-fingerprint mass. This is the report a data-acquisition " +
+        "team reads before paying twice for the same crawl: which " +
+        "feeds overlap, and how hard. Reuses the per-corpus memoized " +
+        "pruned fingerprint index (built once, shared with d6/d8), so " +
+        "the marginal cost is one fingerprint-keyed shuffle; the " +
+        "source tag rides the fingerprint rows (a broadcast-sized " +
+        "doc->source join at any scale where sources are catalogued). " +
+        "Never all-pairs: pairs exist only where a fingerprint " +
+        "collides, and corpus-wide hot fingerprints are already " +
+        "pruned by the shared index.",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val tagged = corpusWinnowPruned(s, d).join(docs, Seq("doc_id"))
+        val a = tagged.select(col("source").as("source_a"),
+          col("doc_id").as("doc_a"), col("fp"))
+        val b = tagged.select(col("source").as("source_b"),
+          col("doc_id").as("doc_b"), col("fp"))
+        val docPairs = a.join(b, Seq("fp"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"),
+            col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+        docPairs.groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_doc_pairs"),
+            countDistinct(col("doc_a")).as("n_docs_a"),
+            countDistinct(col("doc_b")).as("n_docs_b"),
+            sum(col("n_shared")).as("shared_fp_mass"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        s"""WITH $WinnowPrunedSql,
+           |tagged AS (
+           |  SELECT p.doc_id, p.fp, s.source
+           |  FROM pruned p JOIN (SELECT doc_id, source FROM documents) s
+           |    USING (doc_id)),
+           |dp AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+           |  FROM tagged a JOIN tagged b
+           |    ON a.fp = b.fp AND a.source < b.source
+           |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3)
+           |SELECT source_a, source_b, COUNT(*) AS n_doc_pairs,
+           |  COUNT(DISTINCT doc_a) AS n_docs_a,
+           |  COUNT(DISTINCT doc_b) AS n_docs_b,
+           |  CAST(SUM(n_shared) AS BIGINT) AS shared_fp_mass
+           |FROM dp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
     Q("d12_exact_substring",
       "Exact substring dedup (Lee et al. 2022, ExactSubstr) — finds " +
         "every position whose 24-char window recurs ANYWHERE in the " +

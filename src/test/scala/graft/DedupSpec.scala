@@ -224,6 +224,33 @@ class DedupSpec extends SparkTestBase {
       (3L, 30L, 2L, 48L)))
   }
 
+  test("d13 reports the cross-source pair, ignores same-source overlap") {
+    import spark.implicits._
+    val passage = "the shared contaminating passage that appears in " +
+      "both feeds word for word"
+    val docs = Seq(
+      (1L, s"feed one preamble $passage and feed one trailer", "crawlA"),
+      (2L, s"feed one other document $passage same feed copy", "crawlA"),
+      (3L, s"feed two intro $passage with a different ending", "crawlB"),
+      (4L, "a document about something else entirely unrelated", "crawlB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.all.find(_.name == "d13_source_overlap").get
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // docs 1 and 2 both pair with doc 3 across (crawlA, crawlB); the
+    // 1-2 overlap is same-source and must NOT appear as a pair row.
+    assert(out.length === 1)
+    val (sa, sb, nPairs, nDocsA, nDocsB, mass) = out.head
+    assert((sa, sb, nPairs, nDocsA, nDocsB) ===
+      ("crawlA", "crawlB", 2L, 2L, 1L))
+    assert(mass >= 6L) // >= 3 shared fps per qualifying pair
+  }
+
   test("d10 keeps exactly one canonical doc per cluster, all loners, nothing else") {
     val corpus = run("d10_dedup_corpus").collect()
       .map(r => (r.getLong(0),

@@ -111,6 +111,33 @@ class MixtureSpec extends SparkTestBase {
     assert(got.toSeq === expected)
   }
 
+  test("c9 allocates the sqrt-weighted budget with a sorted-fold normalizer") {
+    val rows = Seq(
+      (0L, "en", "big", (1 to 400).map(i => s"w$i").mkString(" ")),
+      (1L, "en", "mid", (1 to 100).map(i => s"w$i").mkString(" ")),
+      (2L, "en", "tiny", "just four little tokens"))
+    val dir = writeDocs(rows)
+    val q = CurationQueries.all.find(_.name == "c9_token_budget").get
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+
+    // replica: same IEEE op sequence — sqrt per source, Z folded in
+    // source-name order, weight = sqrt/Z, target = floor(1e7 * w)
+    val toks = Map("big" -> 400L, "mid" -> 100L, "tiny" -> 4L)
+    val z = toks.keys.toSeq.sorted
+      .foldLeft(0.0)((acc, s) => acc + math.sqrt(toks(s).toDouble))
+    val expected = toks.toSeq.sortBy(_._1).map { case (src, n) =>
+      val w = math.sqrt(n.toDouble) / z
+      val target = math.floor(1.0e7 * w).toLong
+      (src, 1L, n, w, target, target.toDouble / n.toDouble)
+    }
+    assert(got.toSeq === expected)
+    // sanity: weights sum to ~1 and the big source dominates
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    assert(got.maxBy(_._4)._1 === "big")
+  }
+
   test("d11 drops within-cluster near-dups and keeps the angularly-far member") {
     // 8 basis centroids (vec 0-7); vec 8 duplicates e0 (cluster 0,
     // cos 1 -> dropped), vec 9 = 2*e1 (cluster 1, cos 1 -> dropped),
