@@ -564,6 +564,71 @@ object TextQueries {
           |  pair, CAST(pair_count AS BIGINT) AS pair_count
           |FROM pairs ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)),
 
+    Q("t14_perplexity_buckets",
+      "CCNet-style perplexity bucketing — the corpus-partitioning step " +
+        "between quality scoring and mixture sampling: each doc's " +
+        "stand-in LM score is the mean over BIGRAMS of a hashed " +
+        "bigram weight (where a trained KenLM's log-probs would load " +
+        "— the t13/m1-m4 stub convention), and docs land in " +
+        "head/middle/tail by fixed thresholds at ±0.3, CCNet's " +
+        "per-language cutoff shape. The bucket test is exact integer " +
+        "cross-multiplication (S < ±300·n_bigrams — never a double " +
+        "mean), so both engines agree at every threshold-grazing doc; " +
+        "the per-bucket weight witness divides once by 1000 AFTER the " +
+        "exact integer agg (the t13 rule). At 100 TB: scoring is a " +
+        "map-only scan, the agg keys on (lang, bucket) — tiny — and " +
+        "doc rows never shuffle.",
+      (s, d) => {
+        val S = expr(
+          "aggregate(transform(sequence(0, size(tk) - 2), i -> " +
+            "pmod(graft_strhash(concat(tk[i], ':', tk[i + 1])), 2001) " +
+            "- 1000L), cast(0 as bigint), (acc, x) -> acc + x)")
+        t(s, d, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .filter(size(col("tk")) >= 2)
+          .withColumn("nb", (size(col("tk")) - 1).cast("long"))
+          .withColumn("s_num", S)
+          .withColumn("bucket",
+            when(col("s_num") < lit(-300L) * col("nb"), "head")
+              .when(col("s_num") < lit(300L) * col("nb"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nb") + 1L).as("n_tokens"),
+            sum(col("doc_id")).as("docid_sum"),
+            (sum(col("s_num")).cast("double") / 1000.0).as("weight_sum"))
+          .orderBy("lang", "bucket")
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, lang,
+          |    len(string_split_regex(trim(text), '\s+')) - 1 AS nb,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1,
+          |          len(string_split_regex(trim(text), '\s+'))),
+          |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(regexp_extract_all(
+          |            string_split_regex(trim(text), '\s+')[i] || ':' ||
+          |            string_split_regex(trim(text), '\s+')[i + 1],
+          |            '(?s).'),
+          |            ch -> CAST(ascii(ch) AS BIGINT))),
+          |          (a2, c2) -> (a2 * 31 + c2) % 1000000007) % 2001
+          |          - 1000)),
+          |      (acc, x) -> acc + x) AS s_num
+          |  FROM documents
+          |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+          |bucketed AS (
+          |  SELECT doc_id, lang, nb, s_num,
+          |    CASE WHEN s_num < -300 * nb THEN 'head'
+          |         WHEN s_num < 300 * nb THEN 'middle'
+          |         ELSE 'tail' END AS bucket
+          |  FROM scored)
+          |SELECT lang, bucket, COUNT(*) AS n_docs,
+          |  CAST(SUM(nb + 1) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+          |  CAST(SUM(s_num) AS DOUBLE) / 1000.0 AS weight_sum
+          |FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
     Q("t13_model_quality",
       "Model-based quality filter — the fastText/CCNet-shaped linear " +
         "scorer production pipelines run after the t2 heuristics: each " +

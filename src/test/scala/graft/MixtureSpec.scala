@@ -111,6 +111,41 @@ class MixtureSpec extends SparkTestBase {
     assert(got.toSeq === expected)
   }
 
+  test("t14 buckets docs by the integer bigram-weight threshold test") {
+    val rows = Seq(
+      (0L, "en", "s1", "alpha beta gamma delta"),
+      (1L, "en", "s1", "epsilon zeta"),
+      (2L, "de", "s2", "eta theta iota kappa lambda"),
+      (3L, "de", "s2", "single"))  // < 2 tokens: excluded
+    val dir = writeDocs(rows)
+    val q = TextQueries.all.find(_.name == "t14_perplexity_buckets").get
+    val got = q.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+
+    // replica: per-doc integer bigram-weight sum + cross-multiplied
+    // threshold test at +-300 per bigram
+    def sNum(text: String): Long = {
+      val tk = text.trim.split("\\s+")
+      (0 until tk.length - 1).foldLeft(0L)((acc, i) =>
+        acc + (poly(tk(i) + ":" + tk(i + 1)) % 2001) - 1000L)
+    }
+    def bucket(s: Long, nb: Long): String =
+      if (s < -300L * nb) "head" else if (s < 300L * nb) "middle" else "tail"
+    val expected = rows.filter(_._4.trim.split("\\s+").length >= 2)
+      .map { case (id, lang, _, text) =>
+        val nb = text.trim.split("\\s+").length - 1L
+        (lang, bucket(sNum(text), nb), id, nb + 1L, sNum(text))
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, b), docs) =>
+        (lang, b, docs.size.toLong, docs.map(_._4).sum, docs.map(_._3).sum,
+          docs.map(_._5).sum.toDouble / 1000.0)
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+  }
+
   test("c9 allocates the sqrt-weighted budget with a sorted-fold normalizer") {
     val rows = Seq(
       (0L, "en", "big", (1 to 400).map(i => s"w$i").mkString(" ")),
