@@ -100,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KgramHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_strhash"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_strhash"),
       (children: Seq[Expression]) => children match {

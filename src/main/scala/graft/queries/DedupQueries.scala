@@ -746,6 +746,88 @@ object DedupQueries {
           |FROM iv JOIN nwin ON iv.doc_id = nwin.doc_id
           |GROUP BY 1, 2 ORDER BY iv.doc_id""".stripMargin)),
 
+    Q("d14_eval_ngram_overlap",
+      "GPT-3-style eval-set decontamination (Brown et al. 2020, " +
+        "Appendix C) — the token-level EXACT-match complement to d8's " +
+        "winnowing (character-fingerprint) decontamination: an eval " +
+        "doc is dirty iff it shares at least one whitespace-token " +
+        "13-gram verbatim with any training doc. Splits are t5's " +
+        "deterministic hash split. The engine never joins on gram " +
+        "strings corpus-wide: each doc's 13-grams are materialized " +
+        "ONCE (one explode pass feeds all four consumers), the first " +
+        "shuffles carry only 8-byte graft_strhash digests (distinct " +
+        "train-side x distinct eval-side digest join -> the tiny " +
+        "colliding-digest set), and literal grams are re-read and " +
+        "compared only for positions whose digest collides — so hash " +
+        "collisions can only add candidates, never false dups (the " +
+        "d12 confirmation discipline). Per eval split: doc census, " +
+        "dirty docs, distinct leaked grams. At 100 TB the eval side " +
+        "is tiny, so its digest set broadcasts into the train scan " +
+        "and the confirm join touches O(leaked content) rows only.",
+      (s, d) => {
+        val N = 13
+        val splitH = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+        val tagged = t(s, d, "documents").select(col("doc_id"),
+          when(splitH < 80, "train").when(splitH < 90, "val")
+            .otherwise("test").as("split"),
+          split(trim(col("text")), "\\s+").as("w"))
+        val grams = Scratch.materialize(s, "d14_grams", tagged
+          .filter(size(col("w")) >= N)
+          .select(col("doc_id"), col("split"),
+            explode(expr(s"transform(sequence(0, size(w) - $N), " +
+              s"i -> array_join(slice(w, i + 1, $N), ' '))")).as("gram"))
+          .withColumn("h", expr("graft_strhash(gram)")))
+        val candH = grams.filter(col("split") === "train")
+          .select("h").distinct()
+          .join(grams.filter(col("split") =!= "train")
+            .select("h").distinct(), Seq("h"))
+        val trG = grams.filter(col("split") === "train")
+          .join(candH, Seq("h")).select(col("h"), col("gram")).distinct()
+        val hits = grams.filter(col("split") =!= "train")
+          .join(candH, Seq("h"))
+          .join(trG, Seq("h", "gram"))
+          .select(col("doc_id"), col("split"), col("gram")).distinct()
+        val census = tagged.filter(col("split") =!= "train")
+          .groupBy(col("split")).agg(count(lit(1)).as("n_eval_docs"))
+        val dirty = hits.groupBy(col("split"))
+          .agg(countDistinct(col("doc_id")).as("dd"),
+            countDistinct(col("gram")).as("dg"))
+        census.join(dirty, Seq("split"), "left")
+          .select(col("split"), col("n_eval_docs"),
+            coalesce(col("dd"), lit(0L)).as("n_dirty_docs"),
+            coalesce(col("dg"), lit(0L)).as("n_dirty_grams"))
+          .orderBy("split")
+      },
+      Some {
+        val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
+          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+        s"""WITH sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $splitHash % 100 < 80 THEN 'train'
+           |         WHEN $splitHash % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |toks AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+           |grams AS (
+           |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
+           |  FROM toks t,
+           |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
+           |tr AS (SELECT DISTINCT gram
+           |  FROM grams JOIN sp USING (doc_id) WHERE split = 'train'),
+           |hits AS (
+           |  SELECT DISTINCT g.doc_id, s.split, g.gram
+           |  FROM grams g JOIN sp s USING (doc_id) JOIN tr USING (gram)
+           |  WHERE s.split != 'train')
+           |SELECT s.split, COUNT(DISTINCT s.doc_id) AS n_eval_docs,
+           |  COUNT(DISTINCT h.doc_id) AS n_dirty_docs,
+           |  COUNT(DISTINCT h.gram) AS n_dirty_grams
+           |FROM sp s LEFT JOIN hits h
+           |  ON s.doc_id = h.doc_id AND s.split = h.split
+           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin
+      }),
+
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
         "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +

@@ -503,6 +503,98 @@ object SimilarityQueries {
           |      ORDER BY cosine_q DESC, vec_id) AS rank
           |  FROM scored)
           |SELECT query_id, rank, vec_id, cosine_q FROM ranked
-          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a7_ann_recall",
+      "ANN recall evaluation as a first-class, driver-visible " +
+        "operator — the eval harness every approximate index needs " +
+        "before it replaces the exact path in production: per query, " +
+        "exact brute-force cosine top-10 (a1 semantics) and " +
+        "LSH-bucket top-10 (a2's blocking at k=10) computed in one " +
+        "frame, intersected, and reported as hits/recall. Both " +
+        "rankings are fully deterministic (fold dot products, " +
+        "cosine-desc/vec_id tie-break), so unlike typical recall " +
+        "harnesses this one carries an exact DuckDB oracle — the " +
+        "recall NUMBER itself is cross-engine-verified, not just " +
+        "spot-checked (AnnSpec's fixture bound and SCALE.md's " +
+        "bench-scale table remain the trend views). Scale shape: " +
+        "the query set broadcasts into both scans (a1/a2's shape), " +
+        "the intersection joins two k-row-per-query frames on " +
+        "(query_id, vec_id) — O(queries x k), trivially tiny.",
+      (s, d) => {
+        val e = withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket").as("bucket_q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val exact = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        val lsh = e.join(broadcast(q),
+            col("bucket") === col("bucket_q") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        val hits = exact.join(lsh, Seq("query_id", "vec_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+          .join(lsh.groupBy(col("query_id"))
+            .agg(count(lit(1)).as("n_retrieved")), Seq("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"), col("n_retrieved"),
+            coalesce(col("h"), lit(0L)).as("n_hit"),
+            (coalesce(col("h"), lit(0L)).cast("double") /
+              col("n_exact").cast("double")).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket AS bucket_q FROM e WHERE vec_id < 5),
+           |exact AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.eq", "e.embedding")} /
+           |          (q.norm_q * e.norm) DESC, e.vec_id) AS rank
+           |    FROM e CROSS JOIN q WHERE e.vec_id != q.query_id) t
+           |  WHERE rank <= 10),
+           |lsh AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.eq", "e.embedding")} /
+           |          (q.norm_q * e.norm) DESC, e.vec_id) AS rank
+           |    FROM e JOIN q ON e.bucket = q.bucket_q
+           |      AND e.vec_id != q.query_id) t
+           |  WHERE rank <= 10),
+           |hits AS (
+           |  SELECT x.query_id, COUNT(*) AS h
+           |  FROM exact x JOIN lsh l
+           |    ON x.query_id = l.query_id AND x.vec_id = l.vec_id
+           |  GROUP BY 1)
+           |SELECT x.query_id,
+           |  COUNT(*) AS n_exact,
+           |  ANY_VALUE(r.n_retrieved) AS n_retrieved,
+           |  COALESCE(ANY_VALUE(hits.h), 0) AS n_hit,
+           |  CAST(COALESCE(ANY_VALUE(hits.h), 0) AS DOUBLE) /
+           |    CAST(COUNT(*) AS DOUBLE) AS recall
+           |FROM exact x
+           |JOIN (SELECT query_id, COUNT(*) AS n_retrieved
+           |      FROM lsh GROUP BY 1) r ON x.query_id = r.query_id
+           |LEFT JOIN hits ON x.query_id = hits.query_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin))
   )
 }

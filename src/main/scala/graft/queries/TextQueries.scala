@@ -686,6 +686,52 @@ object TextQueries {
           |    AS kept_docid_sum,
           |  CAST(COALESCE(SUM(wsum) FILTER (wsum >= 0), 0) AS DOUBLE)
           |    / 1000.0 AS kept_weight_sum
-          |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin))
+          |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    Q("t15_unicode_normalize",
+      "Unicode NFC canonicalization report — the cleanup step a crawl " +
+        "pipeline runs BEFORE any content digest: composed (U+00E9) " +
+        "and decomposed (e + U+0301) spellings of the same text hash " +
+        "to different shingles/grams unless normalized first, so " +
+        "every dedup operator upstream assumes this ran. " +
+        "`graft_nfc` is a native codegen'd Expression (Spark ships no " +
+        "normalization builtin) with a zero-allocation ASCII fast " +
+        "path; its oracle twin is DuckDB's utf8proc-backed " +
+        "nfc_normalize — two independent NFC implementations, and the " +
+        "Unicode stability policy guarantees they agree. Because the " +
+        "synthetic corpus is pure ASCII (where NFC is the identity), " +
+        "the query ALSO normalizes each doc with a decomposed " +
+        "e+combining-acute appended, so the oracle gate proves actual " +
+        "composition byte-for-byte on every row: one code point must " +
+        "vanish per doc and the summed post-NFC content hash must " +
+        "match across engines. At 100 TB: pure map-side scan, one " +
+        "tiny lang-key agg, doc rows never shuffle.",
+      (s, d) => t(s, d, "documents")
+        .withColumn("aug", concat(col("text"), lit("e\u0301")))
+        .withColumn("norm", expr("graft_nfc(aug)"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(expr("graft_nfc(text)") =!= col("text"), 1))
+            .as("n_raw_unnormalized"),
+          sum((length(col("aug")) - length(col("norm"))).cast("long"))
+            .as("chars_composed"),
+          sum(expr("graft_strhash(norm)")).as("norm_hash_sum"))
+        .orderBy("lang"),
+      Some(
+        """WITH n AS (
+          |  SELECT lang, text,
+          |    nfc_normalize(text || 'e' || chr(769)) AS norm,
+          |    length(text || 'e' || chr(769)) AS aug_len
+          |  FROM documents)
+          |SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(COUNT(*) FILTER (nfc_normalize(text) != text) AS BIGINT)
+          |    AS n_raw_unnormalized,
+          |  CAST(SUM(aug_len - length(norm)) AS BIGINT) AS chars_composed,
+          |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(regexp_extract_all(norm, '(?s).'),
+          |      c -> CAST(ascii(c) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS BIGINT)
+          |    AS norm_hash_sum
+          |FROM n GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }

@@ -117,6 +117,33 @@ class AnnSpec extends SparkTestBase {
     assert(measured("a2b_ann_multiprobe") >= measured("a2_ann_lsh_bucketed"))
   }
 
+  test("a7 recall report is internally consistent and bounded by a2's hits") {
+    // a7's exact side must be a1's top-10 exactly; every a2 neighbor
+    // (top-5 through the same bucket blocking) that lands in a1's
+    // top-10 is necessarily in a7's intersection, so per query:
+    // n_hit >= |a2-top5 ∩ a1-top10|, and the recall arithmetic must
+    // reproduce n_hit / n_exact.
+    val exact10 = run("a1_ann_bruteforce").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val a2hits = run("a2_ann_lsh_bucketed").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val report = run("a7_ann_recall").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    assert(report.nonEmpty && report.map(_._1).toSet === exact10.keySet)
+    report.foreach { case (qid, (nExact, nRetr, nHit, recall)) =>
+      assert(nExact === 10L && exact10(qid).size === 10)
+      assert(nRetr <= 10L && nHit <= nRetr)
+      assert(recall === nHit.toDouble / nExact)
+      val floor = a2hits.getOrElse(qid, Set.empty)
+        .intersect(exact10(qid)).size
+      assert(nHit >= floor,
+        s"query $qid: a7 n_hit=$nHit below a2-derived floor $floor")
+    }
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val left = Seq((1, "a", 5), (2, "a", 10), (3, "b", 7), (4, "a", 2))

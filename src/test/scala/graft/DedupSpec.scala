@@ -349,4 +349,35 @@ class DedupSpec extends SparkTestBase {
     assert(exactPairs.subsetOf(h0))
     assert(h0.subsetOf(near))
   }
+
+  test("d14 flags only eval docs sharing a verbatim 13-gram with training") {
+    import spark.implicits._
+    // Split assignments are pure functions of the id (t5's hash split):
+    // 1, 2 -> train; 20, 21 -> test; 80, 81 -> val.
+    // The 13-token passage is planted in train doc 1, test doc 20, and
+    // val doc 81 with DIFFERENT flanking tokens, so exactly ONE 13-gram
+    // (the passage itself) matches verbatim per dirty doc. Test doc 21
+    // is long but unique; val doc 80 contains passage words but is
+    // shorter than 13 tokens, so it has no 13-gram at all.
+    val passage = (1 to 13).map(i => s"p$i").mkString(" ")
+    val filler = (1 to 6).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha one $passage two three four"),
+      (2L, s"unrelated training text $filler $filler $filler"),
+      (20L, s"beta five $passage six seven eight"),
+      (21L, "clean eval doc " + (1 to 14).map(i => s"g$i").mkString(" ")),
+      (80L, s"p1 p2 p3 p4 p5 short"),
+      (81L, s"gamma ten $passage eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.all.find(_.name == "d14_eval_ngram_overlap").get
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("test", 2L, 1L, 1L),
+      ("val", 2L, 1L, 1L)))
+  }
 }

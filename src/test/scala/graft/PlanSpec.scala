@@ -121,6 +121,14 @@ class PlanSpec extends SparkTestBase {
       l.contains("graft_strhash") && l.trim.startsWith("*")), p.take(1200))
   }
 
+  test("graft_nfc runs inside whole-stage codegen over the scan") {
+    val q = graft.engine.Graft.table(spark, sfDir, "documents")
+      .selectExpr("graft_nfc(text) AS s")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft_nfc") && l.trim.startsWith("*")), p.take(1200))
+  }
+
   test("e7 salted aggregate is a real two-stage plan over the salt") {
     val p = formatted("e7_salted_agg")
     // stage 1 groups on (event_type, salt), stage 2 on event_type alone;
