@@ -822,7 +822,100 @@ object CoreQueries {
           |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
           |        THEN 0.25 ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE)
           |    AS total_quality
-          |FROM documents""".stripMargin))
+          |FROM documents""".stripMargin)),
+
+    Q("x10_corpus_funnel",
+      "Curation funnel datasheet — the stage-by-stage attrition table " +
+        "every pretraining-data paper publishes (C4, RefinedWeb): " +
+        "raw corpus, then NFC-normalized exact dedup (md5 of " +
+        "graft_nfc'd text, keep the minimum doc_id — composed vs " +
+        "decomposed spellings of the same text collapse BEFORE " +
+        "hashing, which is exactly what t15's normalization exists " +
+        "for), then the t2 quality-score cut at 0.5, then the 40-" +
+        "token length floor. Cuts are cumulative, so each row is the " +
+        "corpus a run trained on if it stopped filtering there; docs " +
+        "and token/char mass reported per stage. One corpus scan " +
+        "computes every per-doc flag, one hash shuffle ranks dedup " +
+        "canonicals, one global conditional aggregate feeds a 4-row " +
+        "stack — at 100 TB the only data-sized exchange is the dedup " +
+        "hash partition, which exact dedup needs anyway.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nh")).orderBy(col("doc_id"))
+        Functions.qualityScored(t(s, d, "documents"))
+          .withColumn("nh", md5(expr("graft_nfc(text)")))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("k1", col("rn") === 1)
+          .withColumn("k2", col("k1") && col("score") >= 0.5)
+          .withColumn("k3", col("k2") && col("ws_tokens") >= 40)
+          .agg(
+            count(lit(1)).as("r_docs"),
+            sum(col("ws_tokens")).as("r_tok"),
+            sum(col("n_chars")).as("r_ch"),
+            count(when(col("k1"), 1)).as("d_docs"),
+            coalesce(sum(when(col("k1"), col("ws_tokens"))), lit(0L))
+              .as("d_tok"),
+            coalesce(sum(when(col("k1"), col("n_chars"))), lit(0L))
+              .as("d_ch"),
+            count(when(col("k2"), 1)).as("q_docs"),
+            coalesce(sum(when(col("k2"), col("ws_tokens"))), lit(0L))
+              .as("q_tok"),
+            coalesce(sum(when(col("k2"), col("n_chars"))), lit(0L))
+              .as("q_ch"),
+            count(when(col("k3"), 1)).as("l_docs"),
+            coalesce(sum(when(col("k3"), col("ws_tokens"))), lit(0L))
+              .as("l_tok"),
+            coalesce(sum(when(col("k3"), col("n_chars"))), lit(0L))
+              .as("l_ch"))
+          .selectExpr(
+            "stack(4, " +
+              "1L, 'raw', r_docs, r_tok, r_ch, " +
+              "2L, 'nfc_exact_dedup', d_docs, d_tok, d_ch, " +
+              "3L, 'quality_0.5', q_docs, q_tok, q_ch, " +
+              "4L, 'min_40_tokens', l_docs, l_tok, l_ch) " +
+              "AS (stage_id, stage, n_docs, n_tokens, n_chars)")
+          .orderBy("stage_id")
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, n_chars,
+          |    len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN length(text) - length(regexp_replace(text,
+          |        '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+          |        THEN 0.25 ELSE 0.0 END) AS score,
+          |    md5(nfc_normalize(text)) AS nh
+          |  FROM documents),
+          |flags AS (
+          |  SELECT *,
+          |    ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) = 1 AS k1
+          |  FROM scored),
+          |fl AS (
+          |  SELECT *, k1 AND score >= 0.5 AS k2,
+          |    k1 AND score >= 0.5 AND ws_tokens >= 40 AS k3
+          |  FROM flags),
+          |a AS (SELECT
+          |  COUNT(*) AS r_docs,
+          |  CAST(SUM(ws_tokens) AS BIGINT) AS r_tok,
+          |  CAST(SUM(n_chars) AS BIGINT) AS r_ch,
+          |  COUNT(*) FILTER (k1) AS d_docs,
+          |  CAST(COALESCE(SUM(ws_tokens) FILTER (k1), 0) AS BIGINT) AS d_tok,
+          |  CAST(COALESCE(SUM(n_chars) FILTER (k1), 0) AS BIGINT) AS d_ch,
+          |  COUNT(*) FILTER (k2) AS q_docs,
+          |  CAST(COALESCE(SUM(ws_tokens) FILTER (k2), 0) AS BIGINT) AS q_tok,
+          |  CAST(COALESCE(SUM(n_chars) FILTER (k2), 0) AS BIGINT) AS q_ch,
+          |  COUNT(*) FILTER (k3) AS l_docs,
+          |  CAST(COALESCE(SUM(ws_tokens) FILTER (k3), 0) AS BIGINT) AS l_tok,
+          |  CAST(COALESCE(SUM(n_chars) FILTER (k3), 0) AS BIGINT) AS l_ch
+          |  FROM fl)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+          |    r_docs AS n_docs, r_tok AS n_tokens, r_ch AS n_chars FROM a
+          |  UNION ALL SELECT 2, 'nfc_exact_dedup', d_docs, d_tok, d_ch FROM a
+          |  UNION ALL SELECT 3, 'quality_0.5', q_docs, q_tok, q_ch FROM a
+          |  UNION ALL SELECT 4, 'min_40_tokens', l_docs, l_tok, l_ch FROM a)
+          |ORDER BY stage_id""".stripMargin))
   )
 
   import Checksum.{IntLike, Str, TsDay}

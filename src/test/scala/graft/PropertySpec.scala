@@ -251,4 +251,27 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("invariant: x10 funnel stages are cumulative cuts anchored at the " +
+      "raw corpus") {
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+    val n = docs.count()
+    val toks = docs
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .first().getLong(0)
+    val stages = graft.queries.Registry.all
+      .find(_.name == "x10_corpus_funnel").get.run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(stages.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // stage 1 is the raw corpus exactly
+    assert(stages.head._2 === n && stages.head._3 === toks)
+    // each later stage is a subset of the previous: all three measures
+    // monotonically non-increasing
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 <= a._4,
+        s"stage ${b._1} grew vs ${a._1}")
+    }
+  }
 }
