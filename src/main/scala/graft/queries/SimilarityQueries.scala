@@ -376,6 +376,99 @@ object SimilarityQueries {
            |FROM asg2 GROUP BY 1 ORDER BY cid""".stripMargin
       }),
 
+    Q("a4b_ivf_train_iters",
+      "IVF centroid training ITERATED — three exact Lloyd rounds with " +
+        "the full inertia trajectory reported per (iteration, " +
+        "centroid), extending a4's single step to the actual training " +
+        "loop: assign against the current centroids, record " +
+        "population + decimal-summed inertia, recompute sorted-fold " +
+        "exact means, repeat. Lloyd's monotone-descent guarantee " +
+        "(total inertia never increases between iterations) becomes a " +
+        "driver-visible, cross-engine-verified number series — the " +
+        "determinism anchors are a4's exactly (index-order fold " +
+        "distances, sorted-fold means, argmin ties to the lower cid), " +
+        "composed three deep, so every double in all 24 output rows " +
+        "is bit-identical across engines. Iteration 2's rows " +
+        "reproduce a4's output by construction (asserted in AnnSpec). " +
+        "Scale shape per round: k centroids broadcast, assignment is " +
+        "one scan, means are one (cid, dim) shuffle — the loop is " +
+        "warehouse-iterable exactly like the CC rounds.",
+      (s, d) => {
+        val k = 8
+        val iters = 3
+        val toD = "transform(embedding, x -> cast(x as double))"
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), expr(toD).as("v"))
+        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (acc, e2) -> acc + e2)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        var cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        var out: DataFrame = null
+        for (it <- 1 to iters) {
+          val asg = e.crossJoin(broadcast(cents)).withColumn("d2", d2)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("v"), col("d2"))
+          val stats = asg.groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_vecs"),
+              Functions.dsum(col("d2")).as("sum_dist2"))
+            .withColumn("iter", lit(it.toLong))
+            .select(col("iter"), col("cid"), col("n_vecs"), col("sum_dist2"))
+          out = if (out == null) stats else out.unionByName(stats)
+          if (it < iters)
+            cents = asg
+              .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+              .groupBy(col("cid"), col("pos"))
+              .agg((expr("aggregate(array_sort(collect_list(x)), " +
+                "cast(0 as double), (acc, y) -> acc + y)") /
+                count(lit(1))).as("m"))
+              .groupBy(col("cid"))
+              .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+                "p -> p.m)").as("c"))
+        }
+        out.orderBy("iter", "cid")
+      },
+      Some {
+        def distSql(vc: String, cc: String) =
+          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($vc, $cc), " +
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+        def asgSql(c: String) =
+          s"""SELECT vec_id, cid, v, d2 FROM (
+             |    SELECT e.vec_id, e.v, $c.cid,
+             |      ${distSql("e.v", s"$c.c")} AS d2,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${distSql("e.v", s"$c.c")}, $c.cid) AS rn
+             |    FROM e, $c) t WHERE rn = 1""".stripMargin
+        def meansSql(asg: String) =
+          s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+             |    SELECT cid, r.i AS pos,
+             |      list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(v[r.i]))),
+             |        (acc, y) -> acc + y) / COUNT(*) AS m
+             |    FROM $asg, LATERAL UNNEST(range(1, len(v) + 1)) r(i)
+             |    GROUP BY cid, r.i) dims GROUP BY cid""".stripMargin
+        def statsSql(it: Int, asg: String) =
+          s"""SELECT CAST($it AS BIGINT) AS iter, cid,
+             |  COUNT(*) AS n_vecs,
+             |  CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist2
+             |FROM $asg GROUP BY 1, 2""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+           |a1 AS (${asgSql("c1")}),
+           |c2 AS (${meansSql("a1")}),
+           |a2 AS (${asgSql("c2")}),
+           |c3 AS (${meansSql("a2")}),
+           |a3 AS (${asgSql("c3")})
+           |SELECT * FROM (
+           |  ${statsSql(1, "a1")}
+           |  UNION ALL ${statsSql(2, "a2")}
+           |  UNION ALL ${statsSql(3, "a3")})
+           |ORDER BY iter, cid""".stripMargin
+      }),
+
     Q("a5_knn_join",
       "Distributed KNN-JOIN — top-3 neighbors for EVERY row of a query " +
         "TABLE (vec_id % 10 == 0) against the rest of the corpus: the " +

@@ -174,6 +174,24 @@ class AnnSpec extends SparkTestBase {
     assert(out.forall(r => r._3 >= 0.0 && !r._3.isNaN))
   }
 
+  test("a4b iterated Lloyd: iter-2 rows reproduce a4, inertia descends") {
+    val a4 = run("a4_ivf_train").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rows = run("a4b_ivf_train_iters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // a4's reported step IS iteration 2 of the loop — same assignment,
+    // same populations, bit-identical inertia
+    val it2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSet
+    assert(it2 === a4)
+    // Lloyd's guarantee: total inertia never increases between rounds
+    val totals = rows.groupBy(_._1).view
+      .mapValues(_.map(_._4).sum).toSeq.sortBy(_._1).map(_._2)
+    assert(totals.length === 3)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $a -> $b")
+    }
+  }
+
   test("bucket signatures are deterministic across evaluations") {
     val e = graft.engine.Graft.table(spark, sfDir, "embeddings")
     val b1 = SimilarityQueries.withBucket(e, "embedding")
