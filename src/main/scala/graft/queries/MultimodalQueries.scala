@@ -174,6 +174,54 @@ object MultimodalQueries {
           |    FROM (SELECT 32 + (doc_id * 7) % 64 AS w,
           |                 32 + (doc_id * 13) % 64 AS h
           |          FROM documents WHERE doc_id % 3 = 0) dims) scaled) t
-          |GROUP BY 1 ORDER BY out_w""".stripMargin))
+          |GROUP BY 1 ORDER BY out_w""".stripMargin)),
+
+    Q("m5_payload_dedup",
+      "Multimodal payload dedup — content-hash dedup over the opaque " +
+        "binary column, the image/audio dedup primitive that needs NO " +
+        "codec: identical bytes are identical media regardless of " +
+        "metadata, so md5 over the payload (computed on the raw " +
+        "bytes — the oracle twin hashes the text the payload encodes, " +
+        "byte-identical by construction) keys a global canonical-" +
+        "per-content choice (min doc_id), and the per-kind report " +
+        "prices what a dedup pass saves: canonical docs, duplicate " +
+        "copies, and the dedupable byte mass. At 100 TB this is the " +
+        "d1 shape over payload digests: one hash shuffle of (digest, " +
+        "doc_id, n_bytes) triples — the payloads themselves never " +
+        "move, and the scan prunes every other column.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))
+        withPayload(t(s, d, "documents"))
+          .withColumn("h", md5(col("payload")))
+          .withColumn("nb", length(col("payload")).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("media_kind"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_unique_payloads"),
+            count(when(col("rn") > 1, 1)).as("n_dup_copies"),
+            coalesce(sum(when(col("rn") > 1, col("nb"))), lit(0L))
+              .as("bytes_dedupable"),
+            sum(col("nb")).as("bytes_total"))
+          .orderBy("media_kind")
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |      ELSE 'video' END AS media_kind,
+          |    md5(text) AS h,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          |  FROM documents),
+          |r AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          |  FROM p)
+          |SELECT media_kind, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT h) AS n_unique_payloads,
+          |  COUNT(*) FILTER (rn > 1) AS n_dup_copies,
+          |  CAST(COALESCE(SUM(nb) FILTER (rn > 1), 0) AS BIGINT)
+          |    AS bytes_dedupable,
+          |  CAST(SUM(nb) AS BIGINT) AS bytes_total
+          |FROM r GROUP BY 1 ORDER BY media_kind""".stripMargin))
   )
 }
