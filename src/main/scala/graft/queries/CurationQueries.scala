@@ -474,7 +474,49 @@ object CurationQueries {
           |  CAST(MIN(h) AS BIGINT) AS min_hash,
           |  CAST(MAX(h) AS BIGINT) AS max_hash,
           |  CAST(SUM(doc_id * pos) AS BIGINT) AS order_witness
-          |FROM positioned GROUP BY 1 ORDER BY shard""".stripMargin))
+          |FROM positioned GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    Q("c11_split_repair",
+      "Contamination-aware split repair — the ACTION d14's report " +
+        "calls for: every eval doc sharing a verbatim token-13-gram " +
+        "with training is dropped from its eval split (dropping from " +
+        "eval keeps the benchmark honest without shrinking training " +
+        "— the standard remedy), and the repaired split census ships " +
+        "with a kept-doc_id-sum witness (the c6 convention) proving " +
+        "WHICH docs survived, not just how many. Reuses d14's " +
+        "memoized gram index and digest-first hit pipeline (built " +
+        "once per corpus per session) plus the same oracle CTE chain " +
+        "— the Spark code and the SQL twin share one hits definition, " +
+        "so report and repair can never disagree about who is dirty. " +
+        "At 100 TB: one extra benchmark-sized anti-join over the " +
+        "d14 machinery, then a split-cardinality aggregate.",
+      (s, d) => {
+        val dirty = DedupQueries.evalNgramHits(s, d)
+          .select(col("doc_id"), col("split")).distinct()
+          .withColumn("is_dirty", lit(true))
+        DedupQueries.taggedSplits(s, d)
+          .filter(col("split") =!= "train")
+          .select(col("doc_id"), col("split"))
+          .join(dirty, Seq("doc_id", "split"), "left")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs_before"),
+            count(when(col("is_dirty"), 1)).as("n_dropped"),
+            count(when(col("is_dirty").isNull, 1)).as("n_docs_after"),
+            coalesce(sum(when(col("is_dirty").isNull, col("doc_id"))),
+              lit(0L)).as("kept_docid_sum"))
+          .orderBy("split")
+      },
+      Some(
+        s"""WITH ${DedupQueries.EvalNgramHitsSql},
+           |dirty AS (SELECT DISTINCT doc_id, split FROM hits)
+           |SELECT s.split, COUNT(*) AS n_docs_before,
+           |  COUNT(*) FILTER (d.doc_id IS NOT NULL) AS n_dropped,
+           |  COUNT(*) FILTER (d.doc_id IS NULL) AS n_docs_after,
+           |  CAST(COALESCE(SUM(s.doc_id) FILTER (d.doc_id IS NULL), 0)
+           |    AS BIGINT) AS kept_docid_sum
+           |FROM sp s LEFT JOIN dirty d
+           |  ON s.doc_id = d.doc_id AND s.split = d.split
+           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <

@@ -86,6 +86,75 @@ object DedupQueries {
 
   private val P = 1000000007L
 
+  /** t5's deterministic hash split tag + tokenized words — the shared
+    * base of the token-n-gram decontamination family (d14 report,
+    * c11 repair in CurationQueries).
+    */
+  private[queries] def taggedSplits(s: SparkSession, d: String): DataFrame = {
+    val splitH = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+    t(s, d, "documents").select(col("doc_id"),
+      when(splitH < 80, "train").when(splitH < 90, "val")
+        .otherwise("test").as("split"),
+      split(trim(col("text")), "\\s+").as("w"))
+  }
+
+  /** Verbatim token-13-gram contamination hits: one (doc_id, split,
+    * gram) row per distinct leaked gram per eval doc. Digest-first:
+    * the gram table (memoized per corpus dir — built once per session,
+    * shared by d14 and c11) shuffles 8-byte graft_strhash digests for
+    * the corpus-wide distincts, and literal grams are compared only
+    * for digests present on BOTH sides of the split, so collisions
+    * can only add candidates, never false hits (the d12 discipline).
+    */
+  private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {
+    val N = 13
+    val grams = Scratch.memoized(s, s"d14_grams:$d", "d14_grams",
+      taggedSplits(s, d)
+        .filter(size(col("w")) >= N)
+        .select(col("doc_id"), col("split"),
+          explode(expr(s"transform(sequence(0, size(w) - $N), " +
+            s"i -> array_join(slice(w, i + 1, $N), ' '))")).as("gram"))
+        .withColumn("h", expr("graft_strhash(gram)")))
+    val candH = grams.filter(col("split") === "train")
+      .select("h").distinct()
+      .join(grams.filter(col("split") =!= "train")
+        .select("h").distinct(), Seq("h"))
+    val trG = grams.filter(col("split") === "train")
+      .join(candH, Seq("h")).select(col("h"), col("gram")).distinct()
+    grams.filter(col("split") =!= "train")
+      .join(candH, Seq("h"))
+      .join(trG, Seq("h", "gram"))
+      .select(col("doc_id"), col("split"), col("gram")).distinct()
+  }
+
+  /** DuckDB twin of [[taggedSplits]]+[[evalNgramHits]] as a CTE chain
+    * (`sp`, `grams`, `tr`, `hits`) — shared verbatim by d14's and
+    * c11's oracles so the two can never drift.
+    */
+  private[queries] val EvalNgramHitsSql: String = {
+    val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"""sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitHash % 100 < 80 THEN 'train'
+       |         WHEN $splitHash % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |toks AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
+       |  FROM toks t,
+       |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
+       |tr AS (SELECT DISTINCT gram
+       |  FROM grams JOIN sp USING (doc_id) WHERE split = 'train'),
+       |hits AS (
+       |  SELECT DISTINCT g.doc_id, s.split, g.gram
+       |  FROM grams g JOIN sp s USING (doc_id) JOIN tr USING (gram)
+       |  WHERE s.split != 'train')""".stripMargin
+  }
+
   /** MinHash+LSH candidate pairs from a hashed (doc_id, h) shingle
     * frame: 16 minhashes derived from the digest by cheap arithmetic
     * `(a_i*h + b_i) mod p` (codegen'd long math — one digest, 16
@@ -765,31 +834,9 @@ object DedupQueries {
         "is tiny, so its digest set broadcasts into the train scan " +
         "and the confirm join touches O(leaked content) rows only.",
       (s, d) => {
-        val N = 13
-        val splitH = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
-        val tagged = t(s, d, "documents").select(col("doc_id"),
-          when(splitH < 80, "train").when(splitH < 90, "val")
-            .otherwise("test").as("split"),
-          split(trim(col("text")), "\\s+").as("w"))
-        val grams = Scratch.materialize(s, "d14_grams", tagged
-          .filter(size(col("w")) >= N)
-          .select(col("doc_id"), col("split"),
-            explode(expr(s"transform(sequence(0, size(w) - $N), " +
-              s"i -> array_join(slice(w, i + 1, $N), ' '))")).as("gram"))
-          .withColumn("h", expr("graft_strhash(gram)")))
-        val candH = grams.filter(col("split") === "train")
-          .select("h").distinct()
-          .join(grams.filter(col("split") =!= "train")
-            .select("h").distinct(), Seq("h"))
-        val trG = grams.filter(col("split") === "train")
-          .join(candH, Seq("h")).select(col("h"), col("gram")).distinct()
-        val hits = grams.filter(col("split") =!= "train")
-          .join(candH, Seq("h"))
-          .join(trG, Seq("h", "gram"))
-          .select(col("doc_id"), col("split"), col("gram")).distinct()
-        val census = tagged.filter(col("split") =!= "train")
+        val census = taggedSplits(s, d).filter(col("split") =!= "train")
           .groupBy(col("split")).agg(count(lit(1)).as("n_eval_docs"))
-        val dirty = hits.groupBy(col("split"))
+        val dirty = evalNgramHits(s, d).groupBy(col("split"))
           .agg(countDistinct(col("doc_id")).as("dd"),
             countDistinct(col("gram")).as("dg"))
         census.join(dirty, Seq("split"), "left")
@@ -798,35 +845,14 @@ object DedupQueries {
             coalesce(col("dg"), lit(0L)).as("n_dirty_grams"))
           .orderBy("split")
       },
-      Some {
-        val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
-          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
-        s"""WITH sp AS (
-           |  SELECT doc_id,
-           |    CASE WHEN $splitHash % 100 < 80 THEN 'train'
-           |         WHEN $splitHash % 100 < 90 THEN 'val'
-           |         ELSE 'test' END AS split
-           |  FROM documents),
-           |toks AS (SELECT doc_id,
-           |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
-           |grams AS (
-           |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
-           |  FROM toks t,
-           |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
-           |tr AS (SELECT DISTINCT gram
-           |  FROM grams JOIN sp USING (doc_id) WHERE split = 'train'),
-           |hits AS (
-           |  SELECT DISTINCT g.doc_id, s.split, g.gram
-           |  FROM grams g JOIN sp s USING (doc_id) JOIN tr USING (gram)
-           |  WHERE s.split != 'train')
+      Some(
+        s"""WITH $EvalNgramHitsSql
            |SELECT s.split, COUNT(DISTINCT s.doc_id) AS n_eval_docs,
            |  COUNT(DISTINCT h.doc_id) AS n_dirty_docs,
            |  COUNT(DISTINCT h.gram) AS n_dirty_grams
            |FROM sp s LEFT JOIN hits h
            |  ON s.doc_id = h.doc_id AND s.split = h.split
-           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin
-      }),
+           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin)),
 
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +

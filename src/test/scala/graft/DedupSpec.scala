@@ -379,5 +379,14 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       ("test", 2L, 1L, 1L),
       ("val", 2L, 1L, 1L)))
+    // c11 acts on the same hits: dirty docs 20 (test) and 81 (val) are
+    // dropped, and the kept-id witnesses name the exact survivors
+    val repaired = Registry.all.find(_.name == "c11_split_repair").get
+      .run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(repaired.toSeq === Seq(
+      ("test", 2L, 1L, 1L, 21L),
+      ("val", 2L, 1L, 1L, 80L)))
   }
 }
