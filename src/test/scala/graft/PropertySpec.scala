@@ -92,6 +92,30 @@ class PropertySpec extends SparkTestBase {
     got.foreach { case (s, h) => assert(h === ref(s), s"input '$s'") }
   }
 
+  test("property: graft_nfc equals the JDK Normalizer on adversarial " +
+      "unicode strings") {
+    // Mix base letters, combining marks (acute/diaeresis/cedilla/
+    // grave), precomposed characters, and the Angstrom sign U+212B
+    // (an NFC singleton that recomposes to U+00C5) — the shapes that
+    // distinguish a real normalizer from a pass-through.
+    val gen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(32.toChar, 126.toChar),
+        2 -> Gen.oneOf('e', 'a', 'c', 'o', 'u', 'A'),
+        2 -> Gen.oneOf('\u0301', '\u0308', '\u0327', '\u0300'),
+        1 -> Gen.oneOf('\u00e9', '\u00e4', '\u00c5', '\u212b')))
+        .map(_.mkString))
+    val strs = samples(gen, 300)
+    val got = strs.toDF("s")
+      .withColumn("n", expr("graft_nfc(s)"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (s, n) =>
+      assert(n === java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC),
+        s"input codepoints ${s.map(_.toInt.toHexString).mkString(",")}")
+    }
+  }
+
   test("property: calendar shims match java.time on random dates") {
     // ±100 years around the epoch, covering pre-1970 and leap years
     val gen = Gen.chooseNum(-36500L, 36500L)
