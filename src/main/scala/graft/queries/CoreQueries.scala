@@ -805,24 +805,20 @@ object CoreQueries {
           Functions.dsum(col("score")).as("total_quality"))
       },
       Some(
-        """SELECT COUNT(*) AS n_docs,
-          |  COUNT(DISTINCT source) AS n_sources,
-          |  COUNT(DISTINCT lang) AS n_langs,
-          |  COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    list_transform(regexp_extract_all(text, '(?s).'),
-          |      c -> CAST(ascii(c) AS BIGINT))),
-          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS n_unique_texts,
-          |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-          |    AS total_ws_tokens,
-          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-          |  CAST(SUM(CAST(
-          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
-          |    + (CASE WHEN length(text) - length(regexp_replace(text,
-          |        '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
-          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
-          |        THEN 0.25 ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE)
-          |    AS total_quality
-          |FROM documents""".stripMargin)),
+        raw"""SELECT COUNT(*) AS n_docs,
+           |  COUNT(DISTINCT source) AS n_sources,
+           |  COUNT(DISTINCT lang) AS n_langs,
+           |  COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(regexp_extract_all(text, '(?s).'),
+           |      c -> CAST(ascii(c) AS BIGINT))),
+           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS n_unique_texts,
+           |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           |    AS total_ws_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(SUM(CAST(
+           |    ${TextQueries.QualityScoreSql} AS DECIMAL(38,6))) AS DOUBLE)
+           |    AS total_quality
+           |FROM documents""".stripMargin)),
 
     Q("x10_corpus_funnel",
       "Curation funnel datasheet — the stage-by-stage attrition table " +
@@ -877,14 +873,10 @@ object CoreQueries {
           .orderBy("stage_id")
       },
       Some(
-        """WITH scored AS (
+        raw"""WITH scored AS (
           |  SELECT doc_id, n_chars,
           |    len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
-          |    + (CASE WHEN length(text) - length(regexp_replace(text,
-          |        '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
-          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
-          |        THEN 0.25 ELSE 0.0 END) AS score,
+          |    ${TextQueries.QualityScoreSql} AS score,
           |    md5(nfc_normalize(text)) AS nh
           |  FROM documents),
           |flags AS (

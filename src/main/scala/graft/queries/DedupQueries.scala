@@ -90,13 +90,10 @@ object DedupQueries {
     * base of the token-n-gram decontamination family (d14 report,
     * c11 repair in CurationQueries).
     */
-  private[queries] def taggedSplits(s: SparkSession, d: String): DataFrame = {
-    val splitH = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+  private[queries] def taggedSplits(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
-      when(splitH < 80, "train").when(splitH < 90, "val")
-        .otherwise("test").as("split"),
+      Splits.splitCol.as("split"),
       split(trim(col("text")), "\\s+").as("w"))
-  }
 
   /** Verbatim token-13-gram contamination hits: one (doc_id, split,
     * gram) row per distinct leaked gram per eval doc. Digest-first:
@@ -132,15 +129,7 @@ object DedupQueries {
     * c11's oracles so the two can never drift.
     */
   private[queries] val EvalNgramHitsSql: String = {
-    val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
-      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
-    s"""sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN $splitHash % 100 < 80 THEN 'train'
-       |         WHEN $splitHash % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
-       |  FROM documents),
+    s"""${Splits.SpCteSql},
        |toks AS (SELECT doc_id,
        |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |grams AS (
@@ -502,12 +491,9 @@ object DedupQueries {
         "never all-pairs, and at 100 TB the eval side is tiny so the " +
         "join broadcasts.",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val h = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
         val tagged = corpusWinnowPruned(s, d).join(
-          docs.select(col("doc_id"),
-            when(h < 80, "train").when(h < 90, "val").otherwise("test")
-              .as("split")),
+          t(s, d, "documents")
+            .select(col("doc_id"), Splits.splitCol.as("split")),
           Seq("doc_id"))
         val a = tagged.filter(col("split") === "train")
           .select(col("doc_id").as("doc_a"), col("fp"))
@@ -524,18 +510,10 @@ object DedupQueries {
           .orderBy("split")
       },
       Some {
-        val splitHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
-          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
-        s"""WITH $WinnowPrunedSql,
+        s"""WITH $WinnowPrunedSql, ${Splits.SpCteSql},
            |tagged AS (
            |  SELECT p.doc_id, p.fp, s.split
-           |  FROM pruned p JOIN (
-           |    SELECT doc_id,
-           |      CASE WHEN $splitHash % 100 < 80 THEN 'train'
-           |           WHEN $splitHash % 100 < 90 THEN 'val'
-           |           ELSE 'test' END AS split
-           |    FROM documents) s USING (doc_id)),
+           |  FROM pruned p JOIN sp s USING (doc_id)),
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.split AS split,
            |    COUNT(*) AS n_shared

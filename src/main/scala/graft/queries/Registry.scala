@@ -98,6 +98,37 @@ object Scratch {
   }
 }
 
+/** THE deterministic 80/10/10 train/val/test hash split — one
+  * definition, Spark column and DuckDB twin side by side, consumed by
+  * every query that splits the corpus (t5 census, d8 winnowing
+  * decontamination, d14 n-gram decontamination, c11 repair). The
+  * boundaries and the base-31 fold live HERE and nowhere else, so a
+  * ratio or hash change cannot silently diverge the split one query
+  * reports from the split another decontaminates.
+  */
+object Splits {
+  import org.apache.spark.sql.functions.{expr, when}
+
+  /** Split tag as a pure function of doc_id. */
+  def splitCol: org.apache.spark.sql.Column = {
+    val h = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin: the same fold over the decimal doc_id rendering. */
+  val SplitCaseSql: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'), " +
+      "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    s"CASE WHEN $fold % 100 < 80 THEN 'train' " +
+      s"WHEN $fold % 100 < 90 THEN 'val' ELSE 'test' END"
+  }
+
+  /** `sp AS (...)` CTE over a `documents` relation. */
+  val SpCteSql: String =
+    s"sp AS (SELECT doc_id, $SplitCaseSql AS split FROM documents)"
+}
+
 object Registry {
   /** All registered query modules, in build order. */
   def modules: Seq[Seq[Q]] = Seq(

@@ -70,6 +70,90 @@ object SimilarityQueries {
       .drop((0 until NPlanes).map(j => s"__planes$j"): _*)
   }
 
+  /** The bit-exact Lloyd-step machinery shared by a4 (one step) and
+    * a4b (the iterated loop) — ONE definition of every determinism
+    * anchor, Spark and SQL, so the two queries can never drift:
+    * (1) assignment distance is the index-order left-fold (x-y)² sum;
+    * (2) argmin ties break to the lower cid; (3) cluster means sort
+    * each dimension's values then left-fold before dividing — same
+    * order, same fold, same mean on both engines.
+    */
+  private object Lloyd {
+    val K = 8
+
+    /** embeddings as (vec_id, v: array<double>). */
+    def corpus(s: SparkSession, d: String): DataFrame =
+      t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+    /** First-k init centroids (cid, c). */
+    def init(e: DataFrame): DataFrame =
+      e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+
+    /** Assign every vector to its nearest centroid:
+      * (vec_id, cid, v, d2).
+      */
+    def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+      val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (acc, e2) -> acc + e2)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      e.crossJoin(broadcast(cents)).withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("d2"))
+    }
+
+    /** Exact sorted-fold cluster means: (cid, c). */
+    def means(asg: DataFrame): DataFrame =
+      asg.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((expr("aggregate(array_sort(collect_list(x)), " +
+          "cast(0 as double), (acc, y) -> acc + y)") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "p -> p.m)").as("c"))
+
+    /** Per-centroid population + DECIMAL-exact inertia of an
+      * assignment.
+      */
+    def stats(asg: DataFrame): DataFrame =
+      asg.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          Functions.dsum(col("d2")).as("sum_dist2"))
+
+    // ---- DuckDB twins of the same three steps ----
+
+    def distSql(vc: String, cc: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($vc, $cc), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+
+    /** `e AS (...), c1 AS (...)` corpus + init CTE prefix. */
+    val BaseSql: String =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K)""".stripMargin
+
+    def asgSql(c: String): String =
+      s"""SELECT vec_id, cid, v, d2 FROM (
+         |    SELECT e.vec_id, e.v, $c.cid,
+         |      ${distSql("e.v", s"$c.c")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", s"$c.c")}, $c.cid) AS rn
+         |    FROM e, $c) t WHERE rn = 1""".stripMargin
+
+    def meansSql(asg: String): String =
+      s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cid, r.i AS pos,
+         |      list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(v[r.i]))),
+         |        (acc, y) -> acc + y) / COUNT(*) AS m
+         |    FROM $asg, LATERAL UNNEST(range(1, len(v) + 1)) r(i)
+         |    GROUP BY cid, r.i) dims GROUP BY cid""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
 
     Q("a1_ann_bruteforce",
@@ -310,71 +394,18 @@ object SimilarityQueries {
         "sorted fold is the test-scale determinism anchor — at 100 TB " +
         "swap it for fixed-point (integer) accumulation per dimension.",
       (s, d) => {
-        val k = 8
-        val toD = "transform(embedding, x -> cast(x as double))"
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), expr(toD).as("v"))
-        val c0 = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("v").as("c"))
-        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as double), (acc, e2) -> acc + e2)")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        val asg1 = e.crossJoin(broadcast(c0)).withColumn("d2", d2)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("v"))
-        val cents = asg1
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg((expr("aggregate(array_sort(collect_list(x)), " +
-            "cast(0 as double), (acc, y) -> acc + y)") /
-            count(lit(1))).as("m"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-            "p -> p.m)").as("c"))
-        e.crossJoin(broadcast(cents)).withColumn("d2", d2)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_vecs"),
-            Functions.dsum(col("d2")).as("sum_dist2"))
-          .orderBy("cid")
+        val e = Lloyd.corpus(s, d)
+        val asg1 = Lloyd.assign(e, Lloyd.init(e))
+        Lloyd.stats(Lloyd.assign(e, Lloyd.means(asg1))).orderBy("cid")
       },
-      Some {
-        def distSql(vc: String, cc: String) =
-          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($vc, $cc), " +
-            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
-        s"""WITH e AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-           |asg1 AS (
-           |  SELECT vec_id, cid, v FROM (
-           |    SELECT e.vec_id, e.v, c0.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${distSql("e.v", "c0.c")}, c0.cid) AS rn
-           |    FROM e, c0) t WHERE rn = 1),
-           |dims AS (
-           |  SELECT cid, r.i AS pos, v[r.i] AS x
-           |  FROM asg1, LATERAL UNNEST(range(1, len(v) + 1)) r(i)),
-           |means AS (
-           |  SELECT cid, pos,
-           |    list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))),
-           |      (acc, y) -> acc + y) / COUNT(*) AS m
-           |  FROM dims GROUP BY cid, pos),
-           |cents AS (
-           |  SELECT cid, list(m ORDER BY pos) AS c FROM means GROUP BY cid),
-           |asg2 AS (
-           |  SELECT vec_id, cid, d2 FROM (
-           |    SELECT e.vec_id, cents.cid,
-           |      ${distSql("e.v", "cents.c")} AS d2,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${distSql("e.v", "cents.c")}, cents.cid) AS rn
-           |    FROM e, cents) t WHERE rn = 1)
+      Some(
+        s"""WITH ${Lloyd.BaseSql},
+           |a1 AS (${Lloyd.asgSql("c1")}),
+           |c2 AS (${Lloyd.meansSql("a1")}),
+           |a2 AS (${Lloyd.asgSql("c2")})
            |SELECT cid, COUNT(*) AS n_vecs,
            |  CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist2
-           |FROM asg2 GROUP BY 1 ORDER BY cid""".stripMargin
-      }),
+           |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin)),
 
     Q("a4b_ivf_train_iters",
       "IVF centroid training ITERATED — three exact Lloyd rounds with " +
@@ -394,74 +425,32 @@ object SimilarityQueries {
         "one scan, means are one (cid, dim) shuffle — the loop is " +
         "warehouse-iterable exactly like the CC rounds.",
       (s, d) => {
-        val k = 8
         val iters = 3
-        val toD = "transform(embedding, x -> cast(x as double))"
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), expr(toD).as("v"))
-        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as double), (acc, e2) -> acc + e2)")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        var cents = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("v").as("c"))
+        val e = Lloyd.corpus(s, d)
+        var cents = Lloyd.init(e)
         var out: DataFrame = null
         for (it <- 1 to iters) {
-          val asg = e.crossJoin(broadcast(cents)).withColumn("d2", d2)
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("vec_id"), col("cid"), col("v"), col("d2"))
-          val stats = asg.groupBy(col("cid"))
-            .agg(count(lit(1)).as("n_vecs"),
-              Functions.dsum(col("d2")).as("sum_dist2"))
+          val asg = Lloyd.assign(e, cents)
+          val stats = Lloyd.stats(asg)
             .withColumn("iter", lit(it.toLong))
             .select(col("iter"), col("cid"), col("n_vecs"), col("sum_dist2"))
           out = if (out == null) stats else out.unionByName(stats)
-          if (it < iters)
-            cents = asg
-              .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-              .groupBy(col("cid"), col("pos"))
-              .agg((expr("aggregate(array_sort(collect_list(x)), " +
-                "cast(0 as double), (acc, y) -> acc + y)") /
-                count(lit(1))).as("m"))
-              .groupBy(col("cid"))
-              .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-                "p -> p.m)").as("c"))
+          if (it < iters) cents = Lloyd.means(asg)
         }
         out.orderBy("iter", "cid")
       },
       Some {
-        def distSql(vc: String, cc: String) =
-          s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($vc, $cc), " +
-            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
-        def asgSql(c: String) =
-          s"""SELECT vec_id, cid, v, d2 FROM (
-             |    SELECT e.vec_id, e.v, $c.cid,
-             |      ${distSql("e.v", s"$c.c")} AS d2,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${distSql("e.v", s"$c.c")}, $c.cid) AS rn
-             |    FROM e, $c) t WHERE rn = 1""".stripMargin
-        def meansSql(asg: String) =
-          s"""SELECT cid, list(m ORDER BY pos) AS c FROM (
-             |    SELECT cid, r.i AS pos,
-             |      list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(v[r.i]))),
-             |        (acc, y) -> acc + y) / COUNT(*) AS m
-             |    FROM $asg, LATERAL UNNEST(range(1, len(v) + 1)) r(i)
-             |    GROUP BY cid, r.i) dims GROUP BY cid""".stripMargin
         def statsSql(it: Int, asg: String) =
           s"""SELECT CAST($it AS BIGINT) AS iter, cid,
              |  COUNT(*) AS n_vecs,
              |  CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist2
              |FROM $asg GROUP BY 1, 2""".stripMargin
-        s"""WITH e AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-           |a1 AS (${asgSql("c1")}),
-           |c2 AS (${meansSql("a1")}),
-           |a2 AS (${asgSql("c2")}),
-           |c3 AS (${meansSql("a2")}),
-           |a3 AS (${asgSql("c3")})
+        s"""WITH ${Lloyd.BaseSql},
+           |a1 AS (${Lloyd.asgSql("c1")}),
+           |c2 AS (${Lloyd.meansSql("a1")}),
+           |a2 AS (${Lloyd.asgSql("c2")}),
+           |c3 AS (${Lloyd.meansSql("a2")}),
+           |a3 AS (${Lloyd.asgSql("c3")})
            |SELECT * FROM (
            |  ${statsSql(1, "a1")}
            |  UNION ALL ${statsSql(2, "a2")}
@@ -640,11 +629,15 @@ object SimilarityQueries {
           .select(col("query_id"), col("vec_id"))
         val hits = exact.join(lsh, Seq("query_id", "vec_id"))
           .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        // LEFT joins from the exact census: a query whose bucket
+        // retrieves nothing must still appear, reporting recall 0 —
+        // the worst-recall queries are the report's whole point
         exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
           .join(lsh.groupBy(col("query_id"))
-            .agg(count(lit(1)).as("n_retrieved")), Seq("query_id"))
+            .agg(count(lit(1)).as("nr")), Seq("query_id"), "left")
           .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"), col("n_exact"), col("n_retrieved"),
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("nr"), lit(0L)).as("n_retrieved"),
             coalesce(col("h"), lit(0L)).as("n_hit"),
             (coalesce(col("h"), lit(0L)).cast("double") /
               col("n_exact").cast("double")).as("recall"))
@@ -680,12 +673,12 @@ object SimilarityQueries {
            |  GROUP BY 1)
            |SELECT x.query_id,
            |  COUNT(*) AS n_exact,
-           |  ANY_VALUE(r.n_retrieved) AS n_retrieved,
+           |  COALESCE(ANY_VALUE(r.n_retrieved), 0) AS n_retrieved,
            |  COALESCE(ANY_VALUE(hits.h), 0) AS n_hit,
            |  CAST(COALESCE(ANY_VALUE(hits.h), 0) AS DOUBLE) /
            |    CAST(COUNT(*) AS DOUBLE) AS recall
            |FROM exact x
-           |JOIN (SELECT query_id, COUNT(*) AS n_retrieved
+           |LEFT JOIN (SELECT query_id, COUNT(*) AS n_retrieved
            |      FROM lsh GROUP BY 1) r ON x.query_id = r.query_id
            |LEFT JOIN hits ON x.query_id = hits.query_id
            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin))

@@ -57,6 +57,17 @@ object TextQueries {
     */
   private[graft] val DenyTerms: Seq[String] = Seq("spark", "vector", "stream")
 
+  /** DuckDB twin of [[Functions.qualityScored]]'s score column — ONE
+    * SQL rendering of the length/punctuation/token-count thresholds,
+    * shared by every oracle that re-states the quality score (t2, x9,
+    * x10), mirroring how the Spark side shares the one helper: a
+    * threshold change lands in both engines everywhere or nowhere.
+    */
+  private[queries] val QualityScoreSql: String =
+    """(CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
+      |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
+      |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -92,16 +103,14 @@ object TextQueries {
           .orderBy("source")
       },
       Some(
-        """SELECT source, COUNT(*) AS n_docs,
-          |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS total_score,
-          |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_score
-          |FROM (
-          |  SELECT source,
-          |    (CASE WHEN length(text) >= 200 THEN 0.5 ELSE 0.0 END)
-          |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
-          |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END) AS score
-          |  FROM documents) t
-          |GROUP BY 1 ORDER BY source""".stripMargin)),
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS total_score,
+           |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_score
+           |FROM (
+           |  SELECT source,
+           |    $QualityScoreSql AS score
+           |  FROM documents) t
+           |GROUP BY 1 ORDER BY source""".stripMargin)),
 
     Q("t3_lang_id",
       "Language-ID heuristic — per-language marker-word counts, argmax " +
@@ -144,34 +153,21 @@ object TextQueries {
         "engine versions, needs no shuffle or stored split table, and " +
         "any worker can answer 'which split?' locally — the way a " +
         "100 TB corpus is split for training",
-      (s, d) => {
-        val split = expr("pmod(graft_strhash(cast(doc_id as string)), 100)")
-        t(s, d, "documents")
-          .withColumn("split",
-            when(split < 80, "train").when(split < 90, "val")
-              .otherwise("test"))
-          .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).as("total_chars"),
-            countDistinct(col("lang")).as("n_langs"))
-          .orderBy("split")
-      },
+      (s, d) => t(s, d, "documents")
+        .withColumn("split", Splits.splitCol)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split"),
       Some(
-        """SELECT split, COUNT(*) AS n_docs,
-          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-          |  COUNT(DISTINCT lang) AS n_langs
-          |FROM (
-          |  SELECT lang, n_chars,
-          |    CASE WHEN h % 100 < 80 THEN 'train'
-          |         WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
-          |  FROM (
-          |    SELECT lang, n_chars,
-          |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |        list_transform(regexp_extract_all(CAST(doc_id AS VARCHAR), '(?s).'),
-          |          c -> CAST(ascii(c) AS BIGINT))),
-          |        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-          |    FROM documents) hashed) t
-          |GROUP BY 1 ORDER BY split""".stripMargin)),
+        s"""SELECT split, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |  COUNT(DISTINCT lang) AS n_langs
+           |FROM (
+           |  SELECT lang, n_chars, ${Splits.SplitCaseSql} AS split
+           |  FROM documents) t
+           |GROUP BY 1 ORDER BY split""".stripMargin)),
 
     Q("t6_tfidf_topterms",
       "TF-IDF keyword extraction — term frequency per (doc, token) " +

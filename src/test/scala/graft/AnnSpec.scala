@@ -183,12 +183,18 @@ class AnnSpec extends SparkTestBase {
     // same populations, bit-identical inertia
     val it2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSet
     assert(it2 === a4)
-    // Lloyd's guarantee: total inertia never increases between rounds
+    // Lloyd's guarantee: total inertia never increases between rounds.
+    // Tolerance scales with the DECIMAL(38,6) quantum dsum rounds each
+    // per-row d2 to (±0.5e-6 per row, two sums compared), NOT a fixed
+    // epsilon: near convergence the true descent can be smaller than
+    // the accumulated rounding.
+    val nTotal = rows.filter(_._1 == 1L).map(_._3).sum
+    val tol = nTotal * 1e-6
     val totals = rows.groupBy(_._1).view
       .mapValues(_.map(_._4).sum).toSeq.sortBy(_._1).map(_._2)
     assert(totals.length === 3)
     totals.sliding(2).foreach { case Seq(a, b) =>
-      assert(b <= a + 1e-9, s"inertia rose: $a -> $b")
+      assert(b <= a + tol, s"inertia rose: $a -> $b (tol $tol)")
     }
   }
 
