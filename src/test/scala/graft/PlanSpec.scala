@@ -129,6 +129,33 @@ class PlanSpec extends SparkTestBase {
       l.contains("graft_nfc") && l.trim.startsWith("*")), p.take(1200))
   }
 
+  test("m5 payload dedup prunes the binary payload from the exchange") {
+    // The digest shuffle must carry (h, doc_id, nb, kind) — the payload
+    // bytes themselves never cross the wire. A plan that exchanges the
+    // payload column ships the whole media corpus through the shuffle.
+    val p = formatted("m5_payload_dedup")
+    val exchanges = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange") => i
+    }.toSeq
+    assert(exchanges.nonEmpty, p.take(600))
+    // every Exchange's argument list in the formatted plan omits payload
+    val exchangeArgs = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .mkString("\n")
+    assert(!exchangeArgs.contains("payload"),
+      s"payload crossed an exchange:\n$exchangeArgs")
+  }
+
+  test("x10 funnel's only data-sized exchange is the dedup hash partition") {
+    // One hash partition on the content digest (which exact dedup needs
+    // anyway), then a single-partition exchange for the global one-row
+    // aggregate — any additional data-sized exchange means a stage flag
+    // escaped the conditional-aggregate design.
+    val p = formatted("x10_corpus_funnel")
+    val hashParts = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(hashParts.size <= 1, s"extra hash exchanges:\n${hashParts.mkString("\n")}")
+  }
+
   test("e7 salted aggregate is a real two-stage plan over the salt") {
     val p = formatted("e7_salted_agg")
     // stage 1 groups on (event_type, salt), stage 2 on event_type alone;
