@@ -89,4 +89,39 @@ class NearDupIngestSpec extends SparkTestBase {
     IncrementalNearDup.ingest(cat, docs(9L -> txt("fresh")), "c")
     assert(new java.io.File(s"${cat.warehouse}/c/__batch_id=2").isDirectory)
   }
+
+  test("streaming twin suppresses the same docs as the batch path and a " +
+      "checkpointed restart is a no-op") {
+    // a corpus dir with planted dups: 6 duplicates 5 in-batch, and
+    // the full file set arrives through ONE AvailableNow pass
+    val srcDir = graft.queries.Scratch.fresh(spark, "nd_stream_src")
+    val corpus = docs(
+      5L -> txt("delta"), 6L -> txt("delta"),
+      7L -> txt("epsilon"), 8L -> txt("zeta"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val cat = freshCat("nd_stream")
+    val ckpt = graft.queries.Scratch.fresh(spark, "nd_stream_ckpt")
+    graft.streaming.NearDupStream.maintain(cat, srcDir, ckpt, "c")
+      .awaitTermination()
+    def corpusIds =
+      IncrementalNearDup.corpus(cat, "c")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch-path ground truth on the same data: 6 suppressed
+    val batchCat = freshCat("nd_stream_batch")
+    IncrementalNearDup.ingest(batchCat, corpus, "c", Some(0L))
+    val batchIds = IncrementalNearDup.corpus(batchCat, "c")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == batchIds && corpusIds == Set(5L, 7L, 8L))
+    // restart with the same checkpoint: files already processed, the
+    // corpus must not change (no duplicate __batch_id, no re-ingest)
+    graft.streaming.NearDupStream.maintain(cat, srcDir, ckpt, "c")
+      .awaitTermination()
+    assert(corpusIds == Set(5L, 7L, 8L))
+    // and the stream-built index keeps suppressing later batch arrivals
+    val k2 = IncrementalNearDup.ingest(cat, docs(99L -> txt("zeta")), "c")
+    assert(k2.isEmpty)
+  }
 }
