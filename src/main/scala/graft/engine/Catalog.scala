@@ -163,6 +163,11 @@ object Catalog {
   private val roots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // single-writer registry: canonical warehouse roots currently open in
+  // this process (see the guard in the Catalog constructor)
+  private val openRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[engine] def registerMutableRoot(path: String): Unit = {
     // both spellings: a key may embed the path as the caller wrote it
     // (e.g. relative) or fully resolved
@@ -170,17 +175,37 @@ object Catalog {
     roots.add(new java.io.File(path).getCanonicalPath): Unit
   }
 
+  private[engine] def claimRoot(canonical: String): Boolean =
+    openRoots.add(canonical)
+  private[engine] def releaseRoot(canonical: String): Unit =
+    openRoots.remove(canonical): Unit
+
+  /** Characters that continue a path segment: an occurrence of a root
+    * followed by one of these is a LONGER name ('/data/w' inside
+    * '/data/warehouse-ro'), not a reference to the root.
+    */
+  private def segmentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '.' || c == '_' || c == '-'
+
   /** Whether `key` (any string that may embed a path) references a
-    * registered mutable root — matched on a path-separator boundary
-    * ('/data/w' must not match '/data/warehouse-ro') against both the
-    * raw and canonical spelling.
+    * registered mutable root — matched on a boundary: the occurrence
+    * must be followed by end-of-string, a path separator, or a
+    * non-segment delimiter (memo keys use the `name:dir:extra`
+    * convention, so ':' and friends count as boundaries). '/data/w'
+    * matches neither '/data/warehouse-ro' nor 'x:/data/w-ro:y', but
+    * does match 'grams:/data/w:suffix'.
     */
   def referencesMutableRoot(key: String): Boolean = {
     val it = roots.iterator()
     var hit = false
     while (!hit && it.hasNext) {
       val r = it.next()
-      hit = key.contains(r + java.io.File.separator) || key.endsWith(r)
+      var i = key.indexOf(r)
+      while (!hit && i >= 0) {
+        val j = i + r.length
+        hit = j == key.length || !segmentChar(key.charAt(j))
+        i = key.indexOf(r, i + 1)
+      }
     }
     hit
   }
@@ -191,6 +216,57 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   // a warehouse is mutable by definition — make Scratch.memoized's
   // immutability guard aware of it (user-supplied paths included)
   Catalog.registerMutableRoot(warehouse)
+
+  // ---- single-writer guard -------------------------------------------
+  // Every mutating operator here (compact's two-rename swap,
+  // saveVersioned's pointer flip, the incremental writers' purge of
+  // _SUCCESS-less batch dirs) assumes exactly one session owns the
+  // warehouse; a concurrent second writer could have its in-flight work
+  // swapped aside or purged mid-write. The assumption is converted into
+  // a loud failure at open: in-process via a registry of open canonical
+  // roots, cross-process via a pid lock file (`_LOCK`) whose holder
+  // must still be alive — a dead holder's lock is stale (crashed
+  // session) and is stolen. Release with [[close]] when handing the
+  // warehouse to another session.
+  private val canonicalRoot = new java.io.File(warehouse).getCanonicalPath
+  if (!Catalog.claimRoot(canonicalRoot))
+    throw new IllegalStateException(
+      s"Catalog: warehouse '$warehouse' is already open in this process — " +
+        "warehouses are single-writer (compact/saveVersioned/incremental " +
+        "ingest assume exclusive ownership); close() the other Catalog first")
+  try {
+    val root = new java.io.File(warehouse)
+    root.mkdirs(): Unit
+    val lock = new java.io.File(root, "_LOCK")
+    val selfPid = ProcessHandle.current().pid()
+    if (lock.exists()) {
+      val holder = scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(lock.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      val liveForeign = holder.exists(p => p != selfPid &&
+        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive)
+          .orElse(java.lang.Boolean.FALSE).booleanValue())
+      if (liveForeign)
+        throw new IllegalStateException(
+          s"Catalog: warehouse '$warehouse' is locked by live process " +
+            s"${holder.get} (${lock.getPath}) — warehouses are " +
+            "single-writer; close() it there or wait for that session")
+    }
+    java.nio.file.Files.write(lock.toPath, selfPid.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)): Unit
+  } catch {
+    case t: Throwable => Catalog.releaseRoot(canonicalRoot); throw t
+  }
+
+  /** Release the single-writer lock (in-process claim + `_LOCK` file)
+    * so another session may open this warehouse. Reads of already-
+    * materialized tables remain valid; further mutation through this
+    * instance is a caller error (unenforced — closing is a handoff).
+    */
+  def close(): Unit = {
+    new java.io.File(warehouse, "_LOCK").delete(): Unit
+    Catalog.releaseRoot(canonicalRoot)
+  }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -258,17 +334,43 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     back
   }
 
+  /** In-progress marker for [[compact]]'s non-atomic swap: created
+    * before the live dir moves aside, removed only after the swap fully
+    * completes — so any crash that can leave `.__compact_old` debris
+    * (root or leaf, at any partition depth) also leaves the marker.
+    * Read paths gate the O(partition dirs) heal walk on this single
+    * stat instead of walking every partition on every [[table]] call.
+    */
+  private def compactMarker(tableRoot: String): java.io.File =
+    new java.io.File(s"$warehouse/$tableRoot.__compacting")
+
+  /** Cheap read-path heal gate: two stats (the [[compactMarker]] and a
+    * root-level moved-aside dir) decide whether the full
+    * [[healInterruptedCompact]] walk runs. Keeps hot readers (e.g.
+    * IncrementalRollup's per-batch `table()` calls) O(1) while the
+    * crashed-compact repair stays reachable through the FIRST operator
+    * to touch the table after the crash.
+    */
+  private def healIfMarked(name: String): Unit = {
+    val root = name.split('/').head
+    if (compactMarker(root).exists() ||
+        new java.io.File(s"$warehouse/$root.__compact_old").exists()) {
+      healInterruptedCompact(name)
+      compactMarker(root).delete(): Unit
+    }
+  }
+
   /** Heal a [[compact]] that crashed between its two renames: the live
-    * dir is missing but the moved-aside copy is intact. Run by every
-    * read-path entry (table / exists / compact / compactPartitions) so
-    * the repair is reachable through the FIRST operator to touch the
-    * table after the crash, not only through a retry of the operator
-    * that crashed. Covers both the root swap and LEAF swaps inside a
-    * partitioned tree — without the leaf walk, partition discovery
-    * would misread a leftover `X.__compact_old` as the partition value
-    * 'X.__compact_old' and report the real X missing. Local directory
-    * LISTs are cheap; at object-store scale this per-read walk becomes
-    * a periodic maintenance scan instead.
+    * dir is missing but the moved-aside copy is intact. Run in full by
+    * the compaction entry points (compact / compactPartitions) and by
+    * any read that sees the [[compactMarker]] or root debris
+    * ([[healIfMarked]]), so the repair is reachable through the FIRST
+    * operator to touch the table after the crash, not only through a
+    * retry of the operator that crashed. Covers both the root swap and
+    * LEAF swaps inside a partitioned tree — without the leaf walk,
+    * partition discovery would misread a leftover `X.__compact_old` as
+    * the partition value 'X.__compact_old' and report the real X
+    * missing.
     */
   private def healInterruptedCompact(name: String): Unit = {
     val dir = new java.io.File(s"$warehouse/$name")
@@ -298,7 +400,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** Whether `name` has ever been materialized in this warehouse. */
   def exists(name: String): Boolean = {
-    healInterruptedCompact(name)
+    healIfMarked(name)
     new java.io.File(s"$warehouse/$name").exists()
   }
 
@@ -340,16 +442,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       else df.repartition(nFiles)
     val tmp = s"$dir.__compact_tmp"
     shaped.write.mode("overwrite").parquet(tmp)
+    // marker BEFORE the first rename, removed only after the swap is
+    // fully done: a crash anywhere inside the window leaves the marker,
+    // which is what lets plain readers gate the heal walk on one stat
+    val marker = compactMarker(name.split('/').head)
+    marker.createNewFile(): Unit
     rm(old) // stale leftovers from an interrupted previous swap
     require(new java.io.File(dir).renameTo(old),
       s"compact($name): could not move the live table aside")
     if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
       // roll back so readers keep the (uncompacted) live table
       old.renameTo(new java.io.File(dir)): Unit
+      marker.delete(): Unit
       throw new IllegalStateException(
         s"compact($name): swap failed, original restored")
     }
     rm(old)
+    marker.delete(): Unit
     val back = spark.read.parquet(dir)
     // a partition directory ('table/part=value') is not a table name —
     // only plain identifiers get (re-)registered as views
@@ -526,7 +635,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // plain identifiers only: partition-dir paths and dotted names are
     // not warehouse table dirs, and the heal is a no-op for views that
     // never lived in this warehouse
-    if (!name.exists(c => c == '/' || c == '=')) healInterruptedCompact(name)
+    if (!name.exists(c => c == '/' || c == '=')) healIfMarked(name)
     spark.table(name)
   }
 

@@ -79,6 +79,13 @@ object IncrementalIngest {
     * redelivers it — and refuse foreign layouts loudly instead of
     * letting Spark's partition discovery throw a cryptic
     * conflicting-structures error.
+    *
+    * REQUIRES single-writer-per-warehouse: a `_SUCCESS`-less directory
+    * is only distinguishable from a *concurrent* writer's in-flight
+    * batch by ownership, so purging is safe only because exactly one
+    * session writes the warehouse — the invariant the Catalog
+    * constructor's lock (in-process claim + `_LOCK` pid file) enforces
+    * rather than assumes.
     */
   private[pipeline] def purgePartialBatches(cat: Catalog, table: String): Unit = {
     val root = new java.io.File(s"${cat.warehouse}/$table")

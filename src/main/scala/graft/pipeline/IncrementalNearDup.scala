@@ -11,10 +11,20 @@ import graft.engine.Catalog
   * index (`<table>_sigs`) beside the corpus; a batch computes its own
   * signatures once, band-joins them against the INDEX (4×16-bit
   * pigeonhole bands — ≤3 flipped bits corrupt at most 3 of 4 bands,
-  * the d4b rule), and only novel docs append. Work per batch is
-  * O(batch × matching band buckets), independent of history size; at
-  * cluster scale the index is written partitioned by band so a batch
-  * probe prunes to its own buckets.
+  * the d4b rule), and only novel docs append.
+  *
+  * Index layout: signatures are stored pre-banded (one row per
+  * (doc_id, k, band)) and PARTITIONED by `(k, sb)` where
+  * `sb = band % [[SigBuckets]]` — so a batch probe filters the index
+  * scan to its own band buckets with a literal predicate on partition
+  * columns (static directory pruning, visible in PartitionFilters and
+  * proven by scan metrics in NearDupIngestSpec). The probe's cost is
+  * O(batch × matching buckets), independent of history size. Bucketing
+  * the 16-bit band space (rather than one directory per band value)
+  * bounds the directory fan-out: [[SigBuckets]]=16 → ≤64 leaf dirs per
+  * batch locally; at cluster scale raise it toward 65536 (full band
+  * partitioning) as the index grows — pruning factor and file count
+  * trade off through this one constant.
   *
   * Suppression semantics (deterministic, order-free):
   *  - within the batch: a doc is dropped when ANY lower-doc_id batch
@@ -29,14 +39,24 @@ import graft.engine.Catalog
   * signatures each land under `__batch_id=<id>/` with mode(overwrite),
   * partial (`_SUCCESS`-less) directories are purged at every entry,
   * and a replay with the same `batchId` overwrites its own
-  * directories. Write order is rows THEN signatures: a crash between
-  * the two leaves committed rows whose signatures are missing — future
-  * near-dups of those docs could slip in (duplicates, repaired by the
-  * replay) — never the reverse, where a signature with no surviving
-  * row would silently drop future docs whose twin is absent from the
-  * corpus (data loss).
+  * directories. The index probe EXCLUDES the batch's own
+  * `__batch_id=` partition, so a replay of a fully committed batch
+  * returns the same survivor set as the first run (the docs would
+  * otherwise each match their own indexed signature at hamming 0 and
+  * the replay would return empty — warehouse-convergent but
+  * caller-visible divergence). Write order is rows THEN signatures: a
+  * crash between the two leaves committed rows whose signatures are
+  * missing — future near-dups of those docs could slip in (duplicates,
+  * repaired by the replay) — never the reverse, where a signature with
+  * no surviving row would silently drop future docs whose twin is
+  * absent from the corpus (data loss).
   */
 object IncrementalNearDup {
+
+  /** Band-bucket fan-out of the signature index partitioning (see the
+    * layout paragraph above): local-mode 16; cluster scale raises it.
+    */
+  private[graft] val SigBuckets = 16
 
   /** 4×16-bit band explosion of a `(doc_id, simhash)` frame. */
   private def banded(sh: DataFrame): DataFrame =
@@ -44,6 +64,27 @@ object IncrementalNearDup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
         .as(Seq("k", "band")))
+
+  /** The combined (k, band-bucket) key — ≤ 4×[[SigBuckets]] distinct
+    * values total, so a batch's key set always collects to the driver
+    * as a bounded literal list no matter how large the batch is.
+    */
+  private def kbCol: org.apache.spark.sql.Column =
+    col("k").cast("long") * SigBuckets + pmod(col("band"), lit(SigBuckets.toLong))
+
+  /** The signature index pruned to the probing batch's band buckets
+    * (literal predicate over the (k, sb) partition columns → directory
+    * pruning) and stripped of `excludeBatch`'s own partition (replay
+    * stability). Package-visible so the spec can assert the pruned
+    * scan's metrics directly.
+    */
+  private[graft] def probeIndex(cat: Catalog, sigsTable: String,
+                                kbs: Seq[Long], excludeBatch: Long): DataFrame =
+    cat.spark.read.parquet(s"${cat.warehouse}/$sigsTable")
+      .filter(col("__batch_id") =!= excludeBatch)
+      .filter((col("k").cast("long") * SigBuckets + col("sb").cast("long"))
+        .isin(kbs: _*))
+      .select(col("doc_id"), col("simhash"), col("k"), col("band"))
 
   /** The corpus as one frame (all committed batches). */
   def corpus(cat: Catalog, table: String): DataFrame =
@@ -59,6 +100,11 @@ object IncrementalNearDup {
     val sigsTable = s"${table}_sigs"
     IncrementalIngest.purgePartialBatches(cat, table)
     IncrementalIngest.purgePartialBatches(cat, sigsTable)
+    // the id is fixed BEFORE the probe so the probe can exclude the
+    // batch's own signatures on replay; computing it consumes nothing —
+    // an all-duplicate batch still writes no directory under this id
+    val id = batchId.getOrElse(
+      IncrementalIngest.batchIds(cat, table).foldLeft(-1L)(math.max) + 1)
     // signatures computed ONCE per batch, durably: the within-batch
     // self-join, the index probe, and the signature append all read
     // this frame — recomputing the token explode three times would
@@ -73,14 +119,12 @@ object IncrementalNearDup {
       .select(col("y.doc_id").as("doc_id"))
     val idxDup =
       if (cat.exists(sigsTable)) {
-        val idx = cat.spark.read.parquet(s"${cat.warehouse}/$sigsTable")
-          .drop("__batch_id")
-          .select(col("doc_id").as("idx_id"), col("simhash").as("idx_sim"))
-        bb.join(banded(idx.select(col("idx_id").as("doc_id"),
-            col("idx_sim").as("simhash")))
-            .select(col("k").as("ki"), col("band").as("bi"),
-              col("simhash").as("si")),
-            col("k") === col("ki") && col("band") === col("bi"))
+        val kbs = bb.select(kbCol.as("kb")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val idx = probeIndex(cat, sigsTable, kbs, id)
+          .select(col("doc_id").as("idx_id"), col("simhash").as("si"),
+            col("k").as("ki"), col("band").as("bi"))
+        bb.join(idx, col("k") === col("ki") && col("band") === col("bi"))
           .filter(bit_count(col("simhash").bitwiseXOR(col("si"))) <= 3)
           .select(col("doc_id"))
       } else bs.select(col("doc_id")).limit(0)
@@ -89,12 +133,12 @@ object IncrementalNearDup {
     try {
       if (kept.isEmpty) kept
       else {
-        val id = batchId.getOrElse(
-          IncrementalIngest.batchIds(cat, table).foldLeft(-1L)(math.max) + 1)
         kept.write.mode("overwrite")
           .parquet(s"${cat.warehouse}/$table/__batch_id=$id")
-        bs.join(dropIds, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite")
+        banded(bs.join(dropIds, Seq("doc_id"), "left_anti"))
+          .withColumn("sb", pmod(col("band"), lit(SigBuckets.toLong)))
+          .repartition(col("k"), col("sb"))
+          .write.mode("overwrite").partitionBy("k", "sb")
           .parquet(s"${cat.warehouse}/$sigsTable/__batch_id=$id")
         cat.spark.read.parquet(s"${cat.warehouse}/$table/__batch_id=$id")
       }

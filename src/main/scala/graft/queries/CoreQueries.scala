@@ -799,7 +799,11 @@ object CoreQueries {
           count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"),
           countDistinct(col("lang")).as("n_langs"),
-          countDistinct(expr("graft_strhash(text)")).as("n_unique_texts"),
+          // 128-bit md5 (as x10's dedup stage uses): a ~2^30 strhash
+          // space would birthday-collide into an undercount beyond a
+          // few tens of thousands of docs — not acceptable for a number
+          // documented as the EXACT unique count
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
           sum(col("ws_tokens")).as("total_ws_tokens"),
           sum(col("n_chars")).as("total_chars"),
           Functions.dsum(col("score")).as("total_quality"))
@@ -808,10 +812,7 @@ object CoreQueries {
         raw"""SELECT COUNT(*) AS n_docs,
            |  COUNT(DISTINCT source) AS n_sources,
            |  COUNT(DISTINCT lang) AS n_langs,
-           |  COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(regexp_extract_all(text, '(?s).'),
-           |      c -> CAST(ascii(c) AS BIGINT))),
-           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS n_unique_texts,
+           |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
            |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
            |    AS total_ws_tokens,
            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -79,6 +79,50 @@ class NearDupIngestSpec extends SparkTestBase {
     assert(k3.isEmpty)
   }
 
+  test("replaying a committed batch returns the SAME survivor set, not empty") {
+    val cat = freshCat("nd_replay")
+    IncrementalNearDup.ingest(cat, docs(1L -> txt("p")), "c", Some(1L))
+    // batch 2: doc 2 novel, doc 3 near-dups indexed doc 1
+    val first = IncrementalNearDup.ingest(cat,
+      docs(2L -> txt("q"), 3L -> txt("p")), "c", Some(2L))
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // replay of the fully committed batch: the probe excludes the
+    // batch's own __batch_id=2 signatures, so doc 2 must not be
+    // suppressed by its own indexed signature — the caller-visible
+    // survivor set is replay-stable, while doc 3 is still suppressed
+    // by batch 1's index
+    val replay = IncrementalNearDup.ingest(cat,
+      docs(2L -> txt("q"), 3L -> txt("p")), "c", Some(2L))
+    assert(replay.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L), "replay must return the first run's survivors")
+  }
+
+  test("the index probe scan prunes to the batch's band buckets") {
+    val cat = freshCat("nd_prune")
+    IncrementalNearDup.ingest(cat,
+      docs((1L to 8L).map(i => i -> txt(s"v$i")): _*), "c", Some(1L))
+    val all = spark.read.parquet(s"${cat.warehouse}/c_sigs")
+    val totalFiles = all.inputFiles.length
+    assert(totalFiles > 1, "index must span multiple (k, sb) partitions")
+    // a probe for ONE (k, band-bucket) key — the shape of a small
+    // batch's band set — must scan strictly fewer partition files
+    val r = all.select(col("k").cast("long"), col("sb").cast("long")).head()
+    val kb = r.getLong(0) * IncrementalNearDup.SigBuckets + r.getLong(1)
+    val probe = IncrementalNearDup.probeIndex(cat, "c_sigs", Seq(kb), 999L)
+    // the bucket predicate must reach the partition columns (directory
+    // pruning), not ride as a post-scan filter
+    val planTxt = probe.queryExecution.executedPlan.toString
+    val scanLine = planTxt.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("k") && scanLine.contains("sb"),
+      planTxt.take(900))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+    val probed = scan.metrics("numFiles").value
+    assert(probed > 0 && probed < totalFiles,
+      s"probe read $probed of $totalFiles index files")
+  }
+
   test("an all-duplicate batch writes nothing and consumes no id") {
     val cat = freshCat("nd_e")
     IncrementalNearDup.ingest(cat, docs(1L -> txt("solo")), "c", Some(1L))

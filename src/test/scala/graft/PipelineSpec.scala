@@ -64,10 +64,14 @@ class PipelineSpec extends SparkTestBase {
     assert(scanLine.contains("year"), scanLine)
 
     // M2: rebuild over an existing warehouse must succeed and agree.
+    // The first session hands the warehouse off (single-writer lock)
+    // before the rebuild opens it.
     val n1 = cat.table("fct_sales").count()
+    cat.close()
     val cat2 = RetailPipeline.build(spark, sfDir, wh)
     assert(cat2.table("fct_sales").count() === n1)
-    cat.dropWarehouse()
+    cat2.dropWarehouse()
+    cat2.close()
   }
 
   test("Catalog.save honors the compression codec knob") {
@@ -266,6 +270,10 @@ class PipelineSpec extends SparkTestBase {
       .toSeq.flatten.filter(_.getName.contains("=")).head
     assert(leaf.renameTo(
       new java.io.File(leaf.getParent, leaf.getName + ".__compact_old")))
+    // a real crash leaves compact()'s in-progress marker too (written
+    // before the first rename) — readers gate the heal walk on it
+    assert(new java.io.File(s"${cat.warehouse}/lt.__compacting")
+      .createNewFile())
     // an ordinary read — NOT a compaction call — must restore the leaf;
     // without the heal, discovery reports the partition under the
     // bogus value 'X.__compact_old' and the real X missing
@@ -274,6 +282,38 @@ class PipelineSpec extends SparkTestBase {
     assert(back.select("o_orderstatus").distinct()
       .collect().map(_.getString(0)).toSet == vals)
     assert(leaf.exists(), "live leaf dir must be restored")
+    assert(!new java.io.File(s"${cat.warehouse}/lt.__compacting").exists(),
+      "the heal must consume the in-progress marker")
+  }
+
+  test("warehouse is single-writer: a second Catalog on the same root refuses") {
+    val wh = graft.queries.Scratch.fresh(spark, "lock_wh")
+    val cat = new graft.engine.Catalog(spark, wh)
+    val e = intercept[IllegalStateException] {
+      new graft.engine.Catalog(spark, wh)
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // handoff: after close() the next session opens cleanly
+    cat.close()
+    val cat2 = new graft.engine.Catalog(spark, wh)
+    cat2.close()
+  }
+
+  test("a dead holder's warehouse lock is stale and is stolen") {
+    val wh = graft.queries.Scratch.fresh(spark, "stale_lock_wh")
+    assert(new java.io.File(wh).mkdirs())
+    // plant a _LOCK from a crashed session: a pid that cannot be alive
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_LOCK"),
+      Long.MaxValue.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val cat = new graft.engine.Catalog(spark, wh) // must not refuse
+    // and the lock now names THIS process
+    val pid = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wh, "_LOCK")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(pid == ProcessHandle.current().pid().toString)
+    cat.close()
   }
 
   test("compactPartitions heals a leaf compact that crashed mid-swap") {
