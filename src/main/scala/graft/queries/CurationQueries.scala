@@ -422,6 +422,66 @@ object CurationQueries {
           |    AS epochs
           |FROM counts, z ORDER BY source""".stripMargin)),
 
+    Q("c9b_token_budget_bpe",
+      "c9's data-recipe planner re-based on REAL encoded tokens — " +
+        "t16's BPE token counts replace whitespace word counts as the " +
+        "budget denomination, so the per-source targets and epoch " +
+        "counts are the ones a training run would actually bill " +
+        "(every whitespace-token budget overstates multi-symbol words " +
+        "and understates merge savings). Same sqrt-weight allocation, " +
+        "same sorted-fold normalizer Z, same exact-arithmetic " +
+        "discipline as c9; the only change is the token census " +
+        "feeding it — the memoized t16 frame joined to the doc's " +
+        "source, so encode runs once per corpus no matter how many " +
+        "budget sheets read it. (Docs whose text is all whitespace " +
+        "have no words and drop from the census on both engines.) " +
+        "At 100 TB: the doc-level token frame is corpus-sized but the " +
+        "budget agg keys on source — tens of rows; nothing new " +
+        "shuffles beyond t16's own one (doc_id, word) exchange.",
+      (s, d) => {
+        val budget = 10000000L
+        val counts = TextQueries.bpeDocTokens(s, d)
+          .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe_tokens")).as("n_tokens"))
+        val z = counts.agg(expr(
+          "aggregate(array_sort(collect_list(struct(source as s, " +
+            "sqrt(cast(n_tokens as double)) as v))), " +
+            "cast(0 as double), (acc, x) -> acc + x.v)").as("z"))
+        counts.crossJoin(broadcast(z))
+          .withColumn("weight",
+            sqrt(col("n_tokens").cast("double")) / col("z"))
+          .withColumn("target_tokens",
+            floor(lit(budget.toDouble) * col("weight")).cast("long"))
+          .withColumn("epochs",
+            col("target_tokens").cast("double") /
+              col("n_tokens").cast("double"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("weight"), col("target_tokens"), col("epochs"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH ${TextQueries.BpeDocTokCteSql},
+           |counts AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens
+           |  FROM doctok JOIN documents USING (doc_id) GROUP BY 1),
+           |z AS (
+           |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           |    list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+           |    (acc, x) -> acc + x) AS z
+           |  FROM counts)
+           |SELECT source, n_docs, n_tokens,
+           |  sqrt(CAST(n_tokens AS DOUBLE)) / z.z AS weight,
+           |  CAST(floor(10000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / z.z))
+           |    AS BIGINT) AS target_tokens,
+           |  CAST(CAST(floor(10000000.0 * (sqrt(CAST(n_tokens AS DOUBLE))
+           |      / z.z)) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           |    AS epochs
+           |FROM counts, z ORDER BY source""".stripMargin)),
+
     Q("c8_corpus_shuffle",
       "Deterministic epoch shuffle + sharding — the training-order " +
         "permutation every epoch needs: shard = content_hash(doc_id, " +

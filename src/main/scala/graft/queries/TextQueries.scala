@@ -68,6 +68,126 @@ object TextQueries {
       |    + (CASE WHEN length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) = 0 THEN 0.25 ELSE 0.0 END)
       |    + (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 0.25 ELSE 0.0 END)""".stripMargin
 
+  /** Number of BPE merges applied by t16/c9b — t12's top-20 list. */
+  private[graft] val BpeMerges = 20
+
+  /** Per-document BPE-encoded token counts: t12's learned merge list
+    * APPLIED — the step that closes the tokenizer loop, so token-
+    * denominated operators can bill real encoded tokens instead of
+    * whitespace words.
+    *
+    * Encoding semantics (deterministic, engine-portable): each vocab
+    * word is rendered with every character WRAPPED ("abc" →
+    * "<a><b><c>"), then t12's merges are folded in rank order, each
+    * one a LITERAL leftmost non-overlapping replace-all of "<a><b>"
+    * with "<ab>" — precisely the greedy left-to-right pair merge,
+    * with no regex in the hot loop. Both-side wrapping is load-
+    * bearing twice: adjacent tokens share no delimiter (so an
+    * adjacent eligible pair right after a replaced one still
+    * matches — a run of four 'a's merges into two "aa"s), and a
+    * pattern can only match COMPLETE tokens (with prefix-only
+    * delimiters, "<b><a>" would false-match a following token that
+    * merely STARTS with 'a', e.g. the "an" of banana — caught by the
+    * TextSpec list-fold replica). Token count = '<' count. Words
+    * outside the t12 vocabulary (digits, punctuation, single
+    * letters) bill 1 token each — the single-symbol fallback.
+    *
+    * Scale shape (the t12 trick, extended): ONE (doc_id, word) shuffle
+    * with map-side combine carries the corpus; vocabulary, merge list,
+    * and the encode fold all run over DISTINCT words (millions at
+    * 100 TB, not trillions of corpus tokens); the encoded vocab joins
+    * back broadcast (or as a word-keyed shuffle join when the vocab
+    * outgrows broadcast). Memoized per corpus: t16 reports it, c9b
+    * budgets on it, one computation.
+    */
+  private[queries] def bpeDocTokens(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"bpe_doc_tokens:$d", "bpe_doc_tokens", {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pair_count").desc, col("pair"))
+      val docWords = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val vocab = docWords
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy(col("word")).agg(sum(col("cnt")).as("wcount"))
+      // t12's merge list verbatim: adjacent-pair counts weighted by
+      // word frequency, top-BpeMerges in (count desc, pair) rank order,
+      // collapsed to ONE array row for the broadcast into the encoder.
+      val merges = vocab
+        .withColumn("i", explode(sequence(lit(1), length(col("word")) - 1)))
+        .select(expr("substring(word, i, 2)").as("pair"), col("wcount"))
+        .groupBy(col("pair")).agg(sum(col("wcount")).as("pair_count"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BpeMerges)
+        .agg(expr("transform(array_sort(collect_list(struct(rank, pair))), " +
+          "x -> x.pair)").as("ms"))
+      val enc = vocab.select(col("word")).crossJoin(broadcast(merges))
+        .withColumn("e", expr(
+          "aggregate(ms, regexp_replace(word, '(.)', '<$1>'), (acc, m) -> " +
+            "replace(acc, concat('<', substring(m, 1, 1), '><', " +
+            "substring(m, 2, 1), '>'), concat('<', m, '>')))"))
+        .select(col("word"),
+          (length(col("e")) - length(translate(col("e"), "<", "")))
+            .cast("long").as("n_tok"),
+          length(col("word")).cast("long").as("n_base"))
+      docWords.join(broadcast(enc), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * coalesce(col("n_base"), lit(1L)))
+            .as("n_base_tokens"),
+          sum(col("cnt") * coalesce(col("n_tok"), lit(1L)))
+            .as("n_bpe_tokens"))
+    })
+
+  /** DuckDB twin of [[bpeDocTokens]] as a CTE prefix ending in
+    * `doctok(doc_id, n_words, n_base_tokens, n_bpe_tokens)` — shared by
+    * the t16 and c9b oracles so the encode definition cannot drift
+    * between the report and the budget built on it.
+    */
+  private[queries] val BpeDocTokCteSql: String =
+    s"""docw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id,
+       |      UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |    FROM documents) w
+       |  WHERE len(word) > 0 GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT word, SUM(cnt) AS wcount FROM docw
+       |  WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) >= 2
+       |  GROUP BY 1),
+       |positions AS (
+       |  SELECT word, wcount, UNNEST(generate_series(1, len(word) - 1)) AS i
+       |  FROM vocab),
+       |prs AS (
+       |  SELECT substr(word, CAST(i AS INT), 2) AS pair,
+       |    SUM(wcount) AS pair_count
+       |  FROM positions GROUP BY 1),
+       |ranked AS (
+       |  SELECT pair, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+       |    AS rank FROM prs),
+       |merges AS (SELECT list(pair ORDER BY rank) AS ms FROM ranked
+       |  WHERE rank <= $BpeMerges),
+       |enc AS (
+       |  SELECT word,
+       |    CAST(length(e) - length(replace(e, '<', '')) AS BIGINT) AS n_tok,
+       |    CAST(len(word) AS BIGINT) AS n_base
+       |  FROM (
+       |    SELECT word,
+       |      list_reduce(
+       |        list_prepend(regexp_replace(word, '(.)', '<\\1>', 'g'), ms),
+       |        (acc, m) -> replace(acc,
+       |          '<' || m[1] || '><' || m[2] || '>', '<' || m || '>')) AS e
+       |    FROM vocab, merges) t),
+       |doctok AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * COALESCE(n_base, 1)) AS BIGINT) AS n_base_tokens,
+       |    CAST(SUM(cnt * COALESCE(n_tok, 1)) AS BIGINT) AS n_bpe_tokens
+       |  FROM docw LEFT JOIN enc USING (word) GROUP BY 1)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("t1_token_stats",
@@ -559,6 +679,27 @@ object TextQueries {
           |    AS BIGINT) AS rank,
           |  pair, CAST(pair_count AS BIGINT) AS pair_count
           |FROM pairs ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin)),
+
+    Q("t16_bpe_encode",
+      "BPE ENCODING — t12's learned merge list applied back to the " +
+        "corpus (the other half of the tokenizer loop: t12 trains, t16 " +
+        "encodes), reporting per-document real encoded token counts " +
+        "next to the word and pre-merge symbol counts. Encoding is a " +
+        "rank-order fold of literal leftmost replace-alls over a " +
+        "delimiter rendering of each word (see bpeDocTokens) — greedy " +
+        "left-to-right pair merging with zero regex in the loop, " +
+        "bit-identical across engines. Out-of-vocabulary words bill 1 " +
+        "token (single-symbol fallback). The n_base_tokens - " +
+        "n_bpe_tokens gap is the merge saving the tokenizer exists " +
+        "for. At 100 TB: one (doc_id, word) shuffle with map-side " +
+        "combine; training AND encoding run over distinct words only, " +
+        "never corpus tokens — the encoded-vocab join back is " +
+        "broadcast (word-keyed shuffle when the vocab outgrows it).",
+      (s, d) => bpeDocTokens(s, d).orderBy("doc_id"),
+      Some(
+        s"""WITH $BpeDocTokCteSql
+           |SELECT doc_id, n_words, n_base_tokens, n_bpe_tokens
+           |FROM doctok ORDER BY doc_id""".stripMargin)),
 
     Q("t14_perplexity_buckets",
       "CCNet-style perplexity bucketing — the corpus-partitioning step " +

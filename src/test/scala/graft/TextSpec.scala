@@ -72,4 +72,80 @@ class TextSpec extends SparkTestBase {
       ("s1", 2L, 5L, 2L, expChecksum("s1")),
       ("s2", 2L, 2L, 1L, expChecksum("s2"))))
   }
+
+  // ---- t16 BPE encode: independent in-JVM replica ----
+
+  /** Greedy leftmost pair-merge fold — a LIST-based replica of the
+    * query's delimiter-string replace fold, so the two agreeing is a
+    * real cross-check of the merge semantics, not the same code twice.
+    */
+  private def encodeTokens(word: String, merges: Seq[String]): Long = {
+    var toks = word.map(_.toString).toList
+    for (m <- merges) {
+      val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      for (tk <- toks) {
+        if (buf.nonEmpty && buf.last == a && tk == b)
+          buf.update(buf.size - 1, m)
+        else buf += tk
+      }
+      toks = buf.toList
+    }
+    toks.size.toLong
+  }
+
+  /** t12's merge learning, replicated: frequency-weighted adjacent-pair
+    * counts over the vocab, top-n in (count desc, pair) order.
+    */
+  private def learnMerges(vocab: Map[String, Long], n: Int): Seq[String] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- vocab; i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) += c
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).map(_._1)
+  }
+
+  test("t16_bpe_encode matches a list-fold replica on an adversarial fixture") {
+    // Words chosen to stress the merge loop: overlap runs (aaaa),
+    // alternations (ababab), merge-order conflicts (the rank-1 merge
+    // consuming a char the rank-2 merge wanted), repeated words
+    // (frequency weighting), and OOV fallbacks (digits, single chars,
+    // punctuation-bearing tokens).
+    val bpeFixture = Seq(
+      (0L, "en", "s1", "aaaa ababab banana bananas"),
+      (1L, "en", "s1", "aaaa aaaa abc abd 42 x"),
+      (2L, "en", "s2", "the the the theme lethe 3.14 a-b"),
+      (3L, "en", "s2", "   "), // whitespace-only: no words, drops out
+      (4L, "en", "s2", "zz qq zzqq qqzz"))
+    val dir = Files.createTempDirectory("graft_bpespec").toString
+    spark.createDataFrame(bpeFixture)
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def words(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def eligible(w: String): Boolean =
+      w.length >= 2 && w.forall(c => c >= 'a' && c <= 'z')
+    val vocab = bpeFixture.flatMap(d => words(d._4)).filter(eligible)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merges = learnMerges(vocab, TextQueries.BpeMerges)
+    val expected = bpeFixture.flatMap { d =>
+      val ws = words(d._4)
+      if (ws.isEmpty) None
+      else Some((d._1, ws.size.toLong,
+        ws.map(w => if (eligible(w)) w.length.toLong else 1L).sum,
+        ws.map(w => if (eligible(w)) encodeTokens(w, merges) else 1L).sum))
+    }
+
+    val q = TextQueries.all.find(_.name == "t16_bpe_encode").get
+    val rows = q.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == expected,
+      s"merges=$merges")
+    // The fixture must actually exercise merging: some eligible word
+    // must compress below its character count.
+    val (_, _, base, bpe) = rows.find(_._1 == 0L).get
+    assert(bpe < base, "fixture never merged — test is vacuous")
+  }
 }
