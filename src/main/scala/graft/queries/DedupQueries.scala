@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.engine.Graft
+import graft.engine.{Functions, Graft}
 
 /** Deduplication operators for a training-data pipeline over the
   * `documents` / `embeddings` tables: exact (hash-groupBy), n-gram
@@ -912,7 +912,107 @@ object DedupQueries {
            |SELECT d.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
            |  (c.cluster IS NULL OR d.doc_id = c.cluster) AS kept
            |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
-           |ORDER BY d.doc_id""".stripMargin))
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("x10b_corpus_funnel_neardup",
+      "Curation funnel on the ACTUAL dedup verdicts — x10's attrition " +
+        "datasheet with stage 2 consuming d10's near-dup keep/drop " +
+        "decisions (simhash hamming<=3 connected components, canonical " +
+        "= cluster minimum) instead of the md5-exact cut, so the table " +
+        "reflects the pipeline a run would really execute: near-dup " +
+        "clustering subsumes exact duplicates and cuts strictly " +
+        "deeper. Stage 2's census equals d10's kept count by " +
+        "construction — the two operators read the SAME memoized CC " +
+        "label table, built once per corpus (asserted in DedupSpec " +
+        "too). Stages stay cumulative: raw, near-dup dedup, quality " +
+        ">= 0.5, 40-token floor. At 100 TB the label join is " +
+        "broadcast-sized (near-dup participants only), the funnel " +
+        "itself is one corpus scan into a 4-row stack — the heavy " +
+        "exchange (banded signature self-join) is d10's, paid once " +
+        "and shared.",
+      (s, d) => {
+        val labels = ccLabelsSimhash(s, d)
+        Functions.qualityScored(t(s, d, "documents"))
+          .join(broadcast(labels), col("doc_id") === col("v"), "left")
+          .withColumn("k1", col("l").isNull || col("doc_id") === col("l"))
+          .withColumn("k2", col("k1") && col("score") >= 0.5)
+          .withColumn("k3", col("k2") && col("ws_tokens") >= 40)
+          .agg(
+            count(lit(1)).as("r_docs"),
+            sum(col("ws_tokens")).as("r_tok"),
+            sum(col("n_chars")).as("r_ch"),
+            count(when(col("k1"), 1)).as("d_docs"),
+            coalesce(sum(when(col("k1"), col("ws_tokens"))), lit(0L))
+              .as("d_tok"),
+            coalesce(sum(when(col("k1"), col("n_chars"))), lit(0L))
+              .as("d_ch"),
+            count(when(col("k2"), 1)).as("q_docs"),
+            coalesce(sum(when(col("k2"), col("ws_tokens"))), lit(0L))
+              .as("q_tok"),
+            coalesce(sum(when(col("k2"), col("n_chars"))), lit(0L))
+              .as("q_ch"),
+            count(when(col("k3"), 1)).as("l_docs"),
+            coalesce(sum(when(col("k3"), col("ws_tokens"))), lit(0L))
+              .as("l_tok"),
+            coalesce(sum(when(col("k3"), col("n_chars"))), lit(0L))
+              .as("l_ch"))
+          .selectExpr(
+            "stack(4, " +
+              "1L, 'raw', r_docs, r_tok, r_ch, " +
+              "2L, 'neardup_dedup', d_docs, d_tok, d_ch, " +
+              "3L, 'quality_0.5', q_docs, q_tok, q_ch, " +
+              "4L, 'min_40_tokens', l_docs, l_tok, l_ch) " +
+              "AS (stage_id, stage, n_docs, n_tokens, n_chars)")
+          .orderBy("stage_id")
+      },
+      Some(
+        raw"""WITH RECURSIVE $SimhashDocsSql,
+           |banded AS (
+           |  SELECT doc_id, simhash, g.k,
+           |    (simhash >> (16 * g.k)) & 65535 AS band
+           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+           |prs AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM banded a JOIN banded b
+           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |bidir AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+           |reach(v, u) AS (
+           |  SELECT a AS v, a AS u FROM bidir
+           |  UNION
+           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
+           |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v),
+           |fl AS (
+           |  SELECT sc.*,
+           |    sc.k1 AND sc.score >= 0.5 AS k2,
+           |    sc.k1 AND sc.score >= 0.5 AND sc.ws_tokens >= 40 AS k3
+           |  FROM (
+           |    SELECT d.doc_id, d.n_chars,
+           |      len(string_split_regex(trim(d.text), '\s+')) AS ws_tokens,
+           |      ${TextQueries.QualityScoreSql} AS score,
+           |      (c.cluster IS NULL OR d.doc_id = c.cluster) AS k1
+           |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v) sc),
+           |a AS (SELECT
+           |  COUNT(*) AS r_docs,
+           |  CAST(SUM(ws_tokens) AS BIGINT) AS r_tok,
+           |  CAST(SUM(n_chars) AS BIGINT) AS r_ch,
+           |  COUNT(*) FILTER (k1) AS d_docs,
+           |  CAST(COALESCE(SUM(ws_tokens) FILTER (k1), 0) AS BIGINT) AS d_tok,
+           |  CAST(COALESCE(SUM(n_chars) FILTER (k1), 0) AS BIGINT) AS d_ch,
+           |  COUNT(*) FILTER (k2) AS q_docs,
+           |  CAST(COALESCE(SUM(ws_tokens) FILTER (k2), 0) AS BIGINT) AS q_tok,
+           |  CAST(COALESCE(SUM(n_chars) FILTER (k2), 0) AS BIGINT) AS q_ch,
+           |  COUNT(*) FILTER (k3) AS l_docs,
+           |  CAST(COALESCE(SUM(ws_tokens) FILTER (k3), 0) AS BIGINT) AS l_tok,
+           |  CAST(COALESCE(SUM(n_chars) FILTER (k3), 0) AS BIGINT) AS l_ch
+           |  FROM fl)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+           |    r_docs AS n_docs, r_tok AS n_tokens, r_ch AS n_chars FROM a
+           |  UNION ALL SELECT 2, 'neardup_dedup', d_docs, d_tok, d_ch FROM a
+           |  UNION ALL SELECT 3, 'quality_0.5', q_docs, q_tok, q_ch FROM a
+           |  UNION ALL SELECT 4, 'min_40_tokens', l_docs, l_tok, l_ch FROM a)
+           |ORDER BY stage_id""".stripMargin))
   )
 
   /** The memoized per-corpus simhash signature index shared by

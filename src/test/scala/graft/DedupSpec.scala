@@ -279,6 +279,22 @@ class DedupSpec extends SparkTestBase {
     assert(byCluster == d7)
   }
 
+  test("x10b funnel stage 2 census equals d10's kept verdicts exactly") {
+    // The funnel's near-dup cut must consume the SAME decisions d10
+    // emits — not a re-derivation that could drift. Docs, tokens: the
+    // stage-2 row aggregates exactly the kept=true subset.
+    val kept = run("d10_dedup_corpus").collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val stages = run("x10b_corpus_funnel_neardup").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(stages(2L)._1 == "neardup_dedup")
+    assert(stages(2L)._2 == kept.size.toLong,
+      s"stage-2 docs ${stages(2L)._2} != d10 kept ${kept.size}")
+    // cumulative monotone attrition
+    assert(stages(1L)._2 >= stages(2L)._2 &&
+      stages(2L)._2 >= stages(3L)._2 && stages(3L)._2 >= stages(4L)._2)
+  }
+
   test("connected components of an empty edge frame is empty, not a crash") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
