@@ -611,24 +611,7 @@ object DedupQueries {
         val asg = e.crossJoin(broadcast(c0)).withColumn("d2", d2)
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("v"), col("norm"))
-        val cosine = expr("aggregate(zip_with(xv, yv, (a, b) -> a * b), " +
-          "cast(0 as double), (acc, p) -> acc + p)") /
-          (col("xn") * col("yn"))
-        val drops = asg.select(col("cid"), col("vec_id").as("xid"),
-            col("v").as("xv"), col("norm").as("xn"))
-          .join(asg.select(col("cid"), col("vec_id").as("yid"),
-            col("v").as("yv"), col("norm").as("yn")), Seq("cid"))
-          .filter(col("xid") < col("yid"))
-          .filter(cosine >= 0.35)
-          .select(col("cid"), col("yid")).distinct()
-        asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
-          .join(drops.groupBy(col("cid"))
-            .agg(count(lit(1)).as("nd"), sum(col("yid")).as("ds")),
-            Seq("cid"), "left")
-          .select(col("cid"), col("n_vecs"),
-            coalesce(col("nd"), lit(0L)).as("n_dropped"),
-            coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
-          .orderBy("cid")
+        semDedupStats(asg)
       },
       Some {
         val distSql =
@@ -650,6 +633,52 @@ object DedupQueries {
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY $distSql, c0.cid) AS rn
            |    FROM e, c0) t WHERE rn = 1),
+           |drops AS (
+           |  SELECT DISTINCT y.cid, y.vec_id
+           |  FROM asg x JOIN asg y
+           |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])),
+           |      (acc, p) -> acc + p) / (x.norm * y.norm) >= 0.35),
+           |ds AS (SELECT cid, COUNT(*) AS nd, SUM(vec_id) AS dsum
+           |  FROM drops GROUP BY 1)
+           |SELECT s.cid, s.n_vecs,
+           |  CAST(COALESCE(ds.nd, 0) AS BIGINT) AS n_dropped,
+           |  CAST(COALESCE(ds.dsum, 0) AS BIGINT) AS dropped_id_sum
+           |FROM (SELECT cid, COUNT(*) AS n_vecs FROM asg GROUP BY 1) s
+           |LEFT JOIN ds USING (cid) ORDER BY cid""".stripMargin
+      }),
+
+    Q("d11b_semantic_dedup_trained",
+      "SemDeDup with a TRAINED codebook — d11's cluster-scoped drop " +
+        "scan, but the cells come from the a4b Lloyd loop (two exact " +
+        "sorted-fold mean updates from the first-k init) instead of " +
+        "raw first-k vectors: the paper's actual design, where k-means " +
+        "cells track semantic structure so near-dups co-locate. Every " +
+        "determinism anchor is the shared Lloyd helper's (index-order " +
+        "fold distances, argmin ties to the lower cid, sorted-fold " +
+        "means), composed with the shared SemDeDup tail — so the " +
+        "trained pipeline stays bit-identical to the DuckDB oracle " +
+        "end-to-end. k is a parameter of the underlying implementation " +
+        "(k ∝ corpus size at a target cell population — MixtureSpec " +
+        "doubles the corpus at doubled k and checks the quadratic " +
+        "scan cost stays bounded); the registered row pins k=8, " +
+        "iters=2 to match a4b's trajectory. At 100 TB: centroids " +
+        "broadcast each round, ONE cid shuffle carries the corpus, " +
+        "the pair scan is cell-local.",
+      (s, d) => semanticDedupTrained(s, d, 8, 2),
+      Some {
+        import SimilarityQueries.Lloyd
+        val normSql = "sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+          "list_transform(a3.v, x -> x * x)), (acc, x) -> acc + x))"
+        s"""WITH ${Lloyd.baseSql(8)},
+           |a1 AS (${Lloyd.asgSql("c1")}),
+           |c2 AS (${Lloyd.meansSql("a1")}),
+           |a2 AS (${Lloyd.asgSql("c2")}),
+           |c3 AS (${Lloyd.meansSql("a2")}),
+           |a3 AS (${Lloyd.asgSql("c3")}),
+           |asg AS (
+           |  SELECT a3.vec_id, a3.cid, a3.v, $normSql AS norm FROM a3),
            |drops AS (
            |  SELECT DISTINCT y.cid, y.vec_id
            |  FROM asg x JOIN asg y
@@ -1014,6 +1043,57 @@ object DedupQueries {
            |  UNION ALL SELECT 4, 'min_40_tokens', l_docs, l_tok, l_ch FROM a)
            |ORDER BY stage_id""".stripMargin))
   )
+
+  /** SemDeDup's within-cluster drop scan + per-cluster report, shared
+    * by d11 (first-k codebook) and d11b (trained codebook): pairs meet
+    * inside their cid only (xid < yid), a vector is dropped when a
+    * lower-id cluster-mate's exact fold cosine clears 0.35, and the
+    * output is per-cluster population / drop count / dropped-id-sum.
+    * `asg` must carry (vec_id, cid, v, norm).
+    */
+  private def semDedupStats(asg: DataFrame): DataFrame = {
+    val cosine = expr("aggregate(zip_with(xv, yv, (a, b) -> a * b), " +
+      "cast(0 as double), (acc, p) -> acc + p)") /
+      (col("xn") * col("yn"))
+    val drops = asg.select(col("cid"), col("vec_id").as("xid"),
+        col("v").as("xv"), col("norm").as("xn"))
+      .join(asg.select(col("cid"), col("vec_id").as("yid"),
+        col("v").as("yv"), col("norm").as("yn")), Seq("cid"))
+      .filter(col("xid") < col("yid"))
+      .filter(cosine >= 0.35)
+      .select(col("cid"), col("yid")).distinct()
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(drops.groupBy(col("cid"))
+        .agg(count(lit(1)).as("nd"), sum(col("yid")).as("ds")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        coalesce(col("ds"), lit(0L)).as("dropped_id_sum"))
+      .orderBy("cid")
+  }
+
+  /** d11b's parameterized implementation: codebook TRAINED with
+    * `iters` exact Lloyd mean updates from the first-k init (the a4b
+    * loop, shared helper — every determinism anchor identical), then
+    * the SemDeDup drop scan within the trained cells. k is the scale
+    * dial: it grows proportionally with the corpus at a target cell
+    * population (SemDeDup's cost model — the within-cell quadratic
+    * scan stays O(corpus × cell), never global), which MixtureSpec
+    * exercises by doubling the corpus at doubled k.
+    */
+  private[graft] def semanticDedupTrained(s: SparkSession, d: String,
+      k: Int, iters: Int): DataFrame = {
+    import SimilarityQueries.Lloyd
+    val e = Lloyd.corpus(s, d)
+    var cents = Lloyd.init(e, k)
+    for (_ <- 1 to iters)
+      cents = Lloyd.means(Lloyd.assign(e, cents))
+    val asg = Lloyd.assign(e, cents)
+      .withColumn("norm", sqrt(expr(
+        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+      .select(col("vec_id"), col("cid"), col("v"), col("norm"))
+    semDedupStats(asg)
+  }
 
   /** The memoized per-corpus simhash signature index shared by
     * d4/d4b/d7 (computed and written once per session per input dir).

@@ -78,7 +78,7 @@ object SimilarityQueries {
     * each dimension's values then left-fold before dividing — same
     * order, same fold, same mean on both engines.
     */
-  private object Lloyd {
+  private[queries] object Lloyd {
     val K = 8
 
     /** embeddings as (vec_id, v: array<double>). */
@@ -86,9 +86,12 @@ object SimilarityQueries {
       t(s, d, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
 
-    /** First-k init centroids (cid, c). */
-    def init(e: DataFrame): DataFrame =
-      e.filter(col("vec_id") < K)
+    /** First-k init centroids (cid, c). k is the SemDeDup scale dial:
+      * it grows with the corpus (k ∝ corpus size at a target cell
+      * population) so the within-cell quadratic scan stays bounded.
+      */
+    def init(e: DataFrame, k: Int = K): DataFrame =
+      e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("c"))
 
     /** Assign every vector to its nearest centroid:
@@ -130,12 +133,14 @@ object SimilarityQueries {
         "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
 
     /** `e AS (...), c1 AS (...)` corpus + init CTE prefix. */
-    val BaseSql: String =
+    def baseSql(k: Int): String =
       s"""e AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K)""".stripMargin
+         |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $k)""".stripMargin
+
+    val BaseSql: String = baseSql(K)
 
     def asgSql(c: String): String =
       s"""SELECT vec_id, cid, v, d2 FROM (

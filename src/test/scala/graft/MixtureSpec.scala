@@ -200,4 +200,44 @@ class MixtureSpec extends SparkTestBase {
       (2 until dim).map(i => (i.toLong, 1L, 0L, 0L))
     assert(got.toSeq === expected)
   }
+
+  test("d11b trained cells stay bounded when the corpus doubles at doubled k") {
+    // SemDeDup's cost model: k grows with the corpus at a target cell
+    // population, so the within-cell quadratic scan stays O(corpus x
+    // cell), never global. Exercise it: double the corpus (each vector
+    // plus a deterministically jittered near-copy, interleaved ids so
+    // first-k init draws from both halves) and double k. The mean cell
+    // population must stay EXACTLY fixed (2n/2k = n/k), and the
+    // quadratic pair-scan cost sum(pop^2) must scale like the corpus
+    // (x2-ish), not like fixed-k (x4) — the trend guard that the dial
+    // actually works.
+    val base = graft.queries.DedupQueries
+      .semanticDedupTrained(spark, sfDir, 8, 2)
+      .collect().map(r => r.getLong(1))
+    val src = graft.engine.Graft.table(spark, sfDir, "embeddings")
+    val a = src.select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+    val b = src.select((col("vec_id") * 2 + 1).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.01 * " +
+        "(pmod(vec_id * 31 + i, 7) - 3) as float))").as("embedding"))
+    val dir = Files.createTempDirectory("graft_d11b_double").toString
+    a.unionByName(b).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val doubled = graft.queries.DedupQueries
+      .semanticDedupTrained(spark, dir, 16, 2)
+      .collect().map(r => r.getLong(1))
+
+    assert(doubled.sum == 2 * base.sum, "corpus did not double")
+    assert(doubled.length == 2 * base.length, "cell count did not double")
+    // mean population identical by construction; the distributional
+    // guards: max cell and quadratic cost stay within the linear-scale
+    // envelope (2x, with headroom for re-clustered boundaries).
+    val (maxB, maxD) = (base.max, doubled.max)
+    val (sqB, sqD) = (base.map(p => p * p).sum, doubled.map(p => p * p).sum)
+    info(s"base pops=${base.toSeq.sorted.reverse} sumSq=$sqB")
+    info(s"doubled pops=${doubled.toSeq.sorted.reverse} sumSq=$sqD")
+    assert(maxD <= 2 * maxB,
+      s"max cell grew superlinearly: $maxD > 2*$maxB")
+    assert(sqD <= 3 * sqB,
+      s"quadratic scan cost grew toward fixed-k blowup: $sqD > 3*$sqB")
+  }
 }
