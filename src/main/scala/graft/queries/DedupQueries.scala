@@ -388,6 +388,99 @@ object DedupQueries {
            |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("d2b_minhash_jaccard_diff",
+      "MinHash-estimated vs exact Jaccard DIFFERENTIAL over the LSH " +
+        "candidate pairs — the ApproxDiff convention at its " +
+        "strongest: because the MinHash estimate (matching signature " +
+        "components / 16) is pure integer arithmetic both engines " +
+        "replicate, the estimate, the exact Jaccard, AND the " +
+        "3-sigma-envelope boolean are all hash-checked, not just a " +
+        "TRUE flag (contrast g12b/x2b, whose sketches are engine-" +
+        "specific). No >= 0.5 cut: sub-threshold candidates are kept " +
+        "because the estimator's behavior there is exactly what the " +
+        "banding parameters are tuned on. The envelope is the " +
+        "idealized binomial bound 3*sqrt(0.25/16) = 0.375 at 16 " +
+        "INDEPENDENT hashes — and the flag is allowed to be false: " +
+        "the 16 minhashes are derived from one base digest by affine " +
+        "maps (the cheap family the pipeline actually ships), so " +
+        "band-collision false positives overestimate beyond the " +
+        "envelope (4 of 32 candidates at sf0.01), which is precisely " +
+        "the quality/cost trade this differential makes visible. At " +
+        "100 TB: signatures come from the same one map-combinable " +
+        "groupBy the candidate generation already pays, candidate " +
+        "pairs are the LSH output (never all-pairs), and the exact " +
+        "arm touches candidate docs only.",
+      (s, d) => {
+        val sh = corpusShingles(s, d)
+        val shD = sh.distinct()
+        val sizes = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val cand = corpusCandidates(s, d).select("doc_a", "doc_b")
+        val inter = cand
+          .join(shD.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+          .join(shD.select(col("doc_id").as("doc_b"), col("h")),
+            Seq("doc_b", "h"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        val minhashes = (0 until 16).map(i =>
+          min((col("h") * (2 * i + 1) + (31 * i + 7)) % P).as(s"h$i"))
+        val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+        val mhA = mh.select(col("doc_id").as("doc_a") +:
+          (0 until 16).map(i => col(s"h$i").as(s"a$i")): _*)
+        val mhB = mh.select(col("doc_id").as("doc_b") +:
+          (0 until 16).map(i => col(s"h$i").as(s"b$i")): _*)
+        val nMatch = (0 until 16).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+        cand.join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            Seq("doc_b"))
+          .join(mhA, Seq("doc_a")).join(mhB, Seq("doc_b"))
+          .withColumn("i", coalesce(col("i"), lit(0L)))
+          .withColumn("jaccard",
+            col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .withColumn("n_match", nMatch)
+          .withColumn("est_jaccard", col("n_match").cast("double") / 16.0)
+          .select(col("doc_a"), col("doc_b"), col("n_match"),
+            col("jaccard"), col("est_jaccard"),
+            ApproxDiff.okAbsCol(col("jaccard"), col("est_jaccard"), 0.375)
+              .as("within_3sigma"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val matches = (0 until 16)
+          .map(i => s"(CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val mins = (0 until 16)
+          .map(i => s"MIN((h * ${2 * i + 1} + ${31 * i + 7}) % $P) AS h$i")
+          .mkString(", ")
+        s"""WITH hs AS ($HashedShinglesSql),
+           |cand AS (SELECT doc_a, doc_b FROM (${LshCandidatesSql("hs")}) c),
+           |shd AS (SELECT DISTINCT doc_id, h FROM hs),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+           |  FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+           |              JOIN shd b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)
+           |SELECT c.doc_a, c.doc_b,
+           |  CAST($matches AS BIGINT) AS n_match,
+           |  CAST(COALESCE(i.i, 0) AS DOUBLE)
+           |    / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard,
+           |  CAST($matches AS DOUBLE) / 16.0 AS est_jaccard,
+           |  abs(CAST($matches AS DOUBLE) / 16.0
+           |    - CAST(COALESCE(i.i, 0) AS DOUBLE)
+           |      / (sa.n + sb.n - COALESCE(i.i, 0))) <= 0.375
+           |    AS within_3sigma
+           |FROM cand c
+           |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+           |JOIN sizes sa ON c.doc_a = sa.doc_id
+           |JOIN sizes sb ON c.doc_b = sb.doc_id
+           |JOIN mh ma ON c.doc_a = ma.doc_id
+           |JOIN mh mb ON c.doc_b = mb.doc_id
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin
+      }),
+
     Q("d3_minhash_lsh",
       "MinHash+LSH near-dup candidates — one compiled digest per " +
         "shingle, 16 derived minhashes per doc (one map-combinable " +

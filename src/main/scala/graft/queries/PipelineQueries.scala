@@ -809,12 +809,10 @@ object PipelineQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("asu"))
         .select(col("n_orders"), col("n_parts"), col("n_suppliers"),
-          (abs(col("ao") - col("n_orders")) <=
-            col("n_orders").cast("double") * 0.06).as("orders_ok"),
-          (abs(col("ap") - col("n_parts")) <=
-            col("n_parts").cast("double") * 0.06).as("parts_ok"),
-          (abs(col("asu") - col("n_suppliers")) <=
-            col("n_suppliers").cast("double") * 0.06).as("suppliers_ok")),
+          ApproxDiff.okCol(col("n_orders"), col("ao"), 0.06).as("orders_ok"),
+          ApproxDiff.okCol(col("n_parts"), col("ap"), 0.06).as("parts_ok"),
+          ApproxDiff.okCol(col("n_suppliers"), col("asu"), 0.06)
+            .as("suppliers_ok")),
       Some(
         """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
           |  COUNT(DISTINCT l_partkey) AS n_parts,
