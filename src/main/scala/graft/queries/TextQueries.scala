@@ -101,7 +101,13 @@ object TextQueries {
     * budgets on it, one computation.
     */
   private[queries] def bpeDocTokens(s: SparkSession, d: String): DataFrame =
-    Scratch.memoized(s, s"bpe_doc_tokens:$d", "bpe_doc_tokens", {
+    Scratch.memoized(s, s"bpe_doc_tokens:$d", "bpe_doc_tokens",
+      bpeDocTokensPlan(s, d))
+
+  /** The un-memoized computation (separate so PlanSpec can assert the
+    * plan shape BEFORE materialization hides it behind a parquet scan).
+    */
+  private[graft] def bpeDocTokensPlan(s: SparkSession, d: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("pair_count").desc, col("pair"))
       val docWords = t(s, d, "documents")
@@ -140,7 +146,7 @@ object TextQueries {
             .as("n_base_tokens"),
           sum(col("cnt") * coalesce(col("n_tok"), lit(1L)))
             .as("n_bpe_tokens"))
-    })
+  }
 
   /** DuckDB twin of [[bpeDocTokens]] as a CTE prefix ending in
     * `doctok(doc_id, n_words, n_base_tokens, n_bpe_tokens)` — shared by

@@ -156,6 +156,30 @@ class PlanSpec extends SparkTestBase {
     assert(hashParts.size <= 1, s"extra hash exchanges:\n${hashParts.mkString("\n")}")
   }
 
+  test("t16 encode joins the vocab back broadcast; corpus agg is map-side combined") {
+    // The scale contract: the corpus-sized stage is ONE (doc_id, word)
+    // hash exchange with partial aggregation before it (map-side
+    // combine), and the encoded vocab rides back as a broadcast — a
+    // shuffle join here would add a corpus-sized word-keyed exchange.
+    // The registered query reads the memoized parquet; assert on the
+    // computation plan itself.
+    val p = graft.queries.TextQueries.bpeDocTokensPlan(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("x10b funnel label join broadcasts; one data-sized exchange total") {
+    // Labels are near-dup participants only (broadcast-sized); the
+    // funnel itself must not add a data-sized exchange beyond reading
+    // the memoized label table.
+    val p = formatted("x10b_corpus_funnel_neardup")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    val hashParts = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(hashParts.isEmpty, s"extra hash exchanges:\n${hashParts.mkString("\n")}")
+  }
+
   test("e7 salted aggregate is a real two-stage plan over the salt") {
     val p = formatted("e7_salted_agg")
     // stage 1 groups on (event_type, salt), stage 2 on event_type alone;
