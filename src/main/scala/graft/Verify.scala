@@ -28,6 +28,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must stay VISIBLE in the artifact: without a
+        // marker, its row simply vanishes from the correctness compare
+        // and an errored query is indistinguishable from an
+        // unregistered one (e4 disappeared from CORRECTNESS_r10 this
+        // way). The dir + _ERROR.txt makes the failure a loud per-query
+        // row for any downstream reader.
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

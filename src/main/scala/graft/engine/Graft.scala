@@ -48,25 +48,47 @@ object Graft {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table with its TIMESTAMP(NANOS) column normalized to a
-    * proper microsecond TimestampType (requires
-    * spark.sql.legacy.parquet.nanosAsLong=true, set in [[session]] and in
-    * the Verify/Bench mains). Nanos→micros floor-divides in pure integer
-    * arithmetic — `(ts - pmod(ts, 1000)) div 1000` stays in LongType, so
-    * epoch-nano magnitudes (~1.7e18, beyond double's 2^53 exact range)
-    * convert bit-exactly, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    * for any sign of epoch.
+  /** Normalize `ts` to session TimestampType regardless of the physical
+    * form it arrived in. Event-log producers drift: the same logical
+    * column shows up as parquet TIMESTAMP(NANOS) (read as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in [[session]]),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ),
+    * or an instant-adjusted TIMESTAMP (read as TimestampType). This is
+    * the ONE place that owns the conversion — batch ([[events]]) and
+    * streaming ([[graft.streaming.EventsStream.source]]) both route
+    * through it, so the two sides can never disagree about what an
+    * events timestamp means.
+    *
+    *  - LongType (nanos-as-long): floor-divide ns→µs in pure integer
+    *    arithmetic — `(ts - pmod(ts, 1000)) div 1000` stays in LongType,
+    *    so epoch-nano magnitudes (~1.7e18, beyond double's 2^53 exact
+    *    range) convert bit-exactly, matching DuckDB's
+    *    TIMESTAMP_NS→TIMESTAMP cast for any sign of epoch.
+    *  - TIMESTAMP_NTZ: cast to TimestampType. The session time zone is
+    *    pinned UTC in [[session]], so the wall-clock reinterprets as the
+    *    identical instant — matching DuckDB, which reads the same
+    *    column as its (zoneless) TIMESTAMP.
+    *  - TimestampType: already the session type; pass through.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
           timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
-      case _ => raw
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; " +
+          "expected INT64 nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
+
+  /** The events table with `ts` normalized via [[normalizeTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
 
   /** Register every testdata table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =

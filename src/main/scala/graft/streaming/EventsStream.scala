@@ -19,31 +19,29 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as written by the test harness, with ts read as long
-    * nanos (spark.sql.legacy.parquet.nanosAsLong=true).
+  /** Streaming source over the events parquet, normalized through the
+    * SAME type-tolerant reader as the batch side
+    * ([[graft.engine.Graft.normalizeTs]]). The file stream source needs
+    * an explicit schema, and pinning one by hand is exactly how the two
+    * sides drift (a producer switching TIMESTAMP(NANOS) → timestamp[us]
+    * once turned every streamed event into 1970 while batch stayed
+    * right): instead we probe the footer via a batch read — driver-side,
+    * one footer, no data scan — and feed the probed schema to the
+    * stream, so whatever physical form `ts` takes, stream and batch see
+    * the identical TimestampType column.
     */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over the events parquet with the same ns→µs
-    * conversion as [[graft.engine.Graft.events]].
-    */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(EventsSchema)
-      // A glob, not the bare file (the file stream source requires its
-      // basePath to be a directory or glob) — but one that matches ONLY
-      // the literal name the batch twin reads: a `events*` prefix glob
-      // would ingest siblings (events_old.parquet) on the stream side
-      // only, breaking stream==batch parity.
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val probed: StructType = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.engine.Graft.normalizeTs(
+      spark.readStream
+        .schema(probed)
+        // A glob, not the bare file (the file stream source requires its
+        // basePath to be a directory or glob) — but one that matches ONLY
+        // the literal name the batch twin reads: a `events*` prefix glob
+        // would ingest siblings (events_old.parquet) on the stream side
+        // only, breaking stream==batch parity.
+        .parquet(s"$dir/events.parque[t]"))
+  }
 
   /** Tumbling 1-hour window counts per event type with a 1-hour
     * watermark — the incremental twin of `e1_hourly_window`. The value

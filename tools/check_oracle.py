@@ -59,6 +59,13 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        import os
+        marker = f"{out_dir}/{name}/_ERROR.txt"
+        if os.path.exists(marker):
+            msg = open(marker).read().strip()
+            print(f"FAIL {name}: query threw: {msg}")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output parquet")
