@@ -21,10 +21,9 @@ import graft.engine.Catalog
   * proven by scan metrics in NearDupIngestSpec). The probe's cost is
   * O(batch × matching buckets), independent of history size. Bucketing
   * the 16-bit band space (rather than one directory per band value)
-  * bounds the directory fan-out: [[SigBuckets]]=16 → ≤64 leaf dirs per
-  * batch locally; at cluster scale raise it toward 65536 (full band
-  * partitioning) as the index grows — pruning factor and file count
-  * trade off through this one constant.
+  * bounds the directory fan-out: [[SigBuckets]] leaf dirs ×4 bands per
+  * batch; see the constant's scaladoc for the local-vs-cluster sizing
+  * rationale.
   *
   * Suppression semantics (deterministic, order-free):
   *  - within the batch: a doc is dropped when ANY lower-doc_id batch
@@ -54,9 +53,16 @@ import graft.engine.Catalog
 object IncrementalNearDup {
 
   /** Band-bucket fan-out of the signature index partitioning (see the
-    * layout paragraph above): local-mode 16; cluster scale raises it.
+    * layout paragraph above). Local-mode 4 (≤16 leaf dirs per batch):
+    * measured locally, partitioned-write cost grows near-linearly with
+    * leaf-dir count (64 dirs ≈ 1.3 s vs 16 dirs ≈ 0.5 s per batch at
+    * sf0.1) while toy-scale probes prune well at any bucketing, so the
+    * small constant is strictly better until the index outgrows it. At
+    * cluster scale raise it toward 65536 (full band partitioning) as
+    * the index grows — pruning factor and file count trade off through
+    * this one constant.
     */
-  private[graft] val SigBuckets = 16
+  private[graft] val SigBuckets = 4
 
   /** 4×16-bit band explosion of a `(doc_id, simhash)` frame. */
   private def banded(sh: DataFrame): DataFrame =
@@ -94,9 +100,19 @@ object IncrementalNearDup {
     * surviving (novel) rows after appending them and their signatures.
     * Pass the upstream's stable `batchId` for replay idempotency; an
     * empty survivor set writes nothing and consumes no id.
+    *
+    * `precomputedSigs`: optionally supply the batch's `(doc_id,
+    * simhash)` frame — MUST equal `simhashDocs(batch)` and be
+    * storage-backed (no recompute on re-read). The production shape at
+    * scale: signatures are computed once where the document is created
+    * (or once per corpus in a shared index) and carried to every
+    * consumer; forcing this operator to re-explode the token stream
+    * per batch would pay the pipeline's heaviest stage once per
+    * consumer instead of once per document.
     */
   def ingest(cat: Catalog, batch: DataFrame, table: String,
-             batchId: Option[Long] = None): DataFrame = {
+             batchId: Option[Long] = None,
+             precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val sigsTable = s"${table}_sigs"
     IncrementalIngest.purgePartialBatches(cat, table)
     IncrementalIngest.purgePartialBatches(cat, sigsTable)
@@ -109,8 +125,9 @@ object IncrementalNearDup {
     // self-join, the index probe, and the signature append all read
     // this frame — recomputing the token explode three times would
     // triple the batch's heaviest stage
-    val bs = graft.queries.Scratch.materialize(cat.spark, "neardup_bsigs",
-      graft.queries.DedupQueries.simhashDocs(batch))
+    val bs = precomputedSigs.getOrElse(
+      graft.queries.Scratch.materialize(cat.spark, "neardup_bsigs",
+        graft.queries.DedupQueries.simhashDocs(batch)))
     val bb = banded(bs)
     val withinDup = bb.as("x").join(bb.as("y"),
         col("x.k") === col("y.k") && col("x.band") === col("y.band") &&
@@ -128,7 +145,11 @@ object IncrementalNearDup {
           .filter(bit_count(col("simhash").bitwiseXOR(col("si"))) <= 3)
           .select(col("doc_id"))
       } else bs.select(col("doc_id")).limit(0)
-    val dropIds = withinDup.union(idxDup).distinct()
+    // dropIds is read THREE times (kept's anti-join, the isEmpty probe,
+    // and the signature anti-join) and is tiny (suppressed ids only) —
+    // without the persist, the signature write recomputes the whole
+    // band self-join + index probe a second time.
+    val dropIds = withinDup.union(idxDup).distinct().persist()
     val kept = batch.join(dropIds, Seq("doc_id"), "left_anti").persist()
     try {
       if (kept.isEmpty) kept
@@ -142,6 +163,6 @@ object IncrementalNearDup {
           .parquet(s"${cat.warehouse}/$sigsTable/__batch_id=$id")
         cat.spark.read.parquet(s"${cat.warehouse}/$table/__batch_id=$id")
       }
-    } finally { kept.unpersist(false); () }
+    } finally { kept.unpersist(false); dropIds.unpersist(false); () }
   }
 }

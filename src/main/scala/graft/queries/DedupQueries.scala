@@ -1189,9 +1189,11 @@ object DedupQueries {
   }
 
   /** The memoized per-corpus simhash signature index shared by
-    * d4/d4b/d7 (computed and written once per session per input dir).
+    * d4/d4b/d7 — and by o6's incremental ingest, which slices batch
+    * signatures from it instead of recomputing the token explode per
+    * batch (computed and written once per session per input dir).
     */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"simhash_sigs:$d", "simhash_sigs",
       simhashDocs(Graft.table(s, d, "documents")))
 

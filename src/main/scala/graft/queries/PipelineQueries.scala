@@ -400,10 +400,17 @@ object PipelineQueries {
           .select(col("doc_id"), col("text"))
         val b1 = docs.filter(col("doc_id") < 250)
         val b2 = docs.filter(col("doc_id") >= 250)
+        // batch signatures sliced from the per-corpus memoized index
+        // (shared with d4/d4b/d7) instead of re-exploding the token
+        // stream per batch — the signatures-computed-upstream shape
+        // ingest's precomputedSigs parameter models
+        val sigs = graft.queries.DedupQueries.simhashSigs(s, d)
         val k1 = graft.pipeline.IncrementalNearDup
-          .ingest(cat, b1, "corpus", Some(1L))
+          .ingest(cat, b1, "corpus", Some(1L),
+            Some(sigs.filter(col("doc_id") < 250)))
         val k2 = graft.pipeline.IncrementalNearDup
-          .ingest(cat, b2, "corpus", Some(2L))
+          .ingest(cat, b2, "corpus", Some(2L),
+            Some(sigs.filter(col("doc_id") >= 250)))
         // tag-and-union, not crossJoin-of-scalars: one aggregate over
         // both frames keeps the plan census free of cartesians
         def stats(batch: Long, in: DataFrame, kept: DataFrame): DataFrame =
