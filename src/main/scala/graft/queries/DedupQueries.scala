@@ -870,7 +870,11 @@ object DedupQueries {
         val pos = docs.select(col("doc_id"),
           posexplode(expr(s"graft_kgram_hashes(text, $L)"))
             .as(Seq("pos", "h")))
-        val nWin = pos.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        // n_windows = len - L + 1 by construction: pure arithmetic on
+        // the doc scan, not a third full pass over the O(corpus chars)
+        // exploded position table
+        val nWin = docs.select(col("doc_id"),
+          (length(col("text")) - L + 1).cast("long").as("n_windows"))
         val hot = pos.groupBy("h").agg(count(lit(1)).as("nh"))
           .filter(col("nh") >= 2).select("h")
         val cand = pos.join(hot, Seq("h")).join(docs, Seq("doc_id"))

@@ -649,6 +649,35 @@ object PipelineQueries {
           |  MAX(dur_us) AS max_session_us
           |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    Q("e4s_sessionize_stream",
+      "§2.12 driver-visible streaming row: stateful sessionization " +
+        "executed BY THE STREAMING ENGINE — file-stream source, " +
+        "mapGroupsWithState with one fixed-size state record per user, " +
+        "Trigger.AvailableNow one-shot — emitting the SAME per-user " +
+        "session statistics as e4_sessionize_batch and hash-checked " +
+        "against e4's DuckDB oracle. Closes the last spec-only " +
+        "streaming surface: every streaming topology (window agg, " +
+        "file sink, sessionizer) now has an oracle-gated row.",
+      (s, d) => graft.streaming.EventsStream.sessionStatsOneShot(s, d),
+      Some(
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |marked AS (SELECT user_id, ts,
+          |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 30 * 60 * 1000000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM e),
+          |sessions AS (SELECT user_id, ts,
+          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM marked),
+          |per_session AS (SELECT user_id, session_id, COUNT(*) AS n,
+          |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+          |  FROM sessions GROUP BY 1, 2)
+          |SELECT user_id, COUNT(*) AS n_sessions,
+          |  CAST(SUM(n) AS BIGINT) AS n_events,
+          |  MAX(dur_us) AS max_session_us
+          |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     Q("e5_skew_salted_distinct",
       "Skew pattern #1: the COMPOUND-KEY REWRITE (not a literal salt — " +
         "see e7_salted_agg for the explicit-salt variant) — two-phase " +

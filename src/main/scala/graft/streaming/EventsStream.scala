@@ -206,6 +206,87 @@ object EventsStream {
       }
   }
 
+  final case class SessionAgg(n_sessions: Long, last_us: Long,
+      cur_start_us: Long, max_dur_us: Long, n_events: Long)
+  final case class UserSessionStats(user_id: Long, n_sessions: Long,
+      n_events: Long, max_session_us: Long)
+
+  /** Stateful sessionization with FULL per-user session statistics —
+    * the streaming twin of `e4_sessionize_batch`'s complete output
+    * (session count, event count, longest-session duration), emitted
+    * via mapGroupsWithState in update mode. State per user is one
+    * fixed-size record (five longs) regardless of history, sharded by
+    * user_id — the bounded-state shape for a billion-user stream.
+    * Counters are CUMULATIVE across micro-batches, so the latest
+    * emitted row per user is always the complete answer so far.
+    */
+  def sessionStats(events: Dataset[SessionEvent]): Dataset[UserSessionStats] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, UserSessionStats](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(
+            SessionAgg(0L, Long.MinValue, Long.MinValue, 0L, 0L))
+          var sessions = prev.n_sessions
+          var last = prev.last_us
+          var curStart = prev.cur_start_us
+          var maxDur = prev.max_dur_us
+          var n = prev.n_events
+          // events within one micro-batch arrive unordered → sort by ts.
+          batch.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (last == Long.MinValue || e.ts_us - last > gapUs) {
+              sessions += 1; curStart = e.ts_us
+            }
+            last = e.ts_us
+            maxDur = math.max(maxDur, last - curStart)
+            n += 1
+          }
+          state.update(SessionAgg(sessions, last, curStart, maxDur, n))
+          UserSessionStats(userId, sessions, n, maxDur)
+      }
+  }
+
+  /** One-shot streaming execution of [[sessionStats]] (the e4s driver
+    * row): drain the events file through the stateful sessionizer with
+    * `Trigger.AvailableNow`, return per-user session statistics as a
+    * batch frame hash-checked against e4's batch oracle. Update output
+    * mode — the sessionizer emits a refreshed cumulative row per user
+    * per micro-batch; since counters only grow, the max over emitted
+    * rows per user equals the final state even if the file source ever
+    * splits the input into several batches.
+    */
+  def sessionStatsOneShot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = s"e4s_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val src = source(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    val q = sessionStats(src)
+      .writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "e4s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val resident = spark.table(sink)
+    // copy out + drop the sink view (the memory sink pins its rows in
+    // the driver for the session lifetime; see hourlyCountsOneShot)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(resident.collect(): _*), resident.schema)
+    spark.catalog.dropTempView(sink)
+    local.groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"),
+        max(col("max_session_us")).as("max_session_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stateful sessionization: counts 30-minute-gap sessions per user via
     * mapGroupsWithState — the incremental twin of `e4_sessionize_batch`.
     * (ProcessingTimeTimeout keeps state eviction explicit; with event
