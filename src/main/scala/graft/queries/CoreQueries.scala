@@ -53,6 +53,21 @@ object CoreQueries {
         sum(col("net_dec")).cast("double").as("net_revenue"))
   }
 
+  /** [[dailyCountryRollup]] memoized per input dir — the day×country
+    * aggregate is read by FIVE registered queries (g5, g6, s7, g9, g11
+    * via the monthly view), and re-running the lineitem-scale
+    * pre-aggregation pipeline once per consumer is exactly the waste
+    * the reference avoids by materializing `agg_country_day` as a
+    * TABLE (facts.py:366-370, `CREATE TABLE agg_country_day AS`)
+    * rather than a view.
+    * The fused plan stays exercised — it is this memo's builder, and
+    * PlanSpec guards its shape directly — while consumers read the
+    * ~day×country-cardinality parquet (10⁴ rows at any corpus size).
+    */
+  def dailyCountryRollupShared(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Scratch.memoized(spark, s"daily_rollup:$dir",
+      "daily_rollup", dailyCountryRollup(spark, dir))
+
   private val DailySql: String =
     """SELECT CAST(o.o_orderdate AS DATE) AS date, n.n_name AS country,
       |  COUNT(DISTINCT CASE WHEN o.o_orderstatus NOT LIKE 'F%' THEN o.o_orderkey END) AS orders,
@@ -82,7 +97,7 @@ object CoreQueries {
     */
   def monthlySummaryUnordered(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = dailyCountryRollup(spark, dir)
+    val daily = dailyCountryRollupShared(spark, dir)
     daily
       .groupBy(
         year($"date").cast("long").as("year"),
@@ -144,7 +159,7 @@ object CoreQueries {
         // query-scoped registration: binding the view to a name of our
         // own means a session-global `agg_country_day` (e.g. the
         // RetailPipeline warehouse table) is never clobbered.
-        dailyCountryRollup(s, d).createOrReplaceTempView("s7_agg_country_day")
+        dailyCountryRollupShared(s, d).createOrReplaceTempView("s7_agg_country_day")
         // resolve the view file independent of the working directory
         val rel = "sql/views/monthly_sales_summary.sql"
         val path = Seq(rel, s"/root/repo/$rel")
@@ -237,7 +252,7 @@ object CoreQueries {
       "G5/G4/J1-J3/P6/P7 — 2-key day×country rollup with conditional " +
         "distinct orders (agg_country_day analog)",
       (s, d) => {
-        val r = dailyCountryRollup(s, d)
+        val r = dailyCountryRollupShared(s, d)
         r.orderBy(r("date"), r("country"))
       },
       Some(s"""SELECT * FROM ($DailySql) daily ORDER BY date, country""")),
@@ -447,7 +462,7 @@ object CoreQueries {
     Q("g9_topk_revenue",
       "G9/O2 — top-k countries by revenue (TakeOrderedAndProject)",
       (s, d) => {
-        val r = dailyCountryRollup(s, d)
+        val r = dailyCountryRollupShared(s, d)
         val agg = r.groupBy(r("country"))
           .agg(Functions.dsum(r("net_revenue")).as("revenue"))
         agg.orderBy(agg("revenue").desc, agg("country")).limit(5)

@@ -19,7 +19,12 @@ class PlanSpec extends SparkTestBase {
     df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("g5 rollup broadcasts both dimension joins") {
-    val p = formatted("g5_daily_country_rollup")
+    // The registered g5 reads the per-dir memo (the reference's
+    // agg_country_day-as-TABLE shape), so guard the plan of the memo's
+    // BUILDER — the fused pipeline that actually executes once per
+    // corpus — not the post-materialization scan.
+    val p = graft.queries.CoreQueries.dailyCountryRollup(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(600))
   }
 
