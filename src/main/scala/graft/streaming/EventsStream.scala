@@ -65,32 +65,28 @@ object EventsStream {
     * batch frame. Complete output mode because the run is a bounded
     * replay hash-checked against the batch oracle — append mode would
     * withhold every window the final watermark hasn't passed, which for
-    * a bounded input is the tail of the data. The memory sink is the
-    * bounded-replay harness shape; the unbounded production shape
-    * (parquet/Kafka sink, append mode, watermark eviction) is exercised
-    * by StreamingSpec.
+    * a bounded input is the tail of the data. The sink is a DURABLE
+    * parquet directory driven through foreachBatch (each micro-batch
+    * overwrites with the full refreshed window table — the
+    * refresh-a-serving-table production shape, executors write, nothing
+    * resident on the driver); the unbounded alternative (append mode +
+    * watermark eviction into an ever-growing file sink) is exercised by
+    * StreamingSpec's exactly-once restart test.
     */
   def hourlyCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"e1s_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = graft.queries.Scratch.fresh(spark, "e1s_out")
     val q = hourlyCounts(source(spark, dir))
       .writeStream
-      .format("memory")
-      .queryName(sink)
       .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         graft.queries.Scratch.fresh(spark, "e1s_ckpt"))
       .start()
     try q.awaitTermination() finally q.stop()
-    // copy the result out and drop the sink view: the memory sink pins
-    // its full result set in the driver for the session lifetime, so
-    // repeated one-shot runs (Verify reruns, bench loops) would
-    // otherwise accumulate one resident table per run
-    val resident = spark.table(sink)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(resident.collect(): _*), resident.schema)
-    spark.catalog.dropTempView(sink)
-    local.orderBy(col("hour_start"), col("event_type"))
+    spark.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Sliding 1-hour windows every 15 minutes with a 1-hour watermark —
@@ -260,27 +256,27 @@ object EventsStream {
     */
   def sessionStatsOneShot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sink = s"e4s_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val out = graft.queries.Scratch.fresh(spark, "e4s_out")
     val src = source(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
     val q = sessionStats(src)
       .writeStream
-      .format("memory")
-      .queryName(sink)
       .outputMode(OutputMode.Update())
+      // durable sink: update mode delivers each user's refreshed
+      // cumulative row per micro-batch; appends accumulate across
+      // batches and the read below collapses to the latest row per
+      // user (counters only grow, so per-column max IS the latest) —
+      // executors write, nothing resident on the driver
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSessionStats], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation",
         graft.queries.Scratch.fresh(spark, "e4s_ckpt"))
       .start()
     try q.awaitTermination() finally q.stop()
-    val resident = spark.table(sink)
-    // copy out + drop the sink view (the memory sink pins its rows in
-    // the driver for the session lifetime; see hourlyCountsOneShot)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(resident.collect(): _*), resident.schema)
-    spark.catalog.dropTempView(sink)
-    local.groupBy(col("user_id"))
+    spark.read.parquet(out).groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"),
         max(col("max_session_us")).as("max_session_us"))
