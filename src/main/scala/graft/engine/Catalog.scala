@@ -239,21 +239,44 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     root.mkdirs(): Unit
     val lock = new java.io.File(root, "_LOCK")
     val selfPid = ProcessHandle.current().pid()
+    def startOf(h: ProcessHandle): Long =
+      h.info().startInstant()
+        .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+        .orElse(java.lang.Long.valueOf(0L)).longValue()
     if (lock.exists()) {
-      val holder = scala.util.Try(new String(
+      // Lock format `pid:startEpochMillis` — the start time pins the
+      // holder's IDENTITY, not just its number: pids recycle, and a
+      // lock whose dead holder's pid was reassigned to an unrelated
+      // live process would otherwise read as held forever (observed as
+      // a transient s7 bench failure on a fixed /tmp warehouse path).
+      // A recorded start that does not match the live process's start
+      // is a recycled pid ⇒ the lock is stale and stolen. Legacy
+      // pid-only locks (no start recorded) keep the conservative
+      // pid-alive check.
+      val txt = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(lock.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
-      val liveForeign = holder.exists(p => p != selfPid &&
-        ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive)
-          .orElse(java.lang.Boolean.FALSE).booleanValue())
+        java.nio.charset.StandardCharsets.UTF_8).trim).getOrElse("")
+      val parts = txt.split(":")
+      val holder = scala.util.Try(parts(0).toLong).toOption
+      val heldStart = scala.util.Try(parts(1).toLong).toOption
+      val liveForeign = holder.exists(p => p != selfPid && {
+        val h = ProcessHandle.of(p)
+        h.map[java.lang.Boolean](_.isAlive)
+          .orElse(java.lang.Boolean.FALSE).booleanValue() &&
+          heldStart.forall(st =>
+            h.map[java.lang.Boolean](ph => java.lang.Boolean.valueOf(
+              startOf(ph) == st))
+              .orElse(java.lang.Boolean.FALSE).booleanValue())
+      })
       if (liveForeign)
         throw new IllegalStateException(
           s"Catalog: warehouse '$warehouse' is locked by live process " +
             s"${holder.get} (${lock.getPath}) — warehouses are " +
             "single-writer; close() it there or wait for that session")
     }
-    java.nio.file.Files.write(lock.toPath, selfPid.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.write(lock.toPath,
+      s"$selfPid:${startOf(ProcessHandle.current())}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
   } catch {
     case t: Throwable => Catalog.releaseRoot(canonicalRoot); throw t
   }

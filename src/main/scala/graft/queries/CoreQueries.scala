@@ -165,7 +165,12 @@ object CoreQueries {
         val path = Seq(rel, s"/root/repo/$rel")
           .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .getOrElse(rel)
-        val view = new graft.engine.Catalog(s, "/tmp/graft-s7-unused")
+        // scratch-fresh warehouse path: a FIXED path here once made s7
+        // fail transiently — the single-writer _LOCK survives process
+        // exit, and when the dead holder's pid gets recycled to a live
+        // process the stale-steal legitimately refuses. Fresh per
+        // session ⇒ no cross-process lock collisions by construction.
+        val view = new graft.engine.Catalog(s, Scratch.fresh(s, "s7_wh"))
           .createViewFromSql(path,
             rewrites = Map(
               "agg_country_day" -> "s7_agg_country_day",

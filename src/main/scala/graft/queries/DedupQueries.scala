@@ -1206,7 +1206,7 @@ object DedupQueries {
     * per session; d7 (cluster stats) and d10 (corpus emission) both
     * read it from scratch parquet.
     */
-  private def ccLabelsSimhash(s: SparkSession, d: String): DataFrame =
+  private[graft] def ccLabelsSimhash(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"cc_labels:$d", "cc_labels_shared",
       connectedComponents(s, simhashNearPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))))

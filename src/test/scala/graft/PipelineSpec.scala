@@ -308,12 +308,38 @@ class PipelineSpec extends SparkTestBase {
       Long.MaxValue.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     val cat = new graft.engine.Catalog(spark, wh) // must not refuse
-    // and the lock now names THIS process
+    // and the lock now names THIS process (pid:startMillis format)
     val pid = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(wh, "_LOCK")),
-      java.nio.charset.StandardCharsets.UTF_8).trim
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(":")(0)
     assert(pid == ProcessHandle.current().pid().toString)
     cat.close()
+  }
+
+  test("a recycled-pid lock (live pid, different start time) is stale and stolen") {
+    val wh = graft.queries.Scratch.fresh(spark, "recycled_lock_wh")
+    assert(new java.io.File(wh).mkdirs())
+    // pid 1 is alive (init), but the recorded start time belongs to a
+    // long-dead holder whose pid number was reassigned — the lock must
+    // read as stale, not as held forever
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_LOCK"),
+      "1:12345".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cat = new graft.engine.Catalog(spark, wh) // must not refuse
+    cat.close()
+    // whereas a live pid with MATCHING start (a genuinely live foreign
+    // holder) still refuses
+    val h1 = ProcessHandle.of(1L).get()
+    val start = h1.info().startInstant()
+      .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+      .orElse(java.lang.Long.valueOf(0L)).longValue()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_LOCK"),
+      s"1:$start".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      new graft.engine.Catalog(spark, wh)
+    }
+    assert(e.getMessage.contains("locked by live process"), e.getMessage)
   }
 
   test("compactPartitions heals a leaf compact that crashed mid-swap") {
