@@ -8,7 +8,7 @@ object Verify {
     val spark = graft.engine.Graft.session("graft-verify", defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query-name filter (same knob as Bench):
-    // isolated dumps for oracle triage without the full 67-query run.
+    // isolated dumps for oracle triage without the full-suite run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def rm(f: java.io.File): Unit = {

@@ -536,6 +536,54 @@ object CurationQueries {
           |  CAST(SUM(doc_id * pos) AS BIGINT) AS order_witness
           |FROM positioned GROUP BY 1 ORDER BY shard""".stripMargin)),
 
+    Q("c10_weighted_sample",
+      "Quality-weighted corpus sampling WITHOUT replacement — pick k " +
+        "docs with probability proportional to an integer quality " +
+        "weight, deterministically. The Efraimidis-Spirakis (2006) " +
+        "exponential-key sampler reduced to EXACT integer arithmetic: " +
+        "for integer weight w, expand the doc into w replicas, hash " +
+        "each replica (polynomial content hash — no RNG state, no " +
+        "transcendental math whose last-ulp differences would split " +
+        "engines), and rank docs by their MINIMUM replica hash; the " +
+        "k smallest win. A doc with twice the weight has twice the " +
+        "draws at the bottom of the order, so inclusion odds scale " +
+        "with weight, and every engine that can fold a polynomial " +
+        "hash reproduces the exact sample. At 100 TB: the expansion " +
+        "is bounded by max weight (5x rows, cheap column set), the " +
+        "per-doc min is a map-side-combinable aggregate, and the " +
+        "global k-smallest is TakeOrderedAndProject (per-partition " +
+        "top-k, then a k-row merge on one reducer — never a global " +
+        "sort). Weight here is a length-tier stand-in (1 + min(4, " +
+        "chars/1000)) for any curated integer quality score.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("weight",
+            (lit(1L) + least(lit(4L), expr("n_chars div 200"))))
+        docs
+          .withColumn("i", explode(expr("sequence(1L, weight)")))
+          .withColumn("rkey", expr(
+            "graft_strhash(concat(cast(doc_id as string), ':', cast(i as string)))"))
+          .groupBy(col("doc_id"), col("weight"))
+          .agg(min(col("rkey")).as("sample_key"))
+          .orderBy(col("sample_key"), col("doc_id"))
+          .limit(25)
+      },
+      Some {
+        val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_extract_all(" +
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(u.i AS VARCHAR), '(?s).'), " +
+          "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+        s"""WITH ex AS (
+           |  SELECT doc_id, 1 + least(4, n_chars // 200) AS weight,
+           |    $fold AS rkey
+           |  FROM documents,
+           |    LATERAL UNNEST(range(1, CAST(1 + least(4, n_chars // 200) AS BIGINT) + 1)) u(i))
+           |SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           |  CAST(MIN(rkey) AS BIGINT) AS sample_key
+           |FROM ex GROUP BY 1, 2
+           |ORDER BY sample_key, doc_id LIMIT 25""".stripMargin
+      }),
+
     Q("c11_split_repair",
       "Contamination-aware split repair — the ACTION d14's report " +
         "calls for: every eval doc sharing a verbatim token-13-gram " +

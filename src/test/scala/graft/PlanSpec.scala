@@ -28,6 +28,16 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(600))
   }
 
+  test("g6 reads the shared daily-rollup memo, not the lineitem pipeline again") {
+    // the memo exists so five consumers stop re-running the fact-scale
+    // pre-aggregation; a regression that re-inlines the builder into a
+    // consumer would silently quintuple the rollup family's cost
+    val p = formatted("g6_monthly_summary")
+    val scans = p.linesIterator.filter(_.contains("Location")).mkString("\n")
+    assert(!scans.contains("lineitem"), s"lineitem scanned directly:\n$scans")
+    assert(scans.contains("daily_rollup"), scans)
+  }
+
   test("p9 filter gauntlet pushes every predicate to the parquet scan") {
     val p = formatted("p9_filter_gauntlet")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
