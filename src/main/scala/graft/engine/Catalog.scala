@@ -674,5 +674,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def dropWarehouse(): Unit = {
     val root = new java.io.File(warehouse)
     if (root.exists()) rm(root)
+    // Dropping the warehouse ends this instance's ownership: release
+    // the single-writer claim (the _LOCK file went with the dir) so a
+    // successor Catalog can rebuild on the same path — the `Run
+    // --rebuild` flow, which the in-process guard otherwise refuses
+    // (drop-then-build opens two Catalogs on one root).
+    Catalog.releaseRoot(canonicalRoot)
   }
 }

@@ -316,6 +316,15 @@ class PipelineSpec extends SparkTestBase {
     cat.close()
   }
 
+  test("dropWarehouse releases the single-writer claim (the Run --rebuild flow)") {
+    val wh = graft.queries.Scratch.fresh(spark, "drop_claim_wh")
+    new graft.engine.Catalog(spark, wh).dropWarehouse()
+    // a successor on the same root must open cleanly — drop-then-build
+    // is exactly what `Run --rebuild` does
+    val cat2 = new graft.engine.Catalog(spark, wh)
+    cat2.close()
+  }
+
   test("a recycled-pid lock (live pid, different start time) is stale and stolen") {
     val wh = graft.queries.Scratch.fresh(spark, "recycled_lock_wh")
     assert(new java.io.File(wh).mkdirs())

@@ -41,6 +41,40 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("invariant: c10 weighted sample == driver-side reference sampler") {
+    // Independent reimplementation of the whole operator (integer
+    // Efraimidis-Spirakis): weights from the same length tier, replica
+    // hashes via the driver-side StringPolyHash fold, min per doc,
+    // k smallest by (key, doc_id). Catches a drifted weight tier,
+    // replica-string format, or tie-break — anything the distributed
+    // plan could get subtly wrong while still returning 25 rows.
+    val docs = graft.engine.Graft.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.map { case (id, nChars) =>
+      val w = 1L + math.min(4L, nChars / 200)
+      val key = (1L to w).map { i =>
+        graft.engine.StringPolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:$i"), 31L)
+      }.min
+      (id, w, key)
+    }.sortBy { case (id, _, key) => (key, id) }.take(25).toSeq
+    val got = graft.queries.Registry.all
+      .find(_.name == "c10_weighted_sample").get.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // and the monotonicity that makes weighting sound: an extra replica
+    // can only lower (improve) a doc's key — min over a superset
+    docs.take(50).foreach { case (id, nChars) =>
+      val w = 1L + math.min(4L, nChars / 200)
+      def keyAt(wx: Long) = (1L to wx).map { i =>
+        graft.engine.StringPolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:$i"), 31L)
+      }.min
+      assert(keyAt(w + 1) <= keyAt(w))
+    }
+  }
+
   test("property: int8 quantization error is bounded by scale/2 per element") {
     // a6's quantizer contract: q = floor(x/scale + 0.5) reconstructs to
     // within half a quantization step for every element (scale =
