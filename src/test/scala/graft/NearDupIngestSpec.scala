@@ -97,6 +97,23 @@ class NearDupIngestSpec extends SparkTestBase {
       Set(2L), "replay must return the first run's survivors")
   }
 
+  test("precomputed signatures reproduce the recompute path exactly") {
+    // the precomputedSigs contract: a frame equal to simhashDocs(batch)
+    // must yield the SAME survivor set as letting ingest compute it —
+    // if the shared signature memo ever drifts from simhashDocs (hash
+    // base, tokenization), o6 would silently diverge; this pins them
+    val batch = docs(
+      5L -> txt("delta"), 6L -> txt("delta"), 7L -> txt("epsilon"))
+    val k1 = IncrementalNearDup.ingest(freshCat("nd_pre_a"), batch, "c", Some(1L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sigs = graft.queries.Scratch.materialize(spark, "nd_pre_sigs",
+      graft.queries.DedupQueries.simhashDocs(batch))
+    val k2 = IncrementalNearDup.ingest(freshCat("nd_pre_b"), batch, "c",
+        Some(1L), Some(sigs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1 == Set(5L, 7L))
+  }
+
   test("the index probe scan prunes to the batch's band buckets") {
     val cat = freshCat("nd_prune")
     IncrementalNearDup.ingest(cat,
