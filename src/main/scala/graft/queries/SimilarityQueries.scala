@@ -591,6 +591,63 @@ object SimilarityQueries {
            |SELECT query_id, rank, vec_id, cosine FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("a8_hard_negatives",
+      "Hard-negative mining — for every query vector, the top-3 MOST " +
+        "similar candidates whose LABEL DIFFERS: the contrastive-" +
+        "training data op (the hardest negatives are the near-misses, " +
+        "not random draws). Same LSH-bucket join shape as a5 — " +
+        "candidates meet in one shuffle join on bucket — with the " +
+        "label-mismatch predicate IN the join condition, so same-label " +
+        "pairs are dropped at the join, before the cosine evaluates " +
+        "or the window ranks. At 100 TB this is a5's scale story " +
+        "unchanged: bucketed candidate generation, per-query top-k " +
+        "window, no all-pairs, no broadcast of either fact side.",
+      (s, d) => {
+        val e = withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("label").as("label_q"),
+            col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("label").as("label_c"),
+            col("bucket"))
+        val scored = c.join(q,
+            c("bucket") === q("bucket") && col("label_c") =!= col("label_q"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label_c").cast("long").as("neg_label"),
+            col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        label AS label_q, bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c,
+           |        label AS label_c, bucket FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id, c.label_c,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q ON c.bucket = q.bucket AND c.label_c != q.label_q),
+           |ranked AS (
+           |  SELECT query_id, vec_id, label_c, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id,
+           |  CAST(label_c AS BIGINT) AS neg_label, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     Q("a6_ann_quantized",
       "Int8-quantized ANN — per-vector scalar quantization " +
         "(scale = greatest(max|x|/127, 1e-30) — the epsilon floor " +
