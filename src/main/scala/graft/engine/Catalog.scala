@@ -256,9 +256,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       val txt = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(lock.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim).getOrElse("")
+      // Mixed-version hazard (accepted, documented): a build that
+      // predates the `pid:start` format parses this whole file with
+      // trim.toLong, throws, reads holder=None, and steals a lock a
+      // NEW-build process holds live. Single-writer across builds is
+      // only guaranteed once every session on a warehouse runs a
+      // format-aware build — do not share a live warehouse across the
+      // format boundary.
       val parts = txt.split(":")
       val holder = scala.util.Try(parts(0).toLong).toOption
-      val heldStart = scala.util.Try(parts(1).toLong).toOption
+      // A recorded start of 0 means the writer could not read its own
+      // startInstant — treat it exactly like a legacy pid-only lock
+      // (conservative pid-alive check), NOT as a mismatch to steal:
+      // the holder's real start is never 0, so comparing would call
+      // every such live lock recycled.
+      val heldStart = scala.util.Try(parts(1).toLong).toOption.filter(_ != 0L)
       val liveForeign = holder.exists(p => p != selfPid && {
         val h = ProcessHandle.of(p)
         h.map[java.lang.Boolean](_.isAlive)
@@ -281,14 +293,38 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     case t: Throwable => Catalog.releaseRoot(canonicalRoot); throw t
   }
 
+  // the exact `pid:start` text this instance wrote — close() only
+  // deletes a _LOCK that still carries it (a successor's lock on the
+  // same path is that successor's property, not ours)
+  private def selfLockText: String = {
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+      .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+      .orElse(java.lang.Long.valueOf(0L)).longValue()
+    s"${self.pid()}:$start"
+  }
+
+  // one release per instance: close() after dropWarehouse() (the
+  // natural try/finally around a --rebuild) or a double-close must not
+  // release the SUCCESSOR Catalog's claim/_LOCK on the same root
+  @volatile private var released = false
+
   /** Release the single-writer lock (in-process claim + `_LOCK` file)
     * so another session may open this warehouse. Reads of already-
     * materialized tables remain valid; further mutation through this
     * instance is a caller error (unenforced — closing is a handoff).
+    * Idempotent, and a no-op after [[dropWarehouse]].
     */
-  def close(): Unit = {
-    new java.io.File(warehouse, "_LOCK").delete(): Unit
-    Catalog.releaseRoot(canonicalRoot)
+  def close(): Unit = synchronized {
+    if (!released) {
+      released = true
+      val lock = new java.io.File(warehouse, "_LOCK")
+      val txt = scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(lock.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim).getOrElse("")
+      if (txt == selfLockText) lock.delete(): Unit
+      Catalog.releaseRoot(canonicalRoot)
+    }
   }
 
   private def rm(f: java.io.File): Unit = {
@@ -671,14 +707,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     spark.table(name).schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
 
   /** S11: database-file lifecycle — drop the warehouse directory. */
-  def dropWarehouse(): Unit = {
+  def dropWarehouse(): Unit = synchronized {
     val root = new java.io.File(warehouse)
     if (root.exists()) rm(root)
     // Dropping the warehouse ends this instance's ownership: release
     // the single-writer claim (the _LOCK file went with the dir) so a
     // successor Catalog can rebuild on the same path — the `Run
     // --rebuild` flow, which the in-process guard otherwise refuses
-    // (drop-then-build opens two Catalogs on one root).
-    Catalog.releaseRoot(canonicalRoot)
+    // (drop-then-build opens two Catalogs on one root). The release is
+    // once-per-instance: a later close() on this dropped Catalog must
+    // not delete the successor's _LOCK or openRoots entry.
+    if (!released) {
+      released = true
+      Catalog.releaseRoot(canonicalRoot)
+    }
   }
 }

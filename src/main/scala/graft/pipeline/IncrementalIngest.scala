@@ -89,13 +89,19 @@ object IncrementalIngest {
     */
   private[pipeline] def purgePartialBatches(cat: Catalog, table: String): Unit = {
     val root = new java.io.File(s"${cat.warehouse}/$table")
-    Option(root.listFiles()).toSeq.flatten.foreach { f =>
-      require(f.isDirectory && f.getName.startsWith("__batch_id="),
-        s"$table: entry '${f.getName}' is not a __batch_id= directory — " +
-          "this table uses the per-batch layout (a flat pre-existing " +
-          "table must be re-ingested as one batch)")
-      if (!committed(f.getPath)) rmDir(f)
-    }
+    Option(root.listFiles()).toSeq.flatten
+      // `_`-prefixed entries OTHER than the batch dirs are table
+      // metadata (Spark's own hidden-file convention: _SUCCESS, and the
+      // sigs tables' _SIG_BUCKETS layout record) — never purged
+      .filterNot(f => f.getName.startsWith("_") &&
+        !f.getName.startsWith("__batch_id="))
+      .foreach { f =>
+        require(f.isDirectory && f.getName.startsWith("__batch_id="),
+          s"$table: entry '${f.getName}' is not a __batch_id= directory — " +
+            "this table uses the per-batch layout (a flat pre-existing " +
+            "table must be re-ingested as one batch)")
+        if (!committed(f.getPath)) rmDir(f)
+      }
   }
 
   private def rmDir(f: java.io.File): Unit = {

@@ -60,9 +60,60 @@ object IncrementalNearDup {
     * small constant is strictly better until the index outgrows it. At
     * cluster scale raise it toward 65536 (full band partitioning) as
     * the index grows — pruning factor and file count trade off through
-    * this one constant.
+    * this one constant. Retuning affects NEW indexes only: an existing
+    * index keeps the layout recorded in its [[SigBucketsMeta]] file
+    * (probing a 16-bucket layout with 4 would silently miss every
+    * `sb >= 4` directory and readmit indexed near-duplicates).
     */
   private[graft] val SigBuckets = 4
+
+  /** Meta-file name recording the bucket count a sigs table was BUILT
+    * with. The constant above is only the default for NEW indexes:
+    * `sb = band % nb` is baked into every partition directory at write
+    * time, so probing an existing index with any other `nb` silently
+    * misses rows (old `sb >= nb` dirs never match) and readmits
+    * previously-indexed near-duplicates. Every probe and every append
+    * therefore uses the STORED count; retuning the constant affects
+    * fresh warehouses only.
+    */
+  private[graft] val SigBucketsMeta = "_SIG_BUCKETS"
+
+  /** The bucket count governing `sigsTable`'s on-disk layout: the
+    * `_SIG_BUCKETS` meta file if present; else inferred from the
+    * existing `sb=` partition dirs (legacy index written before the
+    * meta file existed — max(sb)+1, correct whenever the top bucket is
+    * populated, which 4 bands × any real batch guarantees) and written
+    * back; else [[SigBuckets]] for a brand-new index.
+    */
+  private[graft] def storedSigBuckets(cat: Catalog, sigsTable: String): Int = {
+    val root = new java.io.File(s"${cat.warehouse}/$sigsTable")
+    val meta = new java.io.File(root, SigBucketsMeta)
+    if (meta.exists()) {
+      new String(java.nio.file.Files.readAllBytes(meta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    } else {
+      val sbDirs = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+        .flatMap(b => Option(b.listFiles()).toSeq.flatten)
+        .filter(f => f.isDirectory && f.getName.startsWith("k="))
+        .flatMap(k => Option(k.listFiles()).toSeq.flatten)
+        .filter(f => f.isDirectory && f.getName.startsWith("sb="))
+        .map(_.getName.stripPrefix("sb=").toInt)
+      if (sbDirs.nonEmpty) {
+        val nb = sbDirs.max + 1
+        writeSigBuckets(cat, sigsTable, nb)
+        nb
+      } else SigBuckets
+    }
+  }
+
+  private def writeSigBuckets(cat: Catalog, sigsTable: String, nb: Int): Unit = {
+    val root = new java.io.File(s"${cat.warehouse}/$sigsTable")
+    root.mkdirs(): Unit
+    java.nio.file.Files.write(
+      new java.io.File(root, SigBucketsMeta).toPath,
+      nb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
 
   /** 4×16-bit band explosion of a `(doc_id, simhash)` frame. */
   private def banded(sh: DataFrame): DataFrame =
@@ -71,24 +122,26 @@ object IncrementalNearDup {
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
         .as(Seq("k", "band")))
 
-  /** The combined (k, band-bucket) key — ≤ 4×[[SigBuckets]] distinct
-    * values total, so a batch's key set always collects to the driver
-    * as a bounded literal list no matter how large the batch is.
+  /** The combined (k, band-bucket) key — ≤ 4×nb distinct values total,
+    * so a batch's key set always collects to the driver as a bounded
+    * literal list no matter how large the batch is.
     */
-  private def kbCol: org.apache.spark.sql.Column =
-    col("k").cast("long") * SigBuckets + pmod(col("band"), lit(SigBuckets.toLong))
+  private def kbCol(nb: Int): org.apache.spark.sql.Column =
+    col("k").cast("long") * nb + pmod(col("band"), lit(nb.toLong))
 
   /** The signature index pruned to the probing batch's band buckets
     * (literal predicate over the (k, sb) partition columns → directory
     * pruning) and stripped of `excludeBatch`'s own partition (replay
-    * stability). Package-visible so the spec can assert the pruned
-    * scan's metrics directly.
+    * stability). `nb` MUST be the stored layout's bucket count (see
+    * [[storedSigBuckets]]). Package-visible so the spec can assert the
+    * pruned scan's metrics directly.
     */
   private[graft] def probeIndex(cat: Catalog, sigsTable: String,
-                                kbs: Seq[Long], excludeBatch: Long): DataFrame =
+                                kbs: Seq[Long], excludeBatch: Long,
+                                nb: Int = SigBuckets): DataFrame =
     cat.spark.read.parquet(s"${cat.warehouse}/$sigsTable")
       .filter(col("__batch_id") =!= excludeBatch)
-      .filter((col("k").cast("long") * SigBuckets + col("sb").cast("long"))
+      .filter((col("k").cast("long") * nb + col("sb").cast("long"))
         .isin(kbs: _*))
       .select(col("doc_id"), col("simhash"), col("k"), col("band"))
 
@@ -116,6 +169,9 @@ object IncrementalNearDup {
     val sigsTable = s"${table}_sigs"
     IncrementalIngest.purgePartialBatches(cat, table)
     IncrementalIngest.purgePartialBatches(cat, sigsTable)
+    // the index's on-disk bucket count, NOT the compile-time constant:
+    // a pre-existing index keeps the layout it was written with
+    val nb = storedSigBuckets(cat, sigsTable)
     // the id is fixed BEFORE the probe so the probe can exclude the
     // batch's own signatures on replay; computing it consumes nothing —
     // an all-duplicate batch still writes no directory under this id
@@ -135,10 +191,13 @@ object IncrementalNearDup {
       .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 3)
       .select(col("y.doc_id").as("doc_id"))
     val idxDup =
-      if (cat.exists(sigsTable)) {
-        val kbs = bb.select(kbCol.as("kb")).distinct()
+      // committed batch dirs, not bare dir existence: a sigs dir
+      // holding only the _SIG_BUCKETS meta (pre-seeded layout, or a
+      // crash after meta before sigs) has nothing to probe
+      if (IncrementalIngest.batchIds(cat, sigsTable).nonEmpty) {
+        val kbs = bb.select(kbCol(nb).as("kb")).distinct()
           .collect().map(_.getLong(0)).toSeq
-        val idx = probeIndex(cat, sigsTable, kbs, id)
+        val idx = probeIndex(cat, sigsTable, kbs, id, nb)
           .select(col("doc_id").as("idx_id"), col("simhash").as("si"),
             col("k").as("ki"), col("band").as("bi"))
         bb.join(idx, col("k") === col("ki") && col("band") === col("bi"))
@@ -156,8 +215,12 @@ object IncrementalNearDup {
       else {
         kept.write.mode("overwrite")
           .parquet(s"${cat.warehouse}/$table/__batch_id=$id")
+        // meta BEFORE sigs: a crash in between leaves a recorded
+        // layout with no rows (harmless); the reverse would leave an
+        // un-annotated index a retuned constant could mis-probe
+        writeSigBuckets(cat, sigsTable, nb)
         banded(bs.join(dropIds, Seq("doc_id"), "left_anti"))
-          .withColumn("sb", pmod(col("band"), lit(SigBuckets.toLong)))
+          .withColumn("sb", pmod(col("band"), lit(nb.toLong)))
           .repartition(col("k"), col("sb"))
           .write.mode("overwrite").partitionBy("k", "sb")
           .parquet(s"${cat.warehouse}/$sigsTable/__batch_id=$id")

@@ -554,7 +554,7 @@ object CurationQueries {
         "global k-smallest is TakeOrderedAndProject (per-partition " +
         "top-k, then a k-row merge on one reducer — never a global " +
         "sort). Weight here is a length-tier stand-in (1 + min(4, " +
-        "chars/1000)) for any curated integer quality score.",
+        "chars/200)) for any curated integer quality score.",
       (s, d) => {
         val docs = t(s, d, "documents")
           .withColumn("weight",

@@ -140,6 +140,50 @@ class NearDupIngestSpec extends SparkTestBase {
       s"probe read $probed of $totalFiles index files")
   }
 
+  test("a pre-existing index keeps its recorded bucket layout, not the constant") {
+    // the layout-drift regression: `sb = band % nb` is baked into the
+    // partition dirs at write time, so probing with any OTHER nb misses
+    // `sb >= nb` dirs and readmits indexed near-dups. Pre-seed a meta
+    // file with nb=2 (≠ SigBuckets=4): every write and probe must honor
+    // the stored layout.
+    val cat = freshCat("nd_meta")
+    val root = new java.io.File(s"${cat.warehouse}/c_sigs")
+    assert(root.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(root, IncrementalNearDup.SigBucketsMeta).toPath,
+      "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IncrementalNearDup.ingest(cat, docs(1L -> txt("alpha")), "c", Some(1L))
+    // the on-disk layout is the STORED 2-bucket one
+    val sbDirs = Option(new java.io.File(root, "__batch_id=1").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("k="))
+      .flatMap(k => Option(k.listFiles()).toSeq.flatten)
+      .map(_.getName).filter(_.startsWith("sb="))
+      .map(_.stripPrefix("sb=").toInt).toSet
+    assert(sbDirs.nonEmpty && sbDirs.forall(_ < 2),
+      s"sigs must land in sb∈{0,1} under the stored 2-bucket layout: $sbDirs")
+    // and the probe against that layout still finds the indexed twin
+    val k2 = IncrementalNearDup.ingest(cat, docs(9L -> txt("alpha")), "c", Some(2L))
+    assert(k2.isEmpty, "near-dup of an indexed doc must be suppressed " +
+      "through the stored-bucket probe")
+  }
+
+  test("a legacy index with no meta file infers its layout from the sb= dirs") {
+    val cat = freshCat("nd_legacy")
+    IncrementalNearDup.ingest(cat,
+      docs((1L to 8L).map(i => i -> txt(s"v$i")): _*), "c", Some(1L))
+    val meta = new java.io.File(s"${cat.warehouse}/c_sigs",
+      IncrementalNearDup.SigBucketsMeta)
+    assert(meta.exists(), "ingest must record the layout")
+    // simulate a pre-meta index: delete the record, force inference
+    assert(meta.delete())
+    assert(IncrementalNearDup.storedSigBuckets(cat, "c_sigs") ==
+      IncrementalNearDup.SigBuckets)
+    assert(meta.exists(), "inference must write the record back")
+    // and the inferred layout still suppresses an indexed twin
+    val k2 = IncrementalNearDup.ingest(cat, docs(99L -> txt("v3")), "c", Some(2L))
+    assert(k2.isEmpty)
+  }
+
   test("an all-duplicate batch writes nothing and consumes no id") {
     val cat = freshCat("nd_e")
     IncrementalNearDup.ingest(cat, docs(1L -> txt("solo")), "c", Some(1L))

@@ -325,6 +325,57 @@ class PipelineSpec extends SparkTestBase {
     cat2.close()
   }
 
+  test("close() after dropWarehouse must not disarm the successor's guards") {
+    // the natural try/finally around a --rebuild: drop, successor opens,
+    // THEN the finally fires close() on the dropped instance — which
+    // must be a no-op, not delete the successor's _LOCK / openRoots
+    val wh = graft.queries.Scratch.fresh(spark, "drop_close_wh")
+    val dropped = new graft.engine.Catalog(spark, wh)
+    dropped.dropWarehouse()
+    val successor = new graft.engine.Catalog(spark, wh)
+    dropped.close() // the finally — must not touch the successor
+    assert(new java.io.File(wh, "_LOCK").exists(),
+      "the successor's _LOCK must survive the dropped instance's close()")
+    // both guards still live: a third open must refuse
+    val e = intercept[IllegalStateException] {
+      new graft.engine.Catalog(spark, wh)
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    dropped.close() // double-close: also a no-op
+    successor.close()
+  }
+
+  test("close() leaves a _LOCK it did not write (successor on same path)") {
+    val wh = graft.queries.Scratch.fresh(spark, "foreign_lock_wh")
+    val cat = new graft.engine.Catalog(spark, wh)
+    cat.close()
+    // a successor (here: simulated foreign holder) re-locks the path;
+    // a second close() of the old instance must not delete that lock
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_LOCK"),
+      "99999999:1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cat.close()
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wh, "_LOCK")),
+      java.nio.charset.StandardCharsets.UTF_8) == "99999999:1")
+  }
+
+  test("a lock recording start 0 keeps the conservative pid-alive check") {
+    // start 0 = the writer could not read its own startInstant; the
+    // holder's REAL start is never 0, so comparing would call every
+    // such live lock recycled-stale and steal it — it must instead be
+    // treated like a legacy pid-only lock (alive ⇒ refuse)
+    val wh = graft.queries.Scratch.fresh(spark, "zero_start_wh")
+    assert(new java.io.File(wh).mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "_LOCK"),
+      "1:0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      new graft.engine.Catalog(spark, wh)
+    }
+    assert(e.getMessage.contains("locked by live process"), e.getMessage)
+  }
+
   test("a recycled-pid lock (live pid, different start time) is stale and stolen") {
     val wh = graft.queries.Scratch.fresh(spark, "recycled_lock_wh")
     assert(new java.io.File(wh).mkdirs())
