@@ -622,20 +622,18 @@ object DedupQueries {
 
     Q("d5_embedding_neardup",
       "Embedding-cosine near-dup — pairs blocked by the deterministic " +
-        "random-hyperplane LSH bucket (the honest scale design: the " +
-        "quadratic scan runs within buckets only), exact left-fold dot " +
-        "products bit-identical to the oracle, cosine >= 0.35",
+        "random-hyperplane LSH bucket with the HOT-BUCKET GUARD (the " +
+        "honest scale design: the quadratic scan runs within buckets " +
+        "only, and a bucket over the cap switches to the projection-" +
+        "ordered neighbor-window scan so a dominant near-dup cluster " +
+        "cannot go quadratic), exact left-fold dot products " +
+        "bit-identical to the oracle, cosine >= 0.35",
       (s, d) => embeddingNearPairs(s, d)
         .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
         .orderBy("vec_a", "vec_b"),
       Some(
-        s"""WITH e AS (SELECT vec_id, embedding,
-           |  ${SimilarityQueries.bucketSql("embedding")} AS bucket,
-           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-           |  ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
-           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35
+        s"""WITH ${guardedPairsSql(HotBucketCap, NeighborWindow)}
+           |SELECT vec_a, vec_b, bucket, cosine FROM pairs
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
     Q("d9_embedding_clusters",
@@ -657,14 +655,9 @@ object DedupQueries {
           .orderBy("cluster")
       },
       Some(
-        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
-           |  ${SimilarityQueries.bucketSql("embedding")} AS bucket,
-           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
-           |pairs AS (
-           |  SELECT a.vec_id AS a, b.vec_id AS b
-           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.35),
-           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        s"""WITH RECURSIVE ${guardedPairsSql(HotBucketCap, NeighborWindow)},
+           |bidir AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+           |  UNION ALL SELECT vec_b, vec_a FROM pairs),
            |reach(v, u) AS (
            |  SELECT a AS v, a AS u FROM bidir
            |  UNION
@@ -1257,25 +1250,124 @@ object DedupQueries {
         .distinct()
     })
 
+  /** Hot-bucket guard parameters for the embedding pair scan.
+    * Random-hyperplane LSH sends similar vectors to the SAME bucket by
+    * design, so a near-dup-heavy corpus (boilerplate web pages at
+    * 100 TB) concentrates its largest cluster in one bucket — an
+    * unguarded within-bucket all-pairs join goes quadratic in exactly
+    * the case dedup exists for. Buckets over [[HotBucketCap]] switch
+    * from all-pairs to a neighbor-window scan: vectors sort by the
+    * [[SimilarityQueries.refinePlane]] projection (near-identical
+    * vectors project near-identically, so cluster members stay
+    * ADJACENT) and each pairs with its next [[NeighborWindow]]
+    * successors only — an equi-join on (bucket, rn) with fan-out ≤ W,
+    * O(n·W) pairs instead of O(n²). Recall inside a hot bucket drops
+    * from "every pair" to "a W-wide band around the sort order", which
+    * keeps the property dedup needs: a tight cluster stays CONNECTED
+    * (adjacent members pair), so d9's components still merge it, while
+    * pair-join work stays linear in the bucket. The textual paths'
+    * analogous guards: winnowing's >10-doc fingerprint prune, d11's
+    * k-bounded cells.
+    */
+  private[graft] val HotBucketCap = 1000
+  private[graft] val NeighborWindow = 8
+
+  /** The guarded cosine>=0.35 pair scan over an `(vec_id, embedding)`
+    * frame — package-visible so DedupSpec can drive it with a planted
+    * mega-cluster at a tiny cap. Returns `(vec_a, vec_b, bucket,
+    * cosine)` with vec_a < vec_b, each unordered pair at most once
+    * (a vector has exactly one bucket; the small/big paths are
+    * disjoint by bucket population).
+    */
+  private[graft] def guardedEmbeddingPairs(emb: DataFrame, cap: Int,
+                                           w: Int): DataFrame = {
+    val e = SimilarityQueries.withRefineOrd(
+      SimilarityQueries.withBucket(emb, "embedding"), "embedding")
+      .withColumn("norm", sqrt(dot("embedding", "embedding")))
+    val counts = e.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val e2 = e.join(broadcast(counts), Seq("bucket"))
+    def cosineOf(p: DataFrame): DataFrame = p
+      .withColumn("cosine", dot("ea", "eb") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+    // small buckets: the exact all-pairs scan (the common case — at a
+    // sane cap virtually every bucket takes this path)
+    val sm = e2.filter(col("bn") <= cap)
+    val sa = sm.select(col("vec_id").as("vec_a"), col("bucket"),
+      col("embedding").as("ea"), col("norm").as("norm_a"))
+    val sb = sm.select(col("vec_id").as("vec_b"),
+      col("bucket").as("bucket_b"), col("embedding").as("eb"),
+      col("norm").as("norm_b"))
+    val smallPairs = cosineOf(sa.join(sb,
+      col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b")))
+    // hot buckets: slim (id, bucket, rn) window — the sort never
+    // carries the embedding payload — then a bounded-fan-out equi-join
+    // on (bucket, rn); embeddings re-attach per side by vec_id
+    val big = e2.filter(col("bn") > cap)
+    val rnw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("ord"), col("vec_id"))
+    val slim = big.select(col("vec_id"), col("bucket"), col("ord"))
+      .withColumn("rn", row_number().over(rnw))
+    val l = slim.select(col("vec_id").as("id_l"), col("bucket"), col("rn"))
+    val r = slim.select(col("vec_id").as("id_r"),
+        col("bucket").as("bucket_r"), col("rn").as("rn_r"))
+      .withColumn("wof", explode(lit((1 to w).toArray)))
+      .withColumn("rn_t", col("rn_r") - col("wof"))
+    val adj = l.join(r,
+        col("bucket") === col("bucket_r") && col("rn") === col("rn_t"))
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"), col("bucket"))
+    val ve = e.select(col("vec_id"), col("embedding"), col("norm"))
+    val bigPairs = cosineOf(adj
+      .join(ve.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("norm").as("norm_a")), Seq("vec_a"))
+      .join(ve.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("norm").as("norm_b")), Seq("vec_b")))
+    smallPairs.unionByName(bigPairs)
+  }
+
+  /** DuckDB twin of [[guardedEmbeddingPairs]] — a CTE chain ending in
+    * `pairs(vec_a, vec_b, bucket, cosine)`, shared by the d5 and d9
+    * oracles so the two can never disagree about the pair set.
+    */
+  private def guardedPairsSql(cap: Int, w: Int): String = {
+    val bucket = SimilarityQueries.bucketSql("embedding")
+    val ord = SimilarityQueries.refineOrdSql("embedding")
+    s"""e AS (SELECT vec_id, embedding,
+       |  $bucket AS bucket,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |  $ord AS ord FROM embeddings),
+       |cnt AS (SELECT bucket, COUNT(*) AS bn FROM e GROUP BY 1),
+       |e2 AS (SELECT e.*, cnt.bn FROM e JOIN cnt USING (bucket)),
+       |small_pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE a.bn <= $cap),
+       |big AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+       |    ORDER BY ord, vec_id) AS rn
+       |  FROM e2 WHERE bn > $cap),
+       |big_pairs AS (
+       |  SELECT least(a.vec_id, b.vec_id) AS vec_a,
+       |    greatest(a.vec_id, b.vec_id) AS vec_b, a.bucket,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |  FROM big a JOIN big b
+       |    ON a.bucket = b.bucket AND b.rn - a.rn BETWEEN 1 AND $w),
+       |pairs AS (
+       |  SELECT * FROM small_pairs WHERE cosine >= 0.35
+       |  UNION ALL
+       |  SELECT * FROM big_pairs WHERE cosine >= 0.35)""".stripMargin
+  }
+
   /** Per-corpus memoized embedding cosine>=0.35 pair table (shared by
-    * d5 and d9): hyperplane-LSH bucket blocking, exact left-fold dot
-    * products, `(vec_a, vec_b, bucket, cosine)`.
+    * d5 and d9): hyperplane-LSH bucket blocking with the hot-bucket
+    * neighbor-window guard, exact left-fold dot products,
+    * `(vec_a, vec_b, bucket, cosine)`.
     */
   private def embeddingNearPairs(s: SparkSession, d: String): DataFrame =
-    Scratch.memoized(s, s"emb_pairs:$d", "emb_pairs", {
-      val e = SimilarityQueries
-        .withBucket(Graft.table(s, d, "embeddings"), "embedding")
-        .withColumn("norm", sqrt(dot("embedding", "embedding")))
-      val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
-        col("embedding").as("ea"), col("norm").as("norm_a"))
-      val b = e.select(col("vec_id").as("vec_b"),
-        col("bucket").as("bucket_b"), col("embedding").as("eb"),
-        col("norm").as("norm_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
-        .withColumn("cosine", dot("ea", "eb") / (col("norm_a") * col("norm_b")))
-        .filter(col("cosine") >= 0.35)
-        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
-    })
+    Scratch.memoized(s, s"emb_pairs:$d", "emb_pairs",
+      guardedEmbeddingPairs(Graft.table(s, d, "embeddings"),
+        HotBucketCap, NeighborWindow))
 
   /** Per-corpus memoized pruned fingerprint table (shared by d6/d8) —
     * the fingerprint index is built once per corpus, not per consumer.

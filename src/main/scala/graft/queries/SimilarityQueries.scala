@@ -61,6 +61,37 @@ object SimilarityQueries {
       s"(CASE WHEN $fold >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** One extra deterministic hyperplane (seed 43 — disjoint from the
+    * bucket planes) whose CONTINUOUS projection orders vectors inside a
+    * hot bucket: near-identical vectors project near-identically, so
+    * sorting by this value puts a near-dup cluster's members adjacent —
+    * the property the hot-bucket neighbor-window guard rides on.
+    */
+  lazy val refinePlane: Array[Double] = {
+    val rnd = new scala.util.Random(43)
+    Array.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** The refine projection as a column over `df` (adds/drops the plane
+    * literal around the codegen'd dot).
+    */
+  def withRefineOrd(df: DataFrame, emb: String): DataFrame =
+    df.withColumn("__refine", array(refinePlane.map(v => lit(v.toFloat)): _*))
+      .withColumn("ord", expr(s"graft_dot($emb, __refine)"))
+      .drop("__refine")
+
+  /** DuckDB twin of [[withRefineOrd]]'s projection: same plane literal,
+    * same left-fold, bit-identical double.
+    */
+  def refineOrdSql(emb: String): String = {
+    val planeLit = refinePlane
+      .map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($emb, $planeLit), " +
+      "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+  }
+
   /** Attach plane-literal columns then the bucket signature. */
   def withBucket(df: DataFrame, emb: String): DataFrame = {
     val withPlanes = (0 until NPlanes).foldLeft(df) { (d, j) =>

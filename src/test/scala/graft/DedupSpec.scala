@@ -405,4 +405,55 @@ class DedupSpec extends SparkTestBase {
       ("test", 2L, 1L, 1L, 21L),
       ("val", 2L, 1L, 1L, 80L)))
   }
+
+  test("hot-bucket guard: a planted mega-cluster's pair work stays bounded " +
+      "and the cluster stays connected") {
+    import spark.implicits._
+    // ONE dominant near-dup cluster ≫ cap — the 100 TB boilerplate
+    // case: M near-identical vectors all hash to the SAME LSH bucket
+    // (tiny perturbations cannot flip a projection sign), where an
+    // unguarded all-pairs join does M(M-1)/2 work. Plus a 2-vector
+    // near-dup pair on the NEGATED base (every projection sign flips →
+    // a different bucket, population 2 → the exact small-bucket path).
+    val dim = graft.queries.SimilarityQueries.Dim
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)((rnd.nextDouble() + 0.5).toFloat)
+    def perturb(v: Array[Float], i: Int): Array[Float] = {
+      val c = v.clone(); c(i % dim) = c(i % dim) + 1e-3f * (1 + i % 7); c
+    }
+    val m = 60
+    val mega = (0 until m).map(i => (i.toLong, perturb(base, i)))
+    val neg = base.map(x => -x)
+    val small = Seq((100L, perturb(neg, 0)), (101L, perturb(neg, 1)))
+    val fixture = (mega ++ small).toDF("vec_id", "embedding")
+    val cap = 10
+    val w = 3
+    val pairs = DedupQueries.guardedEmbeddingPairs(fixture, cap, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sanity: the fixture really is one hot bucket + one small bucket
+    val buckets = graft.queries.SimilarityQueries
+      .withBucket(fixture, "embedding")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(1)).sorted
+    assert(buckets.toSeq == Seq(2L, 60L),
+      s"fixture must form exactly {60, 2} bucket populations: ${buckets.toSeq}")
+    val megaPairs = pairs.filter(_._1 < 100L)
+    // bounded: ≤ m·w window pairs, nowhere near the m(m-1)/2 = 1770 of
+    // an unguarded scan — THE guard property
+    assert(megaPairs.nonEmpty && megaPairs.size <= m * w,
+      s"mega-cluster pair work must be ≤ ${m * w}, got ${megaPairs.size}")
+    assert(megaPairs.size < m * (m - 1) / 4,
+      "window pairing must stay far from quadratic all-pairs")
+    // connected: the bounded pair set must still merge the cluster —
+    // adjacency in refine-projection order chains the members, so d9's
+    // components collapse it exactly as the unguarded scan would
+    val edges = pairs.toDF("a", "b")
+    val comps = DedupQueries.connectedComponents(spark, edges)
+      .groupBy("l").count().collect().map(_.getLong(1)).sorted
+    assert(comps.toSeq == Seq(2L, 60L),
+      s"guarded pairs must yield components {60, 2}: ${comps.toSeq}")
+    // the small-bucket path is untouched exact all-pairs
+    assert(pairs.contains((100L, 101L)),
+      "the under-cap bucket must keep its exact pair")
+  }
 }
