@@ -199,6 +199,50 @@ object PipelineQueries {
           |JOIN nation n ON c.c_nationkey = n.n_nationkey
           |GROUP BY 1 ORDER BY country""".stripMargin)),
 
+    Q("j6b_fact_variants_bucketed",
+      "j6 over PRE-BUCKETED fact variants — the 100 TB shape of the " +
+        "composite-key fact⋈fact join: both variants are written " +
+        "bucketBy+sortBy the join key once (at ingest time in " +
+        "production; memoized once per corpus here), so the join " +
+        "itself carries ZERO Exchange — co-located, pre-sorted bucket " +
+        "files stream straight into the SortMergeJoin (PlanSpec " +
+        "asserts the no-Exchange plan). Same result contract as j6, " +
+        "same oracle: bucketing is a physical-layout choice, never a " +
+        "semantics choice. At 100 TB this converts the suite's " +
+        "largest recurring shuffle (two fact-wide exchanges per run) " +
+        "into a one-time ingest cost amortized over every consumer.",
+      (s, d) => {
+        val (gbp, eur) = j6bBucketedFacts(s, d)
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        gbp.join(eur, Seq("l_orderkey", "l_linenumber", "date"))
+          .join(o, col("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name").as("country"))
+          .agg(count(lit(1)).as("n_items"),
+            Functions.dsum(col("net")).as("net_revenue"),
+            Functions.dsum(col("net_conv")).as("net_revenue_conv"))
+          .orderBy("country")
+      },
+      Some(
+        """WITH gbp AS (SELECT l_orderkey, l_linenumber,
+          |    CAST(l_shipdate AS DATE) AS date,
+          |    l_extendedprice * (1 - l_discount) AS net FROM lineitem),
+          |eur AS (SELECT l_orderkey, l_linenumber, date,
+          |    net * 0.85 AS net_conv FROM gbp)
+          |SELECT n.n_name AS country, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(g.net AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue,
+          |  CAST(SUM(CAST(e.net_conv AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue_conv
+          |FROM gbp g
+          |JOIN eur e ON g.l_orderkey = e.l_orderkey
+          |  AND g.l_linenumber = e.l_linenumber AND g.date = e.date
+          |JOIN orders o ON g.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY 1 ORDER BY country""".stripMargin)),
+
     Q("j9_coverage_anti",
       "J9/J8 — coverage anti-join: ship dates with no order placed that " +
         "day (FX-coverage analog, facts.py:210-221)",
@@ -1159,4 +1203,43 @@ object PipelineQueries {
           |FROM act a JOIN first f USING (user_id)
           |GROUP BY 1, 2, 3 ORDER BY cohort_week, week""".stripMargin))
   )
+
+  /** Bucketed-table names per (session, corpus) — the j6b fact variants
+    * are written bucketBy+sortBy ONCE per corpus (production writes
+    * them at ingest) and every later run reads the co-located files.
+    */
+  private val j6bTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The j6 fact variants as bucketed+sorted tables on the composite
+    * join key `(l_orderkey, l_linenumber, date)` — reading these joins
+    * with zero Exchange (co-located buckets, pre-sorted files).
+    */
+  private[graft] def j6bBucketedFacts(s: SparkSession,
+                                      d: String): (DataFrame, DataFrame) = {
+    val key = s"${s.sparkContext.applicationId}:$d"
+    val names = j6bTables.computeIfAbsent(key, _ => {
+      val sfx = (key.hashCode.toLong & 0xffffffffL).toString
+      val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "j6b_wh"))
+      val fact = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("date"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      val keyCols = Seq("l_orderkey", "l_linenumber", "date")
+      cat.saveBucketed(s"j6b_gbp_$sfx", fact, keyCols, 8)
+      cat.saveBucketed(s"j6b_eur_$sfx",
+        fact.select(col("l_orderkey"), col("l_linenumber"), col("date"),
+          (col("net") * 0.85).as("net_conv")), keyCols, 8)
+      (s"j6b_gbp_$sfx", s"j6b_eur_$sfx")
+    })
+    (s.table(names._1), s.table(names._2))
+  }
+
+  /** Just the bucketed fact⋈fact join — package-visible so PlanSpec
+    * can assert the plan carries no Exchange at all.
+    */
+  private[graft] def j6bJoined(s: SparkSession, d: String): DataFrame = {
+    val (gbp, eur) = j6bBucketedFacts(s, d)
+    gbp.join(eur, Seq("l_orderkey", "l_linenumber", "date"))
+  }
 }

@@ -67,6 +67,28 @@ class PlanSpec extends SparkTestBase {
     assert("j6_fact".r.findAllIn(scans).size >= 2, scans)
   }
 
+  test("j6b bucketed fact join carries zero Exchange") {
+    // the 100 TB shape: both fact variants written bucketBy+sortBy the
+    // composite join key, so the fact⋈fact join streams co-located,
+    // pre-sorted bucket files — no shuffle at all. Broadcast disabled
+    // so a small SF can't hide the join strategy.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.queries.PipelineQueries.j6bJoined(spark, sfDir)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed fact join must not shuffle:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("j6b matches j6's result exactly (bucketing is layout, not semantics)") {
+    val j6 = df("j6_fact_variants_join").collect().map(_.toSeq)
+    val j6b = df("j6b_fact_variants_bucketed").collect().map(_.toSeq)
+    assert(j6.toSeq == j6b.toSeq)
+  }
+
   test("w1p window is partitioned, not single-task") {
     val p = formatted("w1p_forward_fill_partitioned")
     val windowLine = p.linesIterator.find(_.trim.startsWith("Arguments: [last"))
