@@ -37,8 +37,9 @@ object Bench {
     // Sorted name order: Map iteration order is arbitrary and shifts
     // when the query set changes, which made timings incomparable
     // across rounds (a query billed its predecessor's page-cache state).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    def oneRun(): Seq[(String, Option[Double])] = queryList
       .map { case (name, fn) =>
         // Settle between queries: drop any cached relations the previous
         // query pinned and let the driver heap recover before the timer
@@ -57,13 +58,37 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) Some(secs) else None)
       }
-    val qs = results
+    // ≥3 repeat runs by default: this host shows ±19-40% run-to-run
+    // swings on identical builds (SCALE.md's weather log), so a single
+    // draw is noise — the committed record carries every run's total
+    // and the PER-QUERY MEDIAN across runs, and round-over-round
+    // comparison gates on the median, not a draw.
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
+      .getOrElse(3).max(1)
+    val runs = (1 to nRuns).map(_ => oneRun())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val qMedian: Seq[(String, Option[Double])] = queryList.map { case (name, _) =>
+      val ts = runs.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
+      name -> (if (ts.isEmpty) None else Some(median(ts)))
+    }
+    val qs = qMedian
       .map { case (k, v) => s"\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    // failed = zero successful runs; flaky = failed in some run only
+    val failed = qMedian.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val flaky = queryList.map(_._1).filter { name =>
+      val states = runs.map(_.collectFirst { case (`name`, t) => t.isDefined }.getOrElse(false))
+      states.contains(false) && states.contains(true)
+    }.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runTotals = runs.map(r => r.flatMap(_._2).sum)
+    val total = median(runTotals)
+    val runsJson = runTotals.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"queries":$qs,"failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver captures stdout via a log tail
     // that has truncated the record before (BENCH_r04 lost `total` and 7

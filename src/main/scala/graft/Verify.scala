@@ -15,15 +15,16 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
       f.delete(): Unit
     }
-    SparkEntry.queries
+    val secs = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .map { case (name, fn) =>
       // Stale-dump guard: clear this query's output BEFORE running, so
       // a failure leaves nothing — a leftover dump from a previous run
       // in the same outDir would otherwise be compared as if it were
       // this build's result (observed: a failed query "passing" or
       // "failing" against a dump written hours earlier).
       rm(new java.io.File(s"$outDir/$name"))
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,6 +40,7 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"),
           s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
       }
+      name -> (System.nanoTime() - t0) / 1e9
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -55,6 +57,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query wall seconds of this correctness run — at 130+ queries
+    // the gate's own cost is material; this makes it visible per round
+    // (includes the coalesce(1) dump write, so it is a dump cost, not
+    // a bench number).
+    Files.writeString(Paths.get(s"$outDir/query_secs.json"),
+      secs.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"${q(k)}: ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }
