@@ -681,44 +681,9 @@ object DedupQueries {
         "cluster size stays bounded (the SemDeDup cost model), " +
         "centroids broadcast, ONE cid shuffle carries the corpus, and " +
         "the pair scan is cluster-local — never global all-pairs.",
-      (s, d) => {
-        val k = 8
-        val toD = "transform(embedding, x -> cast(x as double))"
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), expr(toD).as("v"))
-          .withColumn("norm", sqrt(expr(
-            "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
-        val c0 = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("v").as("c"))
-        val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0 as double), (acc, e2) -> acc + e2)")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        val asg = e.crossJoin(broadcast(c0)).withColumn("d2", d2)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("v"), col("norm"))
-        semDedupStats(asg)
-      },
+      (s, d) => semDedupStats(firstKAssign(s, d, 8)),
       Some {
-        val distSql =
-          "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-            "list_zip(e.v, c0.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +
-            "(acc, x) -> acc + x)"
-        s"""WITH e AS (
-           |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-           |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-           |      list_transform(embedding,
-           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-           |      (acc, x) -> acc + x)) AS norm
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-           |asg AS (
-           |  SELECT vec_id, cid, v, norm FROM (
-           |    SELECT e.vec_id, e.v, e.norm, c0.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY $distSql, c0.cid) AS rn
-           |    FROM e, c0) t WHERE rn = 1),
+        s"""WITH $FirstKAsgSql,
            |drops AS (
            |  SELECT DISTINCT y.cid, y.vec_id
            |  FROM asg x JOIN asg y
@@ -833,6 +798,55 @@ object DedupQueries {
            |  COUNT(DISTINCT doc_b) AS n_docs_b,
            |  CAST(SUM(n_shared) AS BIGINT) AS shared_fp_mass
            |FROM dp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
+    Q("d11c_semantic_cluster_stats",
+      "SemDeDup cell-population report — the OBSERVABLE form of the " +
+        "'skewed cluster ⇒ re-train with larger k' signal the d11 " +
+        "scale argument rides on: one row of population stats over " +
+        "the same first-k assignment (shared helper — membership can " +
+        "never disagree with d11). max_pop is the direct mega-cluster " +
+        "alarm; p99_pop is index-based (the ceil(0.99·n)-th smallest " +
+        "population — no engine-specific percentile interpolation); " +
+        "n_over_2x_avg counts cells holding more than twice the mean " +
+        "population, in exact integer arithmetic (pop·n_clusters > " +
+        "2·n_vecs). At 100 TB: pops is one map-side-combinable count " +
+        "per cell (k rows total), the ranking window runs over k rows " +
+        "— centroid-bounded, never corpus-bounded.",
+      (s, d) => {
+        val pops = firstKAssign(s, d, 8).groupBy(col("cid"))
+          .agg(count(lit(1)).as("pop"))
+        val tot = pops.agg(count(lit(1)).as("n_clusters"),
+          sum(col("pop")).as("n_vecs"), max(col("pop")).as("max_pop"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pop"), col("cid"))
+        val ranked = pops.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(tot))
+        val p99 = ranked
+          .filter(col("rn") ===
+            ceil(lit(0.99) * col("n_clusters")).cast("long"))
+          .select(col("pop").as("p99_pop"))
+        val over = ranked
+          .filter(col("pop") * col("n_clusters") > lit(2L) * col("n_vecs"))
+          .agg(count(lit(1)).as("n_over_2x_avg"))
+        tot.crossJoin(broadcast(p99)).crossJoin(broadcast(over))
+          .select(lit(8L).as("k"), col("n_clusters"), col("n_vecs"),
+            col("max_pop"), col("p99_pop"), col("n_over_2x_avg"))
+      },
+      Some(
+        s"""WITH $FirstKAsgSql,
+           |pops AS (SELECT cid, COUNT(*) AS pop FROM asg GROUP BY 1),
+           |tot AS (SELECT COUNT(*) AS n_clusters,
+           |    CAST(SUM(pop) AS BIGINT) AS n_vecs,
+           |    MAX(pop) AS max_pop FROM pops),
+           |ranked AS (SELECT pop, cid,
+           |    ROW_NUMBER() OVER (ORDER BY pop, cid) AS rn FROM pops),
+           |p99 AS (SELECT pop AS p99_pop FROM ranked, tot
+           |  WHERE rn = CAST(CEIL(0.99 * n_clusters) AS BIGINT)),
+           |ov AS (SELECT COUNT(*) AS n_over_2x_avg FROM pops, tot
+           |  WHERE pop * n_clusters > 2 * n_vecs)
+           |SELECT CAST(8 AS BIGINT) AS k, n_clusters, n_vecs, max_pop,
+           |  p99_pop, n_over_2x_avg
+           |FROM tot, p99, ov""".stripMargin)),
 
     Q("d12_exact_substring",
       "Exact substring dedup (Lee et al. 2022, ExactSubstr) — finds " +
@@ -1141,6 +1155,55 @@ object DedupQueries {
     * output is per-cluster population / drop count / dropped-id-sum.
     * `asg` must carry (vec_id, cid, v, norm).
     */
+  /** The d11 first-k assignment `(vec_id, cid, v, norm)` — every
+    * vector to its nearest first-k centroid, exact index-order fold
+    * distance, argmin ties to the lower cid. Shared by d11 and the
+    * d11c cluster-stats row so the two can never disagree about cell
+    * membership.
+    */
+  private[graft] def firstKAssign(s: SparkSession, d: String,
+                                  k: Int): DataFrame = {
+    val toD = "transform(embedding, x -> cast(x as double))"
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), expr(toD).as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+    val c0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (acc, e2) -> acc + e2)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(c0)).withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("norm"))
+  }
+
+  /** DuckDB twin of [[firstKAssign]](k=8): CTE chain ending in
+    * `asg(vec_id, cid, v, norm)` — shared by the d11 and d11c oracles.
+    */
+  private val FirstKAsgSql: String = {
+    val distSql =
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        "list_zip(e.v, c0.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +
+        "(acc, x) -> acc + x)"
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (acc, x) -> acc + x)) AS norm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, cid, v, norm FROM (
+       |    SELECT e.vec_id, e.v, e.norm, c0.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $distSql, c0.cid) AS rn
+       |    FROM e, c0) t WHERE rn = 1)""".stripMargin
+  }
+
   private def semDedupStats(asg: DataFrame): DataFrame = {
     val cosine = expr("aggregate(zip_with(xv, yv, (a, b) -> a * b), " +
       "cast(0 as double), (acc, p) -> acc + p)") /

@@ -240,4 +240,32 @@ class MixtureSpec extends SparkTestBase {
     assert(sqD <= 3 * sqB,
       s"quadratic scan cost grew toward fixed-k blowup: $sqD > 3*$sqB")
   }
+
+  test("d11c reports a planted mega-cluster's known population") {
+    // the observable 're-train with larger k' signal: 8 basis
+    // centroids (vec 0-7), then 12 near-copies of e0 (ids 8-19) — the
+    // planted mega-cluster. Cell 0 holds {0, 8..19} = 13 vectors, the
+    // other 7 cells hold their centroid only. Expected stats row:
+    // n_clusters=8, n_vecs=20, max_pop=13, p99_pop (ceil(0.99*8)=8th
+    // smallest of [1,1,1,1,1,1,1,13]) = 13, n_over_2x_avg (pop*8 >
+    // 2*20 ⇔ pop > 5) = 1.
+    val dim = 8
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0 until dim).map(i =>
+        (i.toLong, Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f))) ++
+      (8 until 20).map(i =>
+        (i.toLong, Seq.tabulate(dim)(j =>
+          if (j == 0) 1.0f else if (j == i % dim) 0.01f * (i - 7) else 0.0f)))
+    val dir = Files.createTempDirectory("graft_d11c").toString
+    spark.createDataFrame(vecs.map { case (id, v) => (id, v, 0) })
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.DedupQueries.all
+      .find(_.name == "d11c_semantic_cluster_stats").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((8L, 8L, 20L, 13L, 13L, 1L)))
+  }
 }
