@@ -215,6 +215,20 @@ object EventsStream {
     * user_id — the bounded-state shape for a billion-user stream.
     * Counters are CUMULATIVE across micro-batches, so the latest
     * emitted row per user is always the complete answer so far.
+    *
+    * Cross-batch ordering contract: the per-batch sort only orders
+    * events WITHIN a micro-batch. An event delivered in a later batch
+    * with a timestamp at or before the user's recorded `last_us` (a
+    * cross-batch late arrival) cannot be re-sessionized — bounded state
+    * keeps no history to split or merge past sessions against. It is
+    * folded into the OPEN session instead (same clamp policy as
+    * [[sessionizeClosed]]): `n_events` counts it, `cur_start_us` clamps
+    * down if it precedes the open session's start, and `last_us` never
+    * regresses (a regressing `last` would let the next on-time event
+    * fake a gap and over-count sessions). Session counts therefore
+    * reflect the in-order subsequence; only when each user's events
+    * arrive time-ordered across batches (e.g. the single-file one-shot,
+    * which always drains in one batch) do they equal the batch answer.
     */
   def sessionStats(events: Dataset[SessionEvent]): Dataset[UserSessionStats] = {
     import events.sparkSession.implicits._
@@ -233,12 +247,20 @@ object EventsStream {
           var n = prev.n_events
           // events within one micro-batch arrive unordered → sort by ts.
           batch.toSeq.sortBy(_.ts_us).foreach { e =>
-            if (last == Long.MinValue || e.ts_us - last > gapUs) {
-              sessions += 1; curStart = e.ts_us
+            if (last != Long.MinValue && e.ts_us <= last) {
+              // cross-batch late arrival: fold into the open session
+              // without regressing `last` (see contract above)
+              curStart = math.min(curStart, e.ts_us)
+              maxDur = math.max(maxDur, last - curStart)
+              n += 1
+            } else {
+              if (last == Long.MinValue || e.ts_us - last > gapUs) {
+                sessions += 1; curStart = e.ts_us
+              }
+              last = e.ts_us
+              maxDur = math.max(maxDur, last - curStart)
+              n += 1
             }
-            last = e.ts_us
-            maxDur = math.max(maxDur, last - curStart)
-            n += 1
           }
           state.update(SessionAgg(sessions, last, curStart, maxDur, n))
           UserSessionStats(userId, sessions, n, maxDur)
@@ -250,9 +272,13 @@ object EventsStream {
     * `Trigger.AvailableNow`, return per-user session statistics as a
     * batch frame hash-checked against e4's batch oracle. Update output
     * mode — the sessionizer emits a refreshed cumulative row per user
-    * per micro-batch; since counters only grow, the max over emitted
-    * rows per user equals the final state even if the file source ever
-    * splits the input into several batches.
+    * per micro-batch, and since counters only grow, the per-column max
+    * over emitted rows per user recovers the LATEST state row. That
+    * collapse is exact for any batch split; whether the latest state
+    * equals the batch answer is governed by [[sessionStats]]'s
+    * cross-batch ordering contract — here the source is the single
+    * events parquet, which the file source always delivers in one
+    * micro-batch, so batch parity holds exactly.
     */
   def sessionStatsOneShot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

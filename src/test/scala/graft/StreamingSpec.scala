@@ -186,6 +186,98 @@ class StreamingSpec extends SparkTestBase {
     assert(n1 === n2, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("cross-batch late event past the watermark is dropped; batch keeps it") {
+    // VERDICT r11 task 6: the watermark-drop path ACROSS micro-batch
+    // boundaries. Four hand-fed micro-batches; a late event arrives in
+    // batch 3 after its window's watermark expired in batch 2. Append
+    // mode so finalized windows are emitted exactly once and the late
+    // row's absence is observable; the batch twin over the identical
+    // events keeps the late row — streamed == batch minus that row.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val ckpt = Files.createTempDirectory("graft-ckpt-late").toString
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val h = 3600L * 1000000 // one hour in micros
+    def ev(us: Long) = (us, "click", 1.0)
+    val events = ms.toDF()
+      .select(timestamp_micros(col("_1")).as("ts"),
+        col("_2").as("event_type"), col("_3").as("value"))
+    val q = EventsStream.hourlyCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName("late_drop_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // b1: two on-time events, windows [0,1) and [1,2); wm -> 0:30
+      ms.addData(ev(h / 2), ev(h + h / 2)); q.processAllAvailable()
+      // b2: jump to 10:30; wm -> 9:30, finalizing [0,1) and [1,2)
+      ms.addData(ev(10 * h + h / 2)); q.processAllAvailable()
+      // b3: LATE event at 0:45 — its window [0,1) closed when the
+      // watermark passed 1:00 in b2 -> dropped; plus on-time 11:30
+      ms.addData(ev(h * 3 / 4), ev(11 * h + h / 2)); q.processAllAvailable()
+      // b4: sentinel far ahead flushes [10,11) and [11,12)
+      ms.addData(ev(20 * h + h / 2)); q.processAllAvailable()
+      val streamed = spark.table("late_drop_stream")
+        .select(unix_micros(col("hour_start")).as("h"), col("n_events"))
+        .collect().map(r => r.getLong(0) / h -> r.getLong(1)).toMap
+      // batch twin over the SAME six events keeps the late row
+      val batch = EventsStream.hourlyCounts(
+          Seq(ev(h / 2), ev(h + h / 2), ev(10 * h + h / 2),
+            ev(h * 3 / 4), ev(11 * h + h / 2), ev(20 * h + h / 2)).toDF()
+            .select(timestamp_micros(col("_1")).as("ts"),
+              col("_2").as("event_type"), col("_3").as("value")))
+        .select(unix_micros(col("hour_start")).as("h"), col("n_events"))
+        .collect().map(r => r.getLong(0) / h -> r.getLong(1)).toMap
+      assert(batch(0L) === 2L, "batch twin must count the late event")
+      assert(streamed(0L) === 1L,
+        "late event past the watermark must be dropped from the stream")
+      assert(streamed(1L) === 1L && streamed(10L) === 1L &&
+        streamed(11L) === 1L)
+      assert(!streamed.contains(20L),
+        "append mode must withhold the still-open sentinel window")
+      // full relation: streamed == batch minus the dropped row, minus
+      // the never-finalized sentinel window
+      val expected = batch.updated(0L, batch(0L) - 1) - 20L
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
+  test("sessionStats folds a cross-batch late event without over-counting sessions") {
+    // ADVICE r11: a later micro-batch delivering an event at or before
+    // the user's recorded last_us must not regress `last` (which would
+    // fake a gap at the next on-time event) — it folds into the open
+    // session. batch1: 0m, 10m, 35m (one session). batch2: late 2m +
+    // on-time 40m. 40m-35m=5m -> SAME session; a regressed last of 2m
+    // would have split it (40-2=38m > 30m gap).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ckpt = Files.createTempDirectory("graft-ckpt-sess-late").toString
+    val m = 60L * 1000000
+    val ms = MemoryStream[SessionEvent](spark)
+    val q = EventsStream.sessionStats(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sess_late_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      ms.addData(SessionEvent(7, 0), SessionEvent(7, 10 * m),
+        SessionEvent(7, 35 * m))
+      q.processAllAvailable()
+      ms.addData(SessionEvent(7, 2 * m), SessionEvent(7, 40 * m))
+      q.processAllAvailable()
+      val fin = spark.table("sess_late_stream")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_sessions").as("s"),
+          org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(fin(7L) === ((1L, 5L)),
+        s"late fold broke: ${fin(7L)} (expected 1 session, 5 events)")
+    } finally q.stop()
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     val m = 60L * 1000000
     val events = Seq(
