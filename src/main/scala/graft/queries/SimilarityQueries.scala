@@ -315,7 +315,11 @@ object SimilarityQueries {
         "pipeline is approximate vs a1 but fully deterministic, so it " +
         "carries an exact DuckDB oracle (same plane literals, same " +
         "fold dot products); recall vs a1 is additionally asserted in " +
-        "AnnSpec.",
+        "AnnSpec. This row is the INTENTIONAL floor arm of the " +
+        "a2→a2b→a3 recall/cost dial (~0.28 recall@5 at ~6% of the " +
+        "corpus scanned) — production picks a rung (a2b multiprobe, " +
+        "a3 IVF) by recall target; the single-bucket arm stays " +
+        "registered so the dial's bottom is measured, not assumed.",
       (s, d) => {
         val e = withBucket(t(s, d, "embeddings"), "embedding")
           .withColumn("norm", sqrt(dot("embedding", "embedding")))
@@ -1011,6 +1015,217 @@ object SimilarityQueries {
            |          n.vec_id) AS rank
            |    FROM n CROSS JOIN qs WHERE n.vec_id != qs.query_id) t
            |  WHERE rank <= 10),
-           |$RecallTailSql""".stripMargin))
+           |$RecallTailSql""".stripMargin)),
+
+    Q("a9_pq_adc",
+      "Product quantization + asymmetric-distance scan (Jégou et al. " +
+        "2011) — the missing compression rung between a6's scalar int8 " +
+        "(4x) and raw floats: each 64-dim vector splits into 8 " +
+        "subvectors, each encoded as its nearest of 16 per-subspace " +
+        "codebook entries (argmin over the index-order (x-y)^2 fold, " +
+        "ties to the lower code — the a4 determinism anchors applied " +
+        "per subspace), so a vector stores as EIGHT code ids (~8 " +
+        "bytes, 32x vs float32). Queries never decode: ADC computes " +
+        "one 8x16 distance table per query (query subvector vs every " +
+        "codebook entry) and scores a candidate as the sum of 8 table " +
+        "lookups along its codes — summed in DECIMAL(38,6) so the " +
+        "total is order-independent and bit-identical cross-engine. " +
+        "Codebooks here are deterministic first-16 donors (the a3 " +
+        "init convention); production trains them with the a4 Lloyd " +
+        "loop per subspace. At 100 TB: codebooks (8x16x8 doubles) " +
+        "broadcast everywhere, the corpus-side scan reads ONLY the " +
+        "8-byte code column (the float column never leaves storage " +
+        "after encode), distance tables are O(queries) and broadcast, " +
+        "and the scan composes with a3's IVF cells (IVFADC) so each " +
+        "query touches one cell partition of codes.",
+      (s, d) => {
+        val (m, sub, kc) = (8, 8, 16)
+        val e = Lloyd.corpus(s, d)
+        val subs = e.select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), i -> slice(v, i*$sub+1, $sub))"))
+            .as(Seq("s", "sub")))
+        val cb = subs.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("cb_id"), col("s").as("cs"),
+            col("sub").as("csub"))
+        def d2(a: String, b: String) =
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (acc, e2) -> acc + e2)")
+        val wCode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cb_id"))
+        val codes = subs.join(broadcast(cb), col("s") === col("cs"))
+          .withColumn("d2", d2("sub", "csub"))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("s"), col("cb_id").as("code"))
+        val dtq = subs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("s").as("qs"),
+            col("sub").as("qsub"))
+          .join(broadcast(cb), col("qs") === col("cs"))
+          .withColumn("qd2", d2("qsub", "csub"))
+          .select(col("query_id"), col("qs"), col("cb_id").as("qc"),
+            col("qd2"))
+        val adc = codes.join(broadcast(dtq),
+            col("s") === col("qs") && col("code") === col("qc") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(Functions.dsum(col("qd2")).as("adc_d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |subs AS (
+           |  SELECT vec_id, CAST(r.i AS BIGINT) AS s,
+           |    v[CAST(r.i*8+1 AS INTEGER):CAST(r.i*8+8 AS INTEGER)] AS sub
+           |  FROM e, LATERAL UNNEST(range(0, 8)) r(i)),
+           |cb AS (SELECT vec_id AS cb_id, s, sub AS csub
+           |       FROM subs WHERE vec_id < 16),
+           |codes AS (
+           |  SELECT vec_id, s, code FROM (
+           |    SELECT subs.vec_id, subs.s, cb.cb_id AS code,
+           |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+           |        ORDER BY ${Lloyd.distSql("subs.sub", "cb.csub")}, cb.cb_id)
+           |        AS rn
+           |    FROM subs JOIN cb ON subs.s = cb.s) t WHERE rn = 1),
+           |dtq AS (
+           |  SELECT q.vec_id AS query_id, q.s, cb.cb_id AS qc,
+           |    ${Lloyd.distSql("q.sub", "cb.csub")} AS qd2
+           |  FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+           |adc AS (
+           |  SELECT d.query_id, c.vec_id,
+           |    CAST(SUM(CAST(d.qd2 AS DECIMAL(38,6))) AS DOUBLE) AS adc_d2
+           |  FROM codes c JOIN dtq d ON c.s = d.s AND c.code = d.qc
+           |  WHERE c.vec_id != d.query_id GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, vec_id, adc_d2,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc_d2, vec_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+           |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a9b_pq_trained",
+      "a9 with TRAINED codebooks — one exact per-subspace Lloyd round " +
+        "(assign every subvector to its nearest first-16 donor, " +
+        "recompute each (subspace, code) centroid as the sorted-fold " +
+        "exact mean — a4's determinism anchors grouped by subspace), " +
+        "then the identical encode + ADC scan. The PQ paper's actual " +
+        "recipe: codebooks are k-means codebooks per subspace, and " +
+        "training is what buys recall back from the 32x compression " +
+        "(measured against a9's untrained arm in AnnSpec). Scale " +
+        "shape: training shuffles (s, cid, dim) triples — k×m×subdim " +
+        "cells regardless of corpus size — and the encode/scan path " +
+        "is byte-for-byte a9's.",
+      (s, d) => {
+        val (m, sub, kc) = (8, 8, 16)
+        val e = Lloyd.corpus(s, d)
+        val subs = e.select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), i -> slice(v, i*$sub+1, $sub))"))
+            .as(Seq("s", "sub")))
+        val cb0 = subs.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("cb_id"), col("s").as("cs"),
+            col("sub").as("csub"))
+        def d2(a: String, b: String) =
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (acc, e2) -> acc + e2)")
+        val wCode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cb_id"))
+        val asg = subs.join(broadcast(cb0), col("s") === col("cs"))
+          .withColumn("d2", d2("sub", "csub"))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("s"), col("sub"),
+            col("cb_id").as("cid"))
+        val cb = asg
+          .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy(col("s"), col("cid"), col("pos"))
+          .agg((expr("aggregate(array_sort(collect_list(x)), " +
+            "cast(0 as double), (acc, y) -> acc + y)") /
+            count(lit(1))).as("m"))
+          .groupBy(col("s"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "p -> p.m)").as("csub"))
+          .select(col("cid").as("cb_id"), col("s").as("cs"), col("csub"))
+        val codes = subs.join(broadcast(cb), col("s") === col("cs"))
+          .withColumn("d2", d2("sub", "csub"))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("s"), col("cb_id").as("code"))
+        val dtq = subs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("s").as("qs"),
+            col("sub").as("qsub"))
+          .join(broadcast(cb), col("qs") === col("cs"))
+          .withColumn("qd2", d2("qsub", "csub"))
+          .select(col("query_id"), col("qs"), col("cb_id").as("qc"),
+            col("qd2"))
+        val adc = codes.join(broadcast(dtq),
+            col("s") === col("qs") && col("code") === col("qc") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(Functions.dsum(col("qd2")).as("adc_d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |subs AS (
+           |  SELECT vec_id, CAST(r.i AS BIGINT) AS s,
+           |    v[CAST(r.i*8+1 AS INTEGER):CAST(r.i*8+8 AS INTEGER)] AS sub
+           |  FROM e, LATERAL UNNEST(range(0, 8)) r(i)),
+           |cb0 AS (SELECT vec_id AS cb_id, s, sub AS csub
+           |        FROM subs WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT vec_id, s, sub, cid FROM (
+           |    SELECT subs.vec_id, subs.s, subs.sub, cb0.cb_id AS cid,
+           |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+           |        ORDER BY ${Lloyd.distSql("subs.sub", "cb0.csub")}, cb0.cb_id)
+           |        AS rn
+           |    FROM subs JOIN cb0 ON subs.s = cb0.s) t WHERE rn = 1),
+           |cb AS (
+           |  SELECT s, cid AS cb_id, list(m ORDER BY pos) AS csub FROM (
+           |    SELECT a.s, a.cid, r.i AS pos,
+           |      list_reduce(list_prepend(0.0::DOUBLE,
+           |        list_sort(list(a.sub[CAST(r.i AS INTEGER)]))),
+           |        (acc, y) -> acc + y) / COUNT(*) AS m
+           |    FROM asg a, LATERAL UNNEST(range(1, 9)) r(i)
+           |    GROUP BY a.s, a.cid, r.i) dims GROUP BY s, cid),
+           |codes AS (
+           |  SELECT vec_id, s, code FROM (
+           |    SELECT subs.vec_id, subs.s, cb.cb_id AS code,
+           |      ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.s
+           |        ORDER BY ${Lloyd.distSql("subs.sub", "cb.csub")}, cb.cb_id)
+           |        AS rn
+           |    FROM subs JOIN cb ON subs.s = cb.s) t WHERE rn = 1),
+           |dtq AS (
+           |  SELECT q.vec_id AS query_id, q.s, cb.cb_id AS qc,
+           |    ${Lloyd.distSql("q.sub", "cb.csub")} AS qd2
+           |  FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+           |adc AS (
+           |  SELECT d.query_id, c.vec_id,
+           |    CAST(SUM(CAST(d.qd2 AS DECIMAL(38,6))) AS DOUBLE) AS adc_d2
+           |  FROM codes c JOIN dtq d ON c.s = d.s AND c.code = d.qc
+           |  WHERE c.vec_id != d.query_id GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, vec_id, adc_d2,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc_d2, vec_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+           |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin))
   )
 }

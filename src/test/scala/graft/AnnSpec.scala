@@ -107,7 +107,13 @@ class AnnSpec extends SparkTestBase {
       "a2_ann_lsh_bucketed" -> 0.2,
       "a2b_ann_multiprobe" -> 0.4,
       "a3_ann_ivf" -> 0.6,
-      "a6_ann_quantized" -> 0.8).map { case (name, floor) =>
+      "a6_ann_quantized" -> 0.8,
+      // a9 ranks by PQ-approximated squared L2 with untrained (first-16
+      // donor) codebooks — the heaviest compression in the ladder (32x),
+      // so its floor sits below the scalar-quantized arm's; measured
+      // value recorded in SCALE.md
+      "a9_pq_adc" -> 0.1,
+      "a9b_pq_trained" -> 0.1).map { case (name, floor) =>
       val r = recall(top5(name))
       info(f"$name recall@5 at sf0.1 = $r%.3f (floor $floor)")
       assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor")
@@ -115,6 +121,10 @@ class AnnSpec extends SparkTestBase {
     }.toMap
     // multi-probe must not lose recall vs its single-bucket base
     assert(measured("a2b_ann_multiprobe") >= measured("a2_ann_lsh_bucketed"))
+    // codebook training is what buys PQ recall back: the trained arm
+    // must not fall below the untrained donors
+    assert(measured("a9b_pq_trained") >= measured("a9_pq_adc"),
+      s"trained PQ recall ${measured("a9b_pq_trained")} < untrained ${measured("a9_pq_adc")}")
   }
 
   test("a7 recall report is internally consistent and bounded by a2's hits") {
