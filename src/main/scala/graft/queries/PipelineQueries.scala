@@ -808,6 +808,66 @@ object PipelineQueries {
           |  ON e.event_type = r.event_type AND e.date >= r.date
           |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    Q("e11_interval_join",
+      "Range/interval-containment join via BIN-AND-REFINE — the join " +
+        "family's last gap (the survey notes the reference has no " +
+        "theta/range joins; e6 covers as-of). Interval side: 'hot' " +
+        "windows per event_type (hourly buckets with >= 2 events — " +
+        "the smoke-scale constant), padded to [start-15min, " +
+        "start+75min) so containment is NOT a truncation equality. " +
+        "A naive ts-BETWEEN join is a nested-loop cross product; the " +
+        "scale shape BINS each interval into every hour bucket it " +
+        "overlaps (explode(sequence(...)) — fan-out = interval span " +
+        "in hours, 2 here), equi-joins events on (hour(ts), type) as " +
+        "a plain hash join, and REFINES with the exact range " +
+        "predicate as a post-join filter. Each (event, window) pair " +
+        "survives at most once: the event's hour bucket is unique, so " +
+        "only the window replica in that bucket can match. At 100 TB " +
+        "both sides shuffle once on the (bucket, type) key, skew " +
+        "bounded by events-per-hour-per-type; no CartesianProduct or " +
+        "BroadcastNestedLoop anywhere (PlanSpec-guarded).",
+      (s, d) => {
+        import s.implicits._
+        val ev = Graft.events(s, d)
+          .select($"event_type", $"ts", $"value")
+        val hot = ev
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" >= 2)
+          .select($"event_type".as("w_type"),
+            ($"w.start" - expr("interval 15 minutes")).as("w_start"),
+            ($"w.start" + expr("interval 75 minutes")).as("w_end"))
+        val binned = hot.withColumn("bucket",
+          explode(sequence(
+            date_trunc("hour", $"w_start"),
+            date_trunc("hour", $"w_end" - expr("interval 1 microsecond")),
+            expr("interval 1 hour"))))
+        val evB = ev.withColumn("bucket", date_trunc("hour", $"ts"))
+        evB.join(binned,
+            evB("bucket") === binned("bucket") &&
+              $"event_type" === $"w_type" &&
+              $"ts" >= $"w_start" && $"ts" < $"w_end")
+          .groupBy($"w_type".as("event_type"), $"w_start", $"w_end")
+          .agg(count(lit(1)).as("n_contained"),
+            Functions.dsum($"value").as("sum_value"))
+          .orderBy($"event_type", $"w_start")
+      },
+      Some(
+        """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+          |  FROM events),
+          |hot AS (
+          |  SELECT event_type AS w_type,
+          |    date_trunc('hour', ts) - INTERVAL 15 MINUTE AS w_start,
+          |    date_trunc('hour', ts) + INTERVAL 75 MINUTE AS w_end
+          |  FROM ev GROUP BY event_type, date_trunc('hour', ts)
+          |  HAVING COUNT(*) >= 2)
+          |SELECT h.w_type AS event_type, h.w_start, h.w_end,
+          |  COUNT(*) AS n_contained,
+          |  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+          |FROM hot h JOIN ev e ON e.event_type = h.w_type
+          |  AND e.ts >= h.w_start AND e.ts < h.w_end
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
     Q("g12_percentiles",
       "Exact percentiles — median/p90 of event value per type (Spark " +
         "exact percentile vs DuckDB quantile_cont, both linear " +

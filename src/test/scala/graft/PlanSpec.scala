@@ -266,6 +266,37 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("e11 interval join plans as a hash join on the bin key, never a nested loop") {
+    // The bin-and-refine contract: a ts-BETWEEN interval join with no
+    // equi-key would plan as CartesianProduct/BroadcastNestedLoopJoin —
+    // the quadratic shape binning exists to avoid. The exploded hour
+    // bucket must give Catalyst a real equi-key even when neither side
+    // can broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted("e11_interval_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(800))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("a9b PQ scan broadcasts codebooks and distance tables; adc agg is map-combined") {
+    // PQ's scale contract: the corpus-side scan joins only BROADCAST
+    // sides (codebooks: k×m rows; per-query distance tables: q×m×k
+    // rows) — a shuffle join on the corpus here would move the vector
+    // table for structures that are bounded by the codebook size, not
+    // the corpus.
+    val p = formatted("a9b_pq_trained")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the decimal ADC aggregate must arrive partial (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     // The 100 TB knob for fact⋈filtered-dim shuffle joins that can't
     // broadcast: Catalyst's InjectRuntimeFilter builds a bloom filter
