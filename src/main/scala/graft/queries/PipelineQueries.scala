@@ -564,6 +564,72 @@ object PipelineQueries {
           |FROM documents WHERE n_chars < 300
           |GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    Q("o7_scd2_dims",
+      "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
+        "history operator (Kimball SCD2): an update batch (here the " +
+        "deterministic fixture: customers with custkey % 7 == 3 move " +
+        "to segment 'MOVED' with acctbal+100, effective 1997-06-01) " +
+        "merges into the current dimension WITHOUT updates-in-place: " +
+        "touched keys close their current row (valid_to = effective " +
+        "date, is_current = false) and open a v2 row; untouched keys " +
+        "pass through. The whole merge is ONE left join of the " +
+        "dimension against the update batch plus a union of the " +
+        "batch — no MERGE statement, no per-row mutation. At 100 TB: " +
+        "the update batch is day-scale (broadcast or hash join on " +
+        "the key), history rows are immutable so only the IS_CURRENT " +
+        "partition rewrites (the o4 dynamic-partition-overwrite " +
+        "pattern applied to dimensions); version pinning composes " +
+        "with o5's Catalog versioning for as-of-date dimension reads.",
+      (s, d) => {
+        import s.implicits._
+        val dim = t(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        val updates = dim.filter($"c_custkey" % 7 === 3)
+          .select($"c_custkey",
+            lit("MOVED").as("c_mktsegment"),
+            ($"c_acctbal" + 100.0).as("c_acctbal"))
+        val eff = to_date(lit("1997-06-01"))
+        val closed = dim
+          .join(updates.select($"c_custkey", lit(1).as("u")),
+            Seq("c_custkey"), "left")
+          .select($"c_custkey", lit(1L).as("version"),
+            $"c_mktsegment", $"c_acctbal",
+            to_date(lit("1992-01-01")).as("valid_from"),
+            when($"u".isNotNull, eff).as("valid_to"),
+            $"u".isNull.as("is_current"))
+        val opened = updates
+          .select($"c_custkey", lit(2L).as("version"),
+            $"c_mktsegment", $"c_acctbal",
+            eff.as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit(true).as("is_current"))
+        closed.unionByName(opened)
+          .orderBy($"c_custkey", $"version")
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+          |updates AS (
+          |  SELECT c_custkey, 'MOVED' AS c_mktsegment,
+          |    c_acctbal + 100.0 AS c_acctbal
+          |  FROM dim WHERE c_custkey % 7 = 3),
+          |closed AS (
+          |  SELECT d.c_custkey, CAST(1 AS BIGINT) AS version,
+          |    d.c_mktsegment, d.c_acctbal,
+          |    DATE '1992-01-01' AS valid_from,
+          |    CASE WHEN u.c_custkey IS NOT NULL
+          |      THEN DATE '1997-06-01' END AS valid_to,
+          |    u.c_custkey IS NULL AS is_current
+          |  FROM dim d LEFT JOIN updates u ON d.c_custkey = u.c_custkey),
+          |opened AS (
+          |  SELECT c_custkey, CAST(2 AS BIGINT) AS version,
+          |    c_mktsegment, c_acctbal,
+          |    DATE '1997-06-01' AS valid_from,
+          |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+          |  FROM updates)
+          |SELECT * FROM closed UNION ALL SELECT * FROM opened
+          |ORDER BY c_custkey, version""".stripMargin)),
+
     Q("e1_hourly_window",
       "D6/streaming-equivalent — tumbling 1-hour window aggregation over " +
         "events (batch twin of the Structured Streaming query; also pins " +
@@ -1005,6 +1071,43 @@ object PipelineQueries {
           |ORDER BY g_status, g_priority,
           |  o_orderstatus ASC NULLS FIRST,
           |  o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("g17_grouping_sets",
+      "GROUPING SETS — an EXPLICIT asymmetric set list ((year, " +
+        "priority), (status), ()) that neither ROLLUP nor CUBE can " +
+        "express, completing the g13/g15 family via the Dataset " +
+        "groupingSets API (one Expand-based pass, one shuffle — the " +
+        "N-sets-one-scan shape a report fanning out N separate " +
+        "aggregations would otherwise scan N times). grouping_id() " +
+        "keys each output row to its set (both engines use the " +
+        "leftmost-column-is-MSB convention, driver-verified: sets " +
+        "land on gid 1, 6, 7).",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .withColumn("year", year(to_date($"o_orderdate")).cast("long"))
+          .groupingSets(
+            Seq(Seq($"year", $"o_orderpriority"), Seq($"o_orderstatus"),
+              Seq.empty[Column]),
+            $"year", $"o_orderpriority", $"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            Functions.dsum($"o_totalprice").as("revenue"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy($"gid", $"year".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first,
+            $"o_orderstatus".asc_nulls_first)
+      },
+      Some(
+        """SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year,
+          |  o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          |  CAST(GROUPING(EXTRACT(year FROM CAST(o_orderdate AS DATE)),
+          |    o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+          |FROM orders
+          |GROUP BY GROUPING SETS ((1, 2), (3), ())
+          |ORDER BY gid, year ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST,
+          |  o_orderstatus ASC NULLS FIRST""".stripMargin)),
 
     Q("g16_unpivot",
       "UNPIVOT — the g14 inverse: per-status wide columns melted back " +
