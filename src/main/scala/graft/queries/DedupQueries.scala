@@ -882,14 +882,24 @@ object DedupQueries {
         // exploded position table
         val nWin = docs.select(col("doc_id"),
           (length(col("text")) - L + 1).cast("long").as("n_windows"))
-        val hot = pos.groupBy("h").agg(count(lit(1)).as("nh"))
-          .filter(col("nh") >= 2).select("h")
-        val cand = pos.join(hot, Seq("h")).join(docs, Seq("doc_id"))
+        // hot-digest and dup-gram filters as COUNT-over-window on the
+        // same shuffle (the winnowPruned trick) instead of groupBy +
+        // self-join: the groupBy/join form computes the O(corpus
+        // chars) exploded position table TWICE (Catalyst has no CSE
+        // across the self-join) and shuffles it twice per filter; the
+        // window form explodes once and moves the table once per key
+        // (h, then doc_id for the gram re-derive, then gram).
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+        val cand = pos.withColumn("nh", count(lit(1)).over(wH))
+          .filter(col("nh") >= 2)
+          .join(docs, Seq("doc_id"))
           .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
           .select(col("doc_id"), col("pos"), col("gram"))
-        val dupGram = cand.groupBy("gram").agg(count(lit(1)).as("ng"))
-          .filter(col("ng") >= 2).select("gram")
-        val dpos = cand.join(dupGram, Seq("gram"))
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        val dpos = cand.withColumn("ng", count(lit(1)).over(wG))
+          .filter(col("ng") >= 2)
           .select(col("doc_id"), col("pos"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("pos"))
