@@ -136,6 +136,35 @@ object EventsStream {
         col("b_ts") < col("a_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]]'s
+    * unmatched-side complement (the "clicks WITHOUT a preceding
+    * impression" shape). Same watermarks and time-range predicate,
+    * which is what makes the outer side SOUND in a stream: a left row
+    * can only be declared match-less once the watermark has passed its
+    * last possible right match (a_ts is the upper bound of its match
+    * interval), at which point the engine emits it with nulls and
+    * evicts it — null emission is a watermark-delayed decision, not an
+    * end-of-batch one, so state stays O(rate × interval + watermark)
+    * exactly like the inner join. Until the watermark passes, a
+    * pending left row is neither matched nor null-emitted (the
+    * StreamingSpec case drives this with a sentinel that advances the
+    * watermark past the probe rows).
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.select(col("event_id").as("a_id"),
+        col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "30 minutes")
+    val b = right.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_type").as("b_type"))
+      .withWatermark("b_ts", "30 minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") - expr("interval 10 minutes") &&
+        col("b_ts") < col("a_ts"),
+      "leftOuter")
+  }
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionState(sessionCount: Long, lastTs: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

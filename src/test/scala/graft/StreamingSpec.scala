@@ -162,6 +162,67 @@ class StreamingSpec extends SparkTestBase {
       s"append-mode interval join must never exceed the batch join: $streamed > $batch")
   }
 
+  test("left-outer interval join emits unmatched lefts only after the watermark") {
+    // The outer complement of the inner interval join: a click with a
+    // preceding same-user impression joins it; a click with none is
+    // emitted with nulls — but only once the 30-min watermark passes
+    // its match horizon (null emission is watermark-delayed, not
+    // end-of-batch). Feed: user 1 click at 20m with impression at 15m
+    // (match), user 2 click at 20m with no impression (unmatched),
+    // then a sentinel far ahead to advance the watermark and force the
+    // null emission. Batch parity: the same function on static frames.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val ckpt = Files.createTempDirectory("graft-ckpt-outer").toString
+    val m = 60L * 1000000
+    // (event_id, user_id, ts_us, event_type)
+    val lms = MemoryStream[(Long, Long, Long, String)](spark)
+    val rms = MemoryStream[(Long, Long, Long, String)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").as("event_id"), col("_2").as("user_id"),
+      timestamp_micros(col("_3")).as("ts"), col("_4").as("event_type"))
+    val q = EventsStream.intervalJoinOuter(shape(lms.toDF()), shape(rms.toDF()))
+      .writeStream
+      .format("memory")
+      .queryName("outer_interval_stream")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val click1 = (101L, 1L, 20 * m, "click")
+      val click2 = (102L, 2L, 20 * m, "click")
+      val imp1 = (201L, 1L, 15 * m, "impression")
+      lms.addData(click1, click2); rms.addData(imp1)
+      q.processAllAvailable()
+      // sentinel on BOTH sides far ahead: the watermark is the min
+      // across inputs, so both must advance for eviction
+      val sentL = (900L, 9L, 600 * m, "click")
+      val sentR = (901L, 9L, 599 * m, "impression")
+      lms.addData(sentL); rms.addData(sentR)
+      q.processAllAvailable()
+      lms.addData((910L, 9L, 1200 * m, "click"))
+      rms.addData((911L, 9L, 1199 * m, "impression"))
+      q.processAllAvailable()
+      val streamed = spark.table("outer_interval_stream")
+        .filter(col("a_id").isin(101L, 102L))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(streamed(101L) === Some(201L), "matched click lost its impression")
+      assert(streamed(102L) === None,
+        "unmatched click must emit with nulls after the watermark")
+      // batch parity on the same rows
+      val batch = EventsStream.intervalJoinOuter(
+          shape(Seq(click1, click2, sentL).toDF()),
+          shape(Seq(imp1, sentR).toDF()))
+        .filter(col("a_id").isin(101L, 102L))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("checkpointed file sink is exactly-once across a restart") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = Files.createTempDirectory("graft-ckpt5").toString
