@@ -1226,6 +1226,141 @@ object SimilarityQueries {
            |  FROM adc)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
            |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a9c_ivfadc",
+      "IVFADC — the full Jégou et al. 2011 pipeline, composing a3's " +
+        "coarse cells with a9's PQ: every vector is assigned to its " +
+        "nearest of 8 coarse centroids (the a4 assignment, exact " +
+        "fold distances, ties to lower cid), its RESIDUAL (v - " +
+        "centroid) is PQ-encoded against residual-trained donor " +
+        "codebooks, and queries probe their 2 nearest cells — per " +
+        "probed cell the query's own residual builds the ADC " +
+        "distance table, and only that cell's codes are scored. " +
+        "This is the proof of the a9 scale claim ('composes with " +
+        "a3's cells'): the scan per query touches candidates in 2 of " +
+        "8 cells (at 100 TB: codes written partitioned-by-cell, a " +
+        "probe reads 2 partitions of 8-byte codes), centroids and " +
+        "codebooks broadcast, residual encoding is the standard " +
+        "variance-reduction trick that makes per-cell codebooks " +
+        "unnecessary. Exact decimal ADC sums keep the whole 3-stage " +
+        "pipeline bit-identical cross-engine.",
+      (s, d) => {
+        val (m, sub, kc, kCells, probe) = (8, 8, 16, 8, 2)
+        val e = Lloyd.corpus(s, d)
+        val cents = Lloyd.init(e, kCells)
+        val asg = Lloyd.assign(e, cents)
+        val res = asg.join(broadcast(cents), Seq("cid"))
+          .withColumn("r", expr("zip_with(v, c, (x, y) -> x - y)"))
+          .select(col("vec_id"), col("cid"), col("r"))
+        val rsubs = res.select(col("vec_id"), col("cid"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), i -> slice(r, i*$sub+1, $sub))"))
+            .as(Seq("s", "sub")))
+        val cb = rsubs.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("cb_id"), col("s").as("cs"),
+            col("sub").as("csub"))
+        def d2(a: String, b: String) =
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (acc, e2) -> acc + e2)")
+        val wCode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cb_id"))
+        val codes = rsubs.join(broadcast(cb), col("s") === col("cs"))
+          .withColumn("d2", d2("sub", "csub"))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("s"),
+            col("cb_id").as("code"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("q"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", d2("q", "c"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= probe)
+          .withColumn("rq", expr("zip_with(q, c, (x, y) -> x - y)"))
+          .select(col("query_id"), col("cid").as("pcell"), col("rq"))
+        val dtq = probes.select(col("query_id"), col("pcell"),
+            posexplode(expr(
+              s"transform(sequence(0, ${m - 1}), i -> slice(rq, i*$sub+1, $sub))"))
+              .as(Seq("qs", "qsub")))
+          .join(broadcast(cb), col("qs") === col("cs"))
+          .withColumn("qd2", d2("qsub", "csub"))
+          .select(col("query_id"), col("pcell"), col("qs"),
+            col("cb_id").as("qc"), col("qd2"))
+        val adc = codes.join(broadcast(dtq),
+            col("cid") === col("pcell") && col("s") === col("qs") &&
+              col("code") === col("qc") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(Functions.dsum(col("qd2")).as("adc_d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, cid, v FROM (
+           |    SELECT e.vec_id, e.v, c1.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Lloyd.distSql("e.v", "c1.c")}, c1.cid) AS rn
+           |    FROM e, c1) t WHERE rn = 1),
+           |res AS (
+           |  SELECT a.vec_id, a.cid,
+           |    list_transform(list_zip(a.v, c1.c), p -> p[1] - p[2]) AS r
+           |  FROM asg a JOIN c1 USING (cid)),
+           |rsubs AS (
+           |  SELECT vec_id, cid, CAST(g.i AS BIGINT) AS s,
+           |    r[CAST(g.i*8+1 AS INTEGER):CAST(g.i*8+8 AS INTEGER)] AS sub
+           |  FROM res, LATERAL UNNEST(range(0, 8)) g(i)),
+           |cb AS (SELECT vec_id AS cb_id, s, sub AS csub
+           |       FROM rsubs WHERE vec_id < 16),
+           |codes AS (
+           |  SELECT vec_id, cid, s, code FROM (
+           |    SELECT rsubs.vec_id, rsubs.cid, rsubs.s, cb.cb_id AS code,
+           |      ROW_NUMBER() OVER (PARTITION BY rsubs.vec_id, rsubs.s
+           |        ORDER BY ${Lloyd.distSql("rsubs.sub", "cb.csub")}, cb.cb_id)
+           |        AS rn
+           |    FROM rsubs JOIN cb ON rsubs.s = cb.s) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, cid AS pcell, q FROM (
+           |    SELECT e.vec_id AS query_id, e.v AS q, c1.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Lloyd.distSql("e.v", "c1.c")}, c1.cid) AS rn
+           |    FROM e, c1 WHERE e.vec_id < 5) t WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.query_id, p.pcell,
+           |    list_transform(list_zip(p.q, c1.c), x -> x[1] - x[2]) AS rq
+           |  FROM probes p JOIN c1 ON p.pcell = c1.cid),
+           |dtq AS (
+           |  SELECT q.query_id, q.pcell, CAST(g.i AS BIGINT) AS s,
+           |    cb.cb_id AS qc,
+           |    ${Lloyd.distSql(
+                  "q.rq[CAST(g.i*8+1 AS INTEGER):CAST(g.i*8+8 AS INTEGER)]",
+                  "cb.csub")} AS qd2
+           |  FROM qres q, LATERAL UNNEST(range(0, 8)) g(i)
+           |  JOIN cb ON cb.s = CAST(g.i AS BIGINT)),
+           |adc AS (
+           |  SELECT d.query_id, c.vec_id,
+           |    CAST(SUM(CAST(d.qd2 AS DECIMAL(38,6))) AS DOUBLE) AS adc_d2
+           |  FROM codes c JOIN dtq d ON c.cid = d.pcell AND c.s = d.s
+           |    AND c.code = d.qc
+           |  WHERE c.vec_id != d.query_id GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, vec_id, adc_d2,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc_d2, vec_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+           |FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin))
   )
 }

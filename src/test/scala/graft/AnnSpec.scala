@@ -113,7 +113,10 @@ class AnnSpec extends SparkTestBase {
       // so its floor sits below the scalar-quantized arm's; measured
       // value recorded in SCALE.md
       "a9_pq_adc" -> 0.1,
-      "a9b_pq_trained" -> 0.1).map { case (name, floor) =>
+      "a9b_pq_trained" -> 0.1,
+      // IVFADC: 2-of-8 cell probing stacked on residual-PQ distortion
+      // (measured 0.12 — the floor sits well under it like the others)
+      "a9c_ivfadc" -> 0.05).map { case (name, floor) =>
       val r = recall(top5(name))
       info(f"$name recall@5 at sf0.1 = $r%.3f (floor $floor)")
       assert(r >= floor, f"$name recall@5 $r%.3f below floor $floor")
