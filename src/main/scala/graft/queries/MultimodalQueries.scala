@@ -222,6 +222,84 @@ object MultimodalQueries {
           |  CAST(COALESCE(SUM(nb) FILTER (rn > 1), 0) AS BIGINT)
           |    AS bytes_dedupable,
           |  CAST(SUM(nb) AS BIGINT) AS bytes_total
-          |FROM r GROUP BY 1 ORDER BY media_kind""".stripMargin))
+          |FROM r GROUP BY 1 ORDER BY media_kind""".stripMargin)),
+
+    Q("m6_frame_neardup",
+      "Cross-video NEAR-dup via frame signatures — the practical " +
+        "video-dedup primitive m5's whole-payload hash cannot see " +
+        "(re-encoded/trimmed copies differ byte-wise but share " +
+        "frames): every video frame (the m3 64-byte stride stub; a " +
+        "real deployment emits a perceptual hash per decoded frame) " +
+        "carries a 7-byte polynomial signature, and two videos pair " +
+        "when they share >= 3 distinct frame signatures. The join is " +
+        "the d1 digest shape — (doc, sig) rows equi-joined on sig, " +
+        "never video-pairs-all-pairs — with the winnowing hot-sig " +
+        "prune (a signature in > 10 docs is boilerplate — intros, " +
+        "black frames — and is dropped BEFORE the pair join, the " +
+        "same count-over-window on the join's own shuffle). At " +
+        "100 TB: payloads never shuffle (signatures are 8 bytes/" +
+        "frame), the pair fan-out is bounded by the prune cap, and " +
+        "the frame store writes partitioned-by-sig-prefix for " +
+        "incremental probes (the o6 index pattern).",
+      (s, d) => {
+        import s.implicits._
+        val stride = 64
+        val payloads = withPayload(t(s, d, "documents"))
+          .filter(col("media_kind") === "video" &&
+            length(col("payload")) > 0)
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        val frames = payloads.flatMap { case (id, bytes) =>
+          (0 until bytes.length by stride).map { off =>
+            var sig = 0L
+            var j = 0
+            while (j < 7) {
+              val b = if (off + j < bytes.length) bytes(off + j) & 0xffL
+                      else 0L
+              sig = sig * 256 + b; j += 1
+            }
+            (id, sig)
+          }
+        }.toDF("doc_id", "sig").distinct()
+        val wSig = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sig"))
+        val pruned = frames
+          .withColumn("nd", count(lit(1)).over(wSig))
+          .filter(col("nd") <= 10)
+          .select(col("doc_id"), col("sig"))
+        val a = pruned.select(col("doc_id").as("doc_a"), col("sig"))
+        val b = pruned.select(col("doc_id").as("doc_b"),
+          col("sig").as("sig_b"))
+        a.join(b, col("sig") === col("sig_b") &&
+            col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared_sigs"))
+          .filter(col("n_shared_sigs") >= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        """WITH vids AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+          |frames AS (
+          |  SELECT DISTINCT doc_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(0, 6),
+          |        j -> CAST(ascii(substr(text, f * 64 + j + 1, 1)) AS BIGINT))),
+          |      (acc, b) -> acc * 256 + b) AS sig
+          |  FROM vids, LATERAL UNNEST(generate_series(0,
+          |    (octet_length(encode(text)) - 1) // 64)) g(f)),
+          |pruned AS (
+          |  SELECT doc_id, sig FROM (
+          |    SELECT doc_id, sig, COUNT(*) OVER (PARTITION BY sig) AS nd
+          |    FROM frames) t WHERE nd <= 10),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    COUNT(*) AS n_shared_sigs
+          |  FROM pruned a JOIN pruned b
+          |    ON a.sig = b.sig AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+          |SELECT doc_a, doc_b, n_shared_sigs FROM pairs
+          |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
