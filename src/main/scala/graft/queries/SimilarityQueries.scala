@@ -1361,6 +1361,85 @@ object SimilarityQueries {
            |  FROM adc)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
            |FROM ranked WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin))
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a10_embedding_gram",
+      "Gram-matrix sufficient statistics for covariance / PCA over the " +
+        "embedding corpus — the distributed-PCA pattern: the cluster " +
+        "ships O(d^2) sufficient statistics (upper-triangle Gram " +
+        "entries + per-coordinate sums + n), and the tiny d x d " +
+        "eigenproblem is solved OUTSIDE the data path (PcaSpec does " +
+        "exactly that: power iteration on this query's output recovers " +
+        "a planted principal direction). Embeddings are quantized to " +
+        "exact int64 at a fixed 1e-6 grid first (a6's floor(x*s + 0.5) " +
+        "trick — floor, not round: half-rules differ across engines), " +
+        "so every sum is exact integer/DECIMAL arithmetic and " +
+        "order-independent — a float SUM's accumulation order would " +
+        "break the cross-engine hash. Scale shape: ONE corpus pass, " +
+        "per-row upper-triangle expansion (d(d+1)/2 products) with " +
+        "map-side combine into d^2/2 groups — no join anywhere on the " +
+        "data path (the per-coordinate sums join is a broadcast of d " +
+        "rows). At 1024+ dims the expansion is ~500k products/row and " +
+        "the scale path swaps in per-partition BLAS accumulation " +
+        "(mapPartitions over primitive arrays) behind the same output " +
+        "contract; at 64 dims the declarative expansion stays inside " +
+        "codegen.",
+      (s, d) => gramStats(t(s, d, "embeddings")),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+          |           AS BIGINT)) AS q
+          |  FROM embeddings),
+          |px AS (
+          |  SELECT vec_id, t.i, q.q[CAST(t.i + 1 AS INTEGER)] AS x
+          |  FROM q, LATERAL UNNEST(range(0, len(q.q))) t(i)),
+          |sx AS (
+          |  SELECT i, SUM(CAST(x AS DECIMAL(28,0))) AS sum_x
+          |  FROM px GROUP BY 1),
+          |pr AS (
+          |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n_vecs,
+          |    SUM(CAST(a.x * b.x AS DECIMAL(28,0))) AS sum_prod
+          |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.i >= a.i
+          |  GROUP BY 1, 2)
+          |SELECT pr.i, pr.j, pr.n_vecs, pr.sum_prod,
+          |  sa.sum_x AS sum_i, sb.sum_x AS sum_j
+          |FROM pr JOIN sx sa ON pr.i = sa.i JOIN sx sb ON pr.j = sb.i
+          |ORDER BY pr.i, pr.j""".stripMargin))
   )
+
+  /** a10's implementation, factored so PcaSpec can run the identical
+    * sufficient-statistics path over a planted-anisotropy fixture.
+    * Input: a frame with (vec_id, embedding Array[Float]). Output one
+    * row per upper-triangle coordinate pair: (i, j, n_vecs, sum_prod,
+    * sum_i, sum_j) with all sums exact DECIMAL over the 1e-6-grid
+    * int64 quantization.
+    */
+  private[graft] def gramStats(e: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+      .as("q"))
+    val pairs = q.select(explode(expr(
+      "flatten(transform(sequence(0, size(q) - 1), i -> " +
+        "transform(sequence(i, size(q) - 1), j -> " +
+        "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+        "CAST(q[i] * q[j] AS DECIMAL(28,0)) AS p))))")).as("pr"))
+      .select(col("pr.i"), col("pr.j"), col("pr.p"))
+    val gram = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("p")).as("sum_prod"))
+    val sx = q.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(28,0)")).as("sum_x"))
+      .select(col("i").cast("long").as("i"), col("sum_x"))
+    gram
+      .join(broadcast(sx.select(col("i"), col("sum_x").as("sum_i"))),
+        Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sum_x").as("sum_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"), col("sum_prod"),
+        col("sum_i"), col("sum_j"))
+      .orderBy("i", "j")
+  }
 }

@@ -875,6 +875,127 @@ object TextQueries {
           |      c -> CAST(ascii(c) AS BIGINT))),
           |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS BIGINT)
           |    AS norm_hash_sum
-          |FROM n GROUP BY 1 ORDER BY lang""".stripMargin))
+          |FROM n GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    Q("t17_bm25_topk",
+      "BM25 retrieval — top-5 documents per query for a fixed 5-query " +
+        "keyword workload (k1=1.2, b=0.75), the ranking function a " +
+        "corpus-search / RAG-retrieval layer runs over the training " +
+        "corpus. Uses the log-free idf ratio (N - df + 0.5)/(df + 0.5) " +
+        "— a strictly monotone transform of BM25's idf argument — for " +
+        "the same reason t6 does: ln() is a libm call whose last ulp " +
+        "differs across runtimes, unacceptable in a hash-matched " +
+        "contract, while +,-,*,/ are IEEE-exact on both engines. The " +
+        "per-document score sums its per-term partials in the FIXED " +
+        "written term order (conditional-max pivot, then a left-assoc " +
+        "chain), never via a float SUM whose accumulation order the " +
+        "engine chooses — bit-identical doubles across Spark and " +
+        "DuckDB. Scale shape: tf/df/dl are one tokenize pass with " +
+        "map-side combine (at 100 TB these live as a maintained " +
+        "corpus-statistics table, not a per-query scan); the term " +
+        "filter is an inverted-index probe — only postings of the " +
+        "query terms survive into the join; top-k is one window per " +
+        "query id over that tiny candidate set.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tk"))
+        val tf = tok.groupBy(col("doc_id"), col("tk"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val df_ = tok.select(col("doc_id"), col("tk")).distinct()
+          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        // corpus stats as a broadcast 1-row frame (t6's lazy-scalar trick)
+        val st = tok.agg(
+          countDistinct(col("doc_id")).cast("double").as("nd"),
+          count(lit(1)).cast("double").as("tt"))
+        val allTerms = Bm25Queries.flatMap(_._2).distinct
+        val ts = tf.filter(col("tk").isin(allTerms: _*))
+          .join(df_, Seq("tk")).join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(st))
+          .withColumn("score",
+            ((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              ((col("tf") * lit(2.2)) /
+                (col("tf") + lit(1.2) *
+                  (lit(0.25) + lit(0.75) *
+                    (col("dl") / (col("tt") / col("nd")))))))
+          .select(col("doc_id"), col("tk"), col("score"))
+        val perQuery = Bm25Queries.map { case (qid, terms) =>
+          val aggs = terms.map(t0 =>
+            max(when(col("tk") === t0, col("score"))).as(s"s_$t0"))
+          val total = terms.map(t0 => coalesce(col(s"s_$t0"), lit(0.0)))
+            .reduceLeft(_ + _)
+          ts.filter(col("tk").isin(terms: _*))
+            .groupBy(col("doc_id"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(lit(qid.toLong).as("qid"), col("doc_id"),
+              total.as("score"))
+        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))
+        perQuery.filter(col("score") > 0)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+          .orderBy("qid", "rnk")
+      },
+      Some(Bm25OracleSql))
   )
+
+  /** The fixed BM25 query workload: (query id, terms), terms drawn from
+    * the corpus vocabulary. Term order is load-bearing — the per-doc
+    * score adds per-term partials in exactly this order on BOTH
+    * engines (see t17's doc).
+    */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("window", "agg", "stream"),
+    3 -> Seq("hash", "table", "scan"),
+    4 -> Seq("customer", "data"),
+    5 -> Seq("merge", "sort", "filter"))
+
+  /** t17's DuckDB twin, generated from [[Bm25Queries]] so the literal
+    * term lists and the left-assoc partial-sum order can never drift
+    * from the Spark plan.
+    */
+  private def Bm25OracleSql: String = {
+    val allTerms =
+      Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val perQuery = Bm25Queries.map { case (qid, terms) =>
+      val partials = terms.map(t =>
+        s"COALESCE(MAX(CASE WHEN tk = '$t' THEN score END), 0.0::DOUBLE)")
+        .mkString("\n    + ")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""  SELECT CAST($qid AS BIGINT) AS qid, doc_id,
+         |    $partials AS score
+         |  FROM ts WHERE tk IN ($inList) GROUP BY doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.tk
+       |  FROM documents, LATERAL UNNEST(string_split_regex(trim(text), '\\s+')) t(tk)),
+       |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT tk, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd,
+       |              CAST(COUNT(*) AS DOUBLE) AS tt FROM tok),
+       |ts AS (
+       |  SELECT tf.doc_id, tf.tk,
+       |    ((st.nd - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+       |    ((tf.tf * 2.2::DOUBLE) /
+       |      (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+       |        * (dl.dl / (st.tt / st.nd))))) AS score
+       |  FROM tf
+       |  JOIN df USING (tk) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.tk IN ($allTerms)),
+       |scored AS (
+       |$perQuery)
+       |SELECT qid, rnk, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM scored WHERE score > 0)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** a10's sufficient-statistics contract, end to end: the cluster ships
+  * only (i, j, n, sum_prod, sum_i, sum_j); the d x d eigenproblem is
+  * solved outside the data path. Power iteration on the covariance
+  * assembled FROM THE QUERY OUTPUT must recover a planted principal
+  * direction — proving the statistics are the right ones, not just
+  * hash-stable.
+  */
+class PcaSpec extends SparkTestBase {
+
+  private val Dims = 16
+
+  /** 400 planted vectors: strong variance along `u` (alternating unit
+    * direction), small deterministic jitter elsewhere. No RNG — the
+    * coefficients are fixed integer-derived values so the fixture is
+    * bit-stable across runs.
+    */
+  private def planted() = {
+    val u = Array.tabulate(Dims)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val unorm = math.sqrt(Dims).toFloat
+    val rows = (0 until 400).map { n =>
+      val a = ((n * 37 % 101) - 50) / 50.0f // in [-0.5, 0.5], dominant
+      val emb = Array.tabulate(Dims) { i =>
+        val jitter = (((n * 13 + i * 7) % 23) - 11) / 1100.0f // ~[-0.01, 0.01]
+        a * u(i) / unorm + jitter
+      }
+      Row(n.toLong, emb.toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("power iteration on a10's gram stats recovers the planted direction") {
+    val stats = SimilarityQueries.gramStats(planted()).collect()
+    assert(stats.length == Dims * (Dims + 1) / 2)
+    val n = stats.head.getLong(2).toDouble
+    // Covariance from sufficient statistics (1e-6 quantization grid):
+    // cov(i,j) = (sum_prod - sum_i * sum_j / n) / n, rescaled by 1e-12.
+    val cov = Array.ofDim[Double](Dims, Dims)
+    stats.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val sp = r.getDecimal(3).doubleValue()
+      val si = r.getDecimal(4).doubleValue()
+      val sj = r.getDecimal(5).doubleValue()
+      val c = (sp - si * sj / n) / n * 1e-12
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    var v = Array.fill(Dims)(1.0)
+    for (_ <- 1 to 60) {
+      val w = Array.tabulate(Dims)(i =>
+        (0 until Dims).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    val u = Array.tabulate(Dims)(i =>
+      (if (i % 2 == 0) 1.0 else -1.0) / math.sqrt(Dims))
+    val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"principal direction not recovered: |cos|=$cos")
+  }
+}

@@ -148,4 +148,38 @@ class TextSpec extends SparkTestBase {
     val (_, _, base, bpe) = rows.find(_._1 == 0L).get
     assert(bpe < base, "fixture never merged — test is vacuous")
   }
+
+  test("t17 BM25 top-k: ranks are dense, scores non-increasing, and " +
+      "every hit contains a term of its query") {
+    val q = TextQueries.all.find(_.name == "t17_bm25_topk").get
+    val rows = q.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val queryTerms = Map(
+      1L -> Set("spark", "join"),
+      2L -> Set("window", "agg", "stream"),
+      3L -> Set("hash", "table", "scan"),
+      4L -> Set("customer", "data"),
+      5L -> Set("merge", "sort", "filter"))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (qid, hits) =>
+      val byRank = hits.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq,
+        s"qid=$qid ranks not dense")
+      assert(byRank.length <= 5)
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid=$qid scores increase down the ranking")
+      byRank.foreach { case (_, _, doc, score) =>
+        assert(score > 0)
+        val toks = texts(doc).trim.split("\\s+").toSet
+        assert(toks.intersect(queryTerms(qid)).nonEmpty,
+          s"qid=$qid doc=$doc contains no query term")
+      }
+    }
+    assert(rows.map(_._1).toSet == queryTerms.keySet,
+      "every query must return at least one hit on the corpus")
+  }
 }
