@@ -900,15 +900,19 @@ object TextQueries {
         val docs = t(s, d, "documents")
         val tok = docs.select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("tk"))
-        val tf = tok.groupBy(col("doc_id"), col("tk"))
-          .agg(count(lit(1)).as("tf"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val df_ = tok.select(col("doc_id"), col("tk")).distinct()
-          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        // ONE tokenize pass: tf is materialized (vocab-cardinality per
+        // doc, tiny vs the corpus) and dl / df / corpus stats all
+        // derive from it — without this, Catalyst recomputes the
+        // corpus explode once per consumer (4 corpus scans at 100 TB).
+        val tf = Scratch.materialize(s, "bm25_tf",
+          tok.groupBy(col("doc_id"), col("tk"))
+            .agg(count(lit(1)).as("tf")))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val df_ = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
         // corpus stats as a broadcast 1-row frame (t6's lazy-scalar trick)
-        val st = tok.agg(
+        val st = tf.agg(
           countDistinct(col("doc_id")).cast("double").as("nd"),
-          count(lit(1)).cast("double").as("tt"))
+          sum(col("tf")).cast("double").as("tt"))
         val allTerms = Bm25Queries.flatMap(_._2).distinct
         val ts = tf.filter(col("tk").isin(allTerms: _*))
           .join(df_, Seq("tk")).join(dl, Seq("doc_id"))
