@@ -662,6 +662,35 @@ object CoreQueries {
           |  FROM events GROUP BY event_type, user_id) t
           |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)),
 
+    Q("x12_skew_profile",
+      "Key-skew census — for each profiled (table, key) pair: rows, " +
+        "distinct keys, the heaviest key's population, its corpus " +
+        "share in exact ppm (integer division — no float printf in a " +
+        "hash contract), and a skew verdict (max > 2x mean). This is " +
+        "the introspection that FEEDS the engine's own skew levers " +
+        "(e5/e7 salting, c6 domain caps, AQE skew-join thresholds): " +
+        "you salt what this report flags, with the measured fan-out. " +
+        "One profile-table list drives both the Spark plans and the " +
+        "DuckDB twin, so the pair set cannot drift. Scale shape: one " +
+        "map-side-combinable groupBy count per key then a 1-row " +
+        "collapse — the same two-stage shape as g3; at 100 TB the " +
+        "per-key frame is the only data-sized stage and combines " +
+        "before the wire (a count-min sketch is the sub-scan " +
+        "alternative when even one pass per key is too dear).",
+      (s, d) => SkewProfilePairs.map { case (tbl, kc) =>
+        t(s, d, tbl)
+          .select(col(kc).cast("string").as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_pop"))
+          .select(lit(tbl).as("tbl"), lit(kc).as("key_col"),
+            col("n_rows"), col("n_keys"), col("max_pop"),
+            expr("max_pop * 1000000 div n_rows").as("top_ppm"),
+            (col("max_pop") * col("n_keys") >
+              col("n_rows") * lit(2L)).as("skewed"))
+      }.reduce(_ unionByName _).orderBy("tbl", "key_col"),
+      Some(SkewProfileSql)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")
@@ -940,4 +969,31 @@ object CoreQueries {
     "o_orderkey" -> IntLike, "o_custkey" -> IntLike,
     "o_orderstatus" -> Str, "o_orderpriority" -> Str,
     "o_orderdate" -> TsDay)
+
+  /** x12's profile set: every key the suite's own shuffles hang off —
+    * join keys, window partition keys, and the domain keys the capping
+    * and salting operators act on.
+    */
+  private val SkewProfilePairs: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_suppkey",
+    "orders" -> "o_custkey", "events" -> "user_id",
+    "events" -> "event_type", "documents" -> "source",
+    "customer" -> "c_nationkey")
+
+  /** x12's DuckDB twin, generated from [[SkewProfilePairs]]. */
+  private def SkewProfileSql: String = {
+    val blocks = SkewProfilePairs.map { case (tbl, kc) =>
+      s"""  SELECT '$tbl' AS tbl, '$kc' AS key_col,
+         |    CAST(SUM(c) AS BIGINT) AS n_rows,
+         |    COUNT(*) AS n_keys,
+         |    CAST(MAX(c) AS BIGINT) AS max_pop,
+         |    CAST(MAX(c) AS BIGINT) * 1000000
+         |      // CAST(SUM(c) AS BIGINT) AS top_ppm,
+         |    CAST(MAX(c) AS BIGINT) * COUNT(*)
+         |      > 2 * CAST(SUM(c) AS BIGINT) AS skewed
+         |  FROM (SELECT COUNT(*) AS c FROM $tbl
+         |        GROUP BY CAST($kc AS VARCHAR))""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"SELECT * FROM (\n$blocks\n) ORDER BY tbl, key_col"
+  }
 }

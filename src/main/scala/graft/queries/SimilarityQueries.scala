@@ -1363,6 +1363,62 @@ object SimilarityQueries {
            |FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("a11_mrl_recall",
+      "Truncated-dimension retrieval recall (Matryoshka-style, " +
+        "Kusupati et al. 2022) — exact cosine top-10 over the FIRST 16 " +
+        "of 64 dims vs the full-dim exact ground truth, through the " +
+        "shared a7 recall harness. The cheapest rung of the " +
+        "dimension/recall ladder: a 4x-smaller vector store and 4x " +
+        "fewer multiply-adds per candidate, with the recall cost " +
+        "measured as a first-class oracle-checked number (the eval a " +
+        "store runs before adopting truncated embeddings as its " +
+        "coarse-ranking tier; composes with a2's bucketing and a6's " +
+        "int8 as independent axes). Same deterministic intersect " +
+        "shape, same LEFT-join recall-0 guarantee as a7/a7b/a7c. " +
+        "Measured recall here (0.1-0.3) is the ISOTROPIC floor: the " +
+        "synthetic corpus spreads information evenly across dims, so " +
+        "dropping 48 of 64 costs proportionally — MRL-trained " +
+        "embeddings front-load information precisely so this number " +
+        "rises, and this eval is how a store measures that its " +
+        "embeddings actually have the property before relying on it.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("tr", expr("slice(embedding, 1, 16)"))
+          .withColumn("tnorm", sqrt(dot("tr", "tr")))
+          .select(col("vec_id"), col("tr"), col("tnorm"))
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("tr").as("tq"),
+            col("tnorm").as("tnorm_q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine_t").desc, col("vec_id"))
+        val retrieved = e.join(broadcast(qs),
+            col("vec_id") =!= col("query_id"))
+          .withColumn("cosine_t",
+            dot("tq", "tr") / (col("tnorm_q") * col("tnorm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        recallReport(exactTopK(s, d, 10), retrieved)
+      },
+      Some(
+        s"""WITH ${exactCteSql(10)},
+           |tn AS (SELECT vec_id, embedding[1:16] AS tr,
+           |         sqrt(${dotSql("embedding[1:16]", "embedding[1:16]")})
+           |           AS tnorm
+           |       FROM embeddings),
+           |tq AS (SELECT vec_id AS query_id, tr AS trq, tnorm AS tnorm_q
+           |       FROM tn WHERE vec_id < 5),
+           |retr AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT tq.query_id, tn.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY tq.query_id
+           |        ORDER BY ${dotSql("tq.trq", "tn.tr")} /
+           |          (tq.tnorm_q * tn.tnorm) DESC, tn.vec_id) AS rank
+           |    FROM tn CROSS JOIN tq WHERE tn.vec_id != tq.query_id) t
+           |  WHERE rank <= 10),
+           |$RecallTailSql""".stripMargin)),
+
     Q("a10_embedding_gram",
       "Gram-matrix sufficient statistics for covariance / PCA over the " +
         "embedding corpus — the distributed-PCA pattern: the cluster " +

@@ -157,6 +157,47 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a11 truncated-dim recall: full retrieval set, exact arithmetic, " +
+      "and a replica of the truncated ranking reproduces its hits") {
+    val report = run("a11_mrl_recall").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    assert(report.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    report.foreach { case (qid, (nExact, nRetr, nHit, recall)) =>
+      // truncated scoring still ranks EVERY candidate (no blocking), so
+      // the retrieved set is always full — any shortfall means the
+      // truncation dropped candidates instead of information
+      assert(nExact === 10L && nRetr === 10L, s"query $qid retrieval")
+      assert(nHit <= nRetr)
+      assert(recall === nHit.toDouble / nExact)
+    }
+    // independent replica: score the first-16-dim cosine in Scala over
+    // the raw vectors and reproduce each query's hit count
+    val vecs = graft.engine.Graft.table(spark, sfDir, "embeddings")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(16).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact10 = run("a1_ann_bruteforce").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    report.foreach { case (qid, (_, _, nHit, _)) =>
+      val top10 = vecs.keys.filter(_ != qid).toSeq
+        .map(v => (v, cos(vecs(qid), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      assert(top10.intersect(exact10(qid)).size === nHit,
+        s"query $qid: replica hit count differs")
+    }
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val left = Seq((1, "a", 5), (2, "a", 10), (3, "b", 7), (4, "a", 2))
