@@ -118,7 +118,7 @@ object Functions {
     val u = l.select(
         (partitionCols.map(col) :+ col(timeCol) :+ col("__v") :+
           col("__is_left") :+
-          struct(left.columns.map(col): _*).as("__row")): _*)
+          struct(left.columns.toIndexedSeq.map(col): _*).as("__row")): _*)
       .unionByName(r.withColumn("__row",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.fields))), allowMissingColumns = false)
@@ -135,7 +135,7 @@ object Functions {
     val restored = left.columns.foldLeft(filled) { (df, c) =>
       df.withColumn(c, col(s"__row.$c"))
     }
-    restored.select((left.columns.map(col) :+ col(as)): _*)
+    restored.select((left.columns.toIndexedSeq.map(col) :+ col(as)): _*)
   }
 
   /** Forward-fill `valueCol` down a date-ordered frame: the reference's

@@ -211,7 +211,7 @@ final case class XlsSource(path: String, schema: StructType) extends Source {
     * characters (compression can change mid-string).
     */
   private def parseSst(first: Rec,
-                       rest: BufferedIterator[Rec]): IndexedSeq[String] = {
+                       rest: scala.collection.BufferedIterator[Rec]): IndexedSeq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer(first.data)
     while (rest.hasNext && rest.head.id == RContinue)
       parts += rest.next().data

@@ -76,7 +76,8 @@ object SimilarityQueries {
     * literal around the codegen'd dot).
     */
   def withRefineOrd(df: DataFrame, emb: String): DataFrame =
-    df.withColumn("__refine", array(refinePlane.map(v => lit(v.toFloat)): _*))
+    df.withColumn("__refine",
+      array(refinePlane.toIndexedSeq.map(v => lit(v.toFloat)): _*))
       .withColumn("ord", expr(s"graft_dot($emb, __refine)"))
       .drop("__refine")
 
@@ -95,7 +96,8 @@ object SimilarityQueries {
   /** Attach plane-literal columns then the bucket signature. */
   def withBucket(df: DataFrame, emb: String): DataFrame = {
     val withPlanes = (0 until NPlanes).foldLeft(df) { (d, j) =>
-      d.withColumn(s"__planes$j", array(planes(j).map(v => lit(v.toFloat)): _*))
+      d.withColumn(s"__planes$j",
+        array(planes(j).toIndexedSeq.map(v => lit(v.toFloat)): _*))
     }
     withPlanes.withColumn("bucket", bucketCol(emb).cast("int"))
       .drop((0 until NPlanes).map(j => s"__planes$j"): _*)
