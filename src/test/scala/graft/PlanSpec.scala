@@ -329,4 +329,54 @@ class PlanSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (the third skew lever)") {
+    // The suite's skew levers are (1) manual salting (e5/e7 pattern),
+    // (2) domain caps (c6), and (3) AQE's OptimizeSkewedJoin, which
+    // re-splits an oversized shuffle partition at runtime without any
+    // query rewrite. x12 is the census that flags the keys; this test
+    // proves lever (3) actually engages on a planted hot key: one key
+    // carries ~half of one side of a shuffle join, thresholds are
+    // lowered to test scale (production defaults are cluster-sized,
+    // SCALE.md documents them), and the FINAL adaptive plan must show
+    // the skew split — the join reads more partitions than the static
+    // shuffle produced for the hot side.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", // force the shuffle join
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "1")
+    spark.conf.set(keys(3), "64KB")
+    spark.conf.set(keys(4), "32KB")
+    spark.conf.set(keys(5), "false")
+    try {
+      // planted skew: key 0 holds 50k rows with a fat payload, the
+      // other 5k rows spread over 5k keys; the probe side is uniform
+      val hot = spark.range(55000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("v"), col("id").cast("string"),
+          lit("x" * 64)).as("payload"))
+      val probe = spark.range(5000).select(col("id").as("k"),
+        col("id").as("w"))
+      val joined = hot.join(probe, Seq("k"))
+      // execute THIS dataset (collect, not count — count builds its own
+      // QueryExecution) so AQE finalizes joined's own adaptive plan
+      joined.collect()
+      val p = joined.queryExecution.explainString(
+        ExplainMode.fromString("formatted"))
+      assert(p.contains("AQEShuffleRead"), s"no AQE read:\n${p.take(1500)}")
+      // Spark marks the re-split read in the formatted plan
+      assert(p.contains("skewed"),
+        s"skew split did not engage:\n${p.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
