@@ -66,4 +66,32 @@ class PcaSpec extends SparkTestBase {
     val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
     assert(cos > 0.99, s"principal direction not recovered: |cos|=$cos")
   }
+
+  test("gram stats are additive across batches — the O(batch) incremental " +
+      "maintenance contract") {
+    // Because every a10 statistic is an exact DECIMAL sum over
+    // quantized int64 values, stats(A ∪ B) MUST equal the elementwise
+    // sum of stats(A) and stats(B) — so at 100 TB a new embedding
+    // batch folds into the persisted Gram/PCA statistics by pure
+    // addition (one O(batch) pass), never a corpus recompute. Floats
+    // summed in engine-chosen order could not make this promise.
+    val all = planted()
+    val a = all.filter("vec_id < 250")
+    val b = all.filter("vec_id >= 250")
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.gramStats(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+        .toMap
+    val (sa, sb, su) = (stats(a), stats(b), stats(all))
+    assert(su.keySet === sa.keySet && su.keySet === sb.keySet)
+    su.foreach { case (ij, (n, sp, si, sj)) =>
+      val (na, spa, sia, sja) = sa(ij)
+      val (nb, spb, sib, sjb) = sb(ij)
+      assert(n === na + nb, s"$ij n_vecs")
+      assert(sp === spa.add(spb), s"$ij sum_prod")
+      assert(si === sia.add(sib), s"$ij sum_i")
+      assert(sj === sja.add(sjb), s"$ij sum_j")
+    }
+  }
 }
