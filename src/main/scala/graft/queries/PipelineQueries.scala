@@ -564,6 +564,30 @@ object PipelineQueries {
           |FROM documents WHERE n_chars < 300
           |GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    Q("o8_incremental_gram",
+      "Incremental Gram/PCA statistics maintenance — the two-batch " +
+        "drive of pipeline/IncrementalGram: the embeddings table is " +
+        "split by vec_id parity, batch 1 creates the persisted " +
+        "statistics table, batch 2 FOLDS IN by pure (i, j)-keyed " +
+        "DECIMAL addition — one O(batch · d²) pass plus a d²-row " +
+        "merge, never a corpus recompute (the additivity PcaSpec " +
+        "proves algebraically, here proven through the real persisted-" +
+        "table read-modify-overwrite path). The oracle is a10's SQL " +
+        "VERBATIM: the batches partition the corpus, so the merged " +
+        "statistics must hash-match the full-corpus declarative " +
+        "computation bit for bit.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o8_wh"))
+        val e = Graft.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.pipeline.IncrementalGram.ingest(cat,
+          e.filter(col("vec_id") % 2 === 0), "gram_stats")
+        graft.pipeline.IncrementalGram.ingest(cat,
+          e.filter(col("vec_id") % 2 =!= 0), "gram_stats")
+        cat.table("gram_stats").orderBy("i", "j")
+      },
+      Some(SimilarityQueries.GramOracleSql)),
+
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
         "history operator (Kimball SCD2): an update batch (here the " +

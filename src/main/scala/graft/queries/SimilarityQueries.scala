@@ -1443,29 +1443,36 @@ object SimilarityQueries {
         "contract; at 64 dims the declarative expansion stays inside " +
         "codegen.",
       (s, d) => gramStats(t(s, d, "embeddings")),
-      Some(
-        """WITH q AS (
-          |  SELECT vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
-          |           AS BIGINT)) AS q
-          |  FROM embeddings),
-          |px AS (
-          |  SELECT vec_id, t.i, q.q[CAST(t.i + 1 AS INTEGER)] AS x
-          |  FROM q, LATERAL UNNEST(range(0, len(q.q))) t(i)),
-          |sx AS (
-          |  SELECT i, SUM(CAST(x AS DECIMAL(28,0))) AS sum_x
-          |  FROM px GROUP BY 1),
-          |pr AS (
-          |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n_vecs,
-          |    SUM(CAST(a.x * b.x AS DECIMAL(28,0))) AS sum_prod
-          |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.i >= a.i
-          |  GROUP BY 1, 2)
-          |SELECT pr.i, pr.j, pr.n_vecs, pr.sum_prod,
-          |  sa.sum_x AS sum_i, sb.sum_x AS sum_j
-          |FROM pr JOIN sx sa ON pr.i = sa.i JOIN sx sb ON pr.j = sb.i
-          |ORDER BY pr.i, pr.j""".stripMargin))
+      Some(GramOracleSql))
   )
+
+  /** a10's DuckDB twin — also `o8_incremental_gram`'s oracle verbatim:
+    * the two ingested batches partition the embeddings table, so the
+    * incrementally merged statistics must hash-match the full-corpus
+    * declarative computation.
+    */
+  private[graft] val GramOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+      |           AS BIGINT)) AS q
+      |  FROM embeddings),
+      |px AS (
+      |  SELECT vec_id, t.i, q.q[CAST(t.i + 1 AS INTEGER)] AS x
+      |  FROM q, LATERAL UNNEST(range(0, len(q.q))) t(i)),
+      |sx AS (
+      |  SELECT i, SUM(CAST(x AS DECIMAL(28,0))) AS sum_x
+      |  FROM px GROUP BY 1),
+      |pr AS (
+      |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n_vecs,
+      |    SUM(CAST(a.x * b.x AS DECIMAL(28,0))) AS sum_prod
+      |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2)
+      |SELECT pr.i, pr.j, pr.n_vecs, pr.sum_prod,
+      |  sa.sum_x AS sum_i, sb.sum_x AS sum_j
+      |FROM pr JOIN sx sa ON pr.i = sa.i JOIN sx sb ON pr.j = sb.i
+      |ORDER BY pr.i, pr.j""".stripMargin
 
   /** a10's implementation, factored so PcaSpec can run the identical
     * sufficient-statistics path over a planted-anisotropy fixture.

@@ -94,4 +94,35 @@ class PcaSpec extends SparkTestBase {
       assert(sj === sja.add(sjb), s"$ij sum_j")
     }
   }
+
+  test("IncrementalGram drives are isolated across warehouses in one session") {
+    // Regression guard for the cross-run hazard the pipeline documents:
+    // table existence must come from WAREHOUSE state, not the session
+    // temp-view list — a second drive (bench repeat runs) registers the
+    // same view name for its own fresh warehouse, and a temp-view
+    // existence check would fold the first drive's corpus into the
+    // second's statistics.
+    import graft.pipeline.IncrementalGram
+    import graft.queries.Scratch
+    val all = planted()
+    val (a, b) = (all.filter("vec_id < 250"), all.filter("vec_id >= 250"))
+    def drive(): Map[(Long, Long), (Long, java.math.BigDecimal)] = {
+      val cat = new graft.engine.Catalog(spark,
+        Scratch.fresh(spark, "pca_wh"))
+      IncrementalGram.ingest(cat, a, "gram_stats")
+      IncrementalGram.ingest(cat, b, "gram_stats")
+      cat.table("gram_stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDecimal(3))).toMap
+    }
+    val first = drive()
+    val second = drive()
+    assert(first === second,
+      "second drive differs — stale state leaked across warehouses")
+    // and the merged result equals the one-shot computation
+    val oneShot = SimilarityQueries.gramStats(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDecimal(3))).toMap
+    assert(first === oneShot, "incremental merge != full recompute")
+  }
 }
