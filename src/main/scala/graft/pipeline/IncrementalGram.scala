@@ -49,4 +49,32 @@ object IncrementalGram {
       cat.spark, "gram_merge", merged)
     cat.save(table, durable)
   }
+
+  /** Remove a previously-ingested batch's contribution — the deletion
+    * path (takedowns, corrupted-batch rollback) that exact additive
+    * statistics get for free: fold in the batch's stats NEGATED. The
+    * caller must pass exactly the rows that were ingested (the same
+    * dedup discipline as [[ingest]] — subtraction of a never-ingested
+    * batch corrupts the table as surely as double-addition).
+    * retire(ingest(B)) is the identity on the statistics, which
+    * PcaSpec asserts.
+    */
+  def retire(cat: Catalog, batch: DataFrame, table: String): DataFrame = {
+    require(cat.exists(table),
+      s"retire: statistics table '$table' does not exist")
+    val neg = graft.queries.SimilarityQueries.gramStats(batch)
+      .select(col("i"), col("j"), (-col("n_vecs")).as("n_vecs"),
+        negate(col("sum_prod")).as("sum_prod"),
+        negate(col("sum_i")).as("sum_i"),
+        negate(col("sum_j")).as("sum_j"))
+    val merged = cat.table(table).unionByName(neg)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("sum_prod")).as("sum_prod"),
+        sum(col("sum_i")).as("sum_i"),
+        sum(col("sum_j")).as("sum_j"))
+    val durable = graft.queries.Scratch.materialize(
+      cat.spark, "gram_retire", merged)
+    cat.save(table, durable)
+  }
 }

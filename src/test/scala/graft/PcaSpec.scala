@@ -125,4 +125,21 @@ class PcaSpec extends SparkTestBase {
         (r.getLong(2), r.getDecimal(3))).toMap
     assert(first === oneShot, "incremental merge != full recompute")
   }
+
+  test("retire(ingest(B)) is the identity — the takedown path") {
+    import graft.pipeline.IncrementalGram
+    import graft.queries.Scratch
+    val all = planted()
+    val (a, b) = (all.filter("vec_id < 250"), all.filter("vec_id >= 250"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+      .toMap
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "ret_wh"))
+    val afterA = snap(IncrementalGram.ingest(cat, a, "gram_stats"))
+    IncrementalGram.ingest(cat, b, "gram_stats")
+    val afterRetire = snap(IncrementalGram.retire(cat, b, "gram_stats"))
+    assert(afterRetire === afterA,
+      "retiring batch B did not restore the pre-B statistics exactly")
+  }
 }
