@@ -34,25 +34,43 @@ object SimilarityQueries {
   val Dim = 64
   val NPlanes = 4
 
-  /** Deterministic random hyperplanes (seed 42): NPlanes x Dim in ±1. */
-  lazy val planes: Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (seed 42): n x Dim in ±1. The
+    * seed stream is shared across n, and `Array.fill(n, Dim)` draws row
+    * by row — so `planesFor(6)`'s first 4 rows ARE `planesFor(4)`:
+    * adding planes REFINES the bucketing (each coarse bucket splits)
+    * instead of reshuffling it, which is what lets a corpus grow into
+    * more planes without re-bucketing from scratch conceptually
+    * (existing signatures are prefixes of the new ones).
+    */
+  def planesFor(n: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(n, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** NPlanes-bit LSH bucket signature of an embedding column. */
-  def bucketCol(emb: String): org.apache.spark.sql.Column =
-    (0 until NPlanes).map { j =>
+  lazy val planes: Array[Array[Double]] = planesFor(NPlanes)
+
+  /** n-bit LSH bucket signature of an embedding column (expects the
+    * `__planes0..n-1` literal columns to be attached, see
+    * [[withBucketN]]).
+    */
+  def bucketColN(emb: String, n: Int): org.apache.spark.sql.Column =
+    (0 until n).map { j =>
       val proj = expr(s"graft_dot($emb, __planes$j)")
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** DuckDB twin of [[bucketCol]]: the same plane literals and the same
-    * left-fold projection, so bucket assignments match bit-for-bit.
+  /** NPlanes-bit LSH bucket signature of an embedding column. */
+  def bucketCol(emb: String): org.apache.spark.sql.Column =
+    bucketColN(emb, NPlanes)
+
+  /** DuckDB twin of [[bucketColN]]: the same plane literals and the
+    * same left-fold projection, so bucket assignments match
+    * bit-for-bit.
     */
-  def bucketSql(emb: String): String =
-    (0 until NPlanes).map { j =>
-      val planeLit = planes(j)
+  def bucketSqlN(emb: String, n: Int): String = {
+    val ps = planesFor(n)
+    (0 until n).map { j =>
+      val planeLit = ps(j)
         .map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]::DOUBLE[]")
       val fold = s"list_reduce(list_prepend(0.0::DOUBLE, " +
@@ -60,6 +78,9 @@ object SimilarityQueries {
         "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
       s"(CASE WHEN $fold >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  def bucketSql(emb: String): String = bucketSqlN(emb, NPlanes)
 
   /** One extra deterministic hyperplane (seed 43 — disjoint from the
     * bucket planes) whose CONTINUOUS projection orders vectors inside a
@@ -93,15 +114,19 @@ object SimilarityQueries {
       "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
   }
 
-  /** Attach plane-literal columns then the bucket signature. */
-  def withBucket(df: DataFrame, emb: String): DataFrame = {
-    val withPlanes = (0 until NPlanes).foldLeft(df) { (d, j) =>
+  /** Attach plane-literal columns then the n-bit bucket signature. */
+  def withBucketN(df: DataFrame, emb: String, n: Int): DataFrame = {
+    val ps = planesFor(n)
+    val withPlanes = (0 until n).foldLeft(df) { (d, j) =>
       d.withColumn(s"__planes$j",
-        array(planes(j).toIndexedSeq.map(v => lit(v.toFloat)): _*))
+        array(ps(j).toIndexedSeq.map(v => lit(v.toFloat)): _*))
     }
-    withPlanes.withColumn("bucket", bucketCol(emb).cast("int"))
-      .drop((0 until NPlanes).map(j => s"__planes$j"): _*)
+    withPlanes.withColumn("bucket", bucketColN(emb, n).cast("int"))
+      .drop((0 until n).map(j => s"__planes$j"): _*)
   }
+
+  def withBucket(df: DataFrame, emb: String): DataFrame =
+    withBucketN(df, emb, NPlanes)
 
   /** The bit-exact Lloyd-step machinery shared by a4 (one step) and
     * a4b (the iterated loop) — ONE definition of every determinism
@@ -612,6 +637,59 @@ object SimilarityQueries {
         s"""WITH e AS (SELECT vec_id, embedding,
            |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
            |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c, bucket
+           |      FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q USING (bucket)),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a5b_knn_join_moreplanes",
+      "The a5 KNN-join at 6 LSH planes (64 buckets) — the corpus-scale " +
+        "dial a5's doc prescribes ('at corpus scale NPlanes grows'), " +
+        "made observable as its own oracle-checked row. Planes share " +
+        "the seed stream, so 6-plane bucketing REFINES 4-plane (each " +
+        "a5 bucket splits in 4, signatures are prefix-extensions): " +
+        "candidate pairs in the bucket join drop ~4x — the knob that " +
+        "keeps per-bucket population constant as the corpus grows 4x " +
+        "— at the cost of recall for near-boundary neighbors (AnnSpec " +
+        "asserts every pair reported by both variants carries the " +
+        "identical cosine, so the dial changes CANDIDACY, never " +
+        "scoring).",
+      (s, d) => {
+        val e = withBucketN(t(s, d, "embeddings"), "embedding", 6)
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("bucket"))
+        val scored = c.join(q, Seq("bucket"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSqlN("embedding", 6)} AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
            |        bucket FROM e WHERE vec_id % 10 = 0),
            |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c, bucket

@@ -157,6 +157,29 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a5b (6-plane) changes candidacy, never scoring, and refines a5's buckets") {
+    val a5 = run("a5_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val a5b = run("a5b_knn_join_moreplanes").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(a5b.nonEmpty)
+    // identical cosine wherever both variants report the same pair —
+    // the plane count only restricts which pairs MEET
+    a5b.foreach { case (k, c) =>
+      a5.get(k).foreach(e => assert(e === c, s"cosine differs for $k"))
+    }
+    // refinement: a neighbor meets its query in the 6-plane join only
+    // if they share the 6-bit signature, whose low 4 bits are the
+    // 4-plane signature — so every a5b pair must share a 4-plane bucket
+    val e4 = SimilarityQueries.withBucket(
+      graft.engine.Graft.table(spark, sfDir, "embeddings"), "embedding")
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a5b.foreach { case ((q, v), _) =>
+      assert(e4(q) === e4(v), s"pair ($q,$v) not in one 4-plane bucket")
+    }
+  }
+
   test("a11 truncated-dim recall: full retrieval set, exact arithmetic, " +
       "and a replica of the truncated ranking reproduces its hits") {
     val report = run("a11_mrl_recall").collect()
