@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import graft.engine.Catalog
 
 /** Incremental maintenance of the a10 Gram/PCA sufficient statistics —
@@ -30,25 +29,14 @@ object IncrementalGram {
     * statistics table `table`, creating it on first use; returns the
     * merged statistics (i, j, n_vecs, sum_prod, sum_i, sum_j).
     */
-  def ingest(cat: Catalog, batch: DataFrame, table: String): DataFrame = {
-    val stats = graft.queries.SimilarityQueries.gramStats(batch)
-    // existence by WAREHOUSE state, not the session temp-view list — a
-    // previous drive in the same session (bench repeat runs) registers
-    // the same view name for its own fresh warehouse, and merging into
-    // THAT would fold a stale corpus into this run's statistics
-    val merged =
-      if (cat.exists(table))
-        cat.table(table).unionByName(stats)
-          .groupBy(col("i"), col("j"))
-          .agg(sum(col("n_vecs")).as("n_vecs"),
-            sum(col("sum_prod")).as("sum_prod"),
-            sum(col("sum_i")).as("sum_i"),
-            sum(col("sum_j")).as("sum_j"))
-      else stats
-    val durable = graft.queries.Scratch.materialize(
-      cat.spark, "gram_merge", merged)
-    cat.save(table, durable)
-  }
+  def ingest(cat: Catalog, batch: DataFrame, table: String): DataFrame =
+    // existence by WAREHOUSE state, not the session temp-view list
+    // (inside AdditiveStats.fold) — a previous drive in the same
+    // session (bench repeat runs) registers the same view name for its
+    // own fresh warehouse, and merging into THAT would fold a stale
+    // corpus into this run's statistics
+    AdditiveStats.fold(cat, table,
+      graft.queries.SimilarityQueries.gramStats(batch), Seq("i", "j"))
 
   /** Remove a previously-ingested batch's contribution — the deletion
     * path (takedowns, corrupted-batch rollback) that exact additive
@@ -59,22 +47,7 @@ object IncrementalGram {
     * retire(ingest(B)) is the identity on the statistics, which
     * PcaSpec asserts.
     */
-  def retire(cat: Catalog, batch: DataFrame, table: String): DataFrame = {
-    require(cat.exists(table),
-      s"retire: statistics table '$table' does not exist")
-    val neg = graft.queries.SimilarityQueries.gramStats(batch)
-      .select(col("i"), col("j"), (-col("n_vecs")).as("n_vecs"),
-        negate(col("sum_prod")).as("sum_prod"),
-        negate(col("sum_i")).as("sum_i"),
-        negate(col("sum_j")).as("sum_j"))
-    val merged = cat.table(table).unionByName(neg)
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("n_vecs")).as("n_vecs"),
-        sum(col("sum_prod")).as("sum_prod"),
-        sum(col("sum_i")).as("sum_i"),
-        sum(col("sum_j")).as("sum_j"))
-    val durable = graft.queries.Scratch.materialize(
-      cat.spark, "gram_retire", merged)
-    cat.save(table, durable)
-  }
+  def retire(cat: Catalog, batch: DataFrame, table: String): DataFrame =
+    AdditiveStats.retire(cat, table,
+      graft.queries.SimilarityQueries.gramStats(batch), Seq("i", "j"))
 }

@@ -588,6 +588,34 @@ object PipelineQueries {
       },
       Some(SimilarityQueries.GramOracleSql)),
 
+    Q("o9_incremental_postings",
+      "Incremental BM25 corpus-statistics maintenance — the retrieval " +
+        "twin of o8, through the same pipeline/AdditiveStats " +
+        "primitive: df / term-frequency totals / doc counts are exact " +
+        "counts, so a batch of new documents folds into the persisted " +
+        "postings-statistics table by tk-keyed addition — one " +
+        "O(batch) tokenize pass + a vocabulary-cardinality merge, " +
+        "never a corpus rescan (at 100 TB THIS table is what t17's " +
+        "scoring reads, maintained by ingest instead of recomputed " +
+        "per query). Batches are disjoint on doc_id by construction " +
+        "(parity split), which is what makes the per-term distinct " +
+        "doc count additive. Oracle: the full-corpus declarative " +
+        "computation — the merged table must hash-match it bit for " +
+        "bit.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o9_wh"))
+        val docs = Graft.table(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.pipeline.AdditiveStats.fold(cat, "postings",
+          TextQueries.postingsStats(docs.filter(col("doc_id") % 2 === 0)),
+          Seq("tk"))
+        graft.pipeline.AdditiveStats.fold(cat, "postings",
+          TextQueries.postingsStats(docs.filter(col("doc_id") % 2 =!= 0)),
+          Seq("tk"))
+        cat.table("postings").orderBy("tk")
+      },
+      Some(TextQueries.PostingsOracleSql)),
+
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
         "history operator (Kimball SCD2): an update batch (here the " +

@@ -947,6 +947,29 @@ object TextQueries {
       Some(Bm25OracleSql))
   )
 
+  /** The additive corpus statistics behind t17's BM25 scoring, per
+    * batch of documents: one row per workload term (tk, df, tf_total)
+    * plus a `__total__` row (n_docs, total tokens) — every column an
+    * exact count, so disjoint doc batches fold into a persisted table
+    * by pure addition (pipeline/AdditiveStats; driven by o9). df is a
+    * per-term DISTINCT doc count, additive ONLY because batches are
+    * disjoint on doc_id — the caller's contract.
+    */
+  private[graft] def postingsStats(docs: DataFrame): DataFrame = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tk"))
+    val tf = tok.groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val perTerm = tf.filter(col("tk").isin(terms: _*))
+      .groupBy(col("tk"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val total = tf.agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("tf_total"))
+      .select(lit("__total__").as("tk"), col("df"), col("tf_total"))
+    perTerm.unionByName(total)
+  }
+
   /** The fixed BM25 query workload: (query id, terms), terms drawn from
     * the corpus vocabulary. Term order is load-bearing — the per-doc
     * score adds per-term partials in exactly this order on BOTH
@@ -958,6 +981,28 @@ object TextQueries {
     3 -> Seq("hash", "table", "scan"),
     4 -> Seq("customer", "data"),
     5 -> Seq("merge", "sort", "filter"))
+
+  /** o9's DuckDB twin — the full-corpus declarative computation of
+    * [[postingsStats]], generated from the same workload term list.
+    * The two ingested batches partition `documents`, so the
+    * incrementally merged table must hash-match this exactly.
+    */
+  private[graft] def PostingsOracleSql: String = {
+    val allTerms =
+      Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.tk
+       |  FROM documents, LATERAL UNNEST(string_split_regex(trim(text), '\\s+')) t(tk)),
+       |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT tk, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+       |  FROM tf WHERE tk IN ($allTerms) GROUP BY 1),
+       |tot AS (
+       |  SELECT '__total__' AS tk, COUNT(DISTINCT doc_id) AS df,
+       |    CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf)
+       |SELECT * FROM (SELECT * FROM terms UNION ALL SELECT * FROM tot)
+       |ORDER BY tk""".stripMargin
+  }
 
   /** t17's DuckDB twin, generated from [[Bm25Queries]] so the literal
     * term lists and the left-assoc partial-sum order can never drift
