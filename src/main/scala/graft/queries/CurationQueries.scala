@@ -624,7 +624,39 @@ object CurationQueries {
            |    AS BIGINT) AS kept_docid_sum
            |FROM sp s LEFT JOIN dirty d
            |  ON s.doc_id = d.doc_id AND s.split = d.split
-           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin))
+           |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin)),
+
+    Q("c13_stratified_eval",
+      "Stratified eval-set sampling — up to 5 docs per (lang, " +
+        "length-bucket) stratum, selected by content-hash order " +
+        "(md5(text), doc_id tiebreak): the balanced-eval-set builder " +
+        "that guarantees every language x length cell is represented " +
+        "without an RNG (reproducible on any cluster, any partitioning " +
+        "— the c2 hash-predicate philosophy applied to PER-STRATUM " +
+        "exact-k selection, which a Bernoulli hash filter cannot " +
+        "give). Scale shape: ONE shuffle on the stratum key; the " +
+        "rank-and-keep window is per-stratum (bounded cardinality), " +
+        "docs never sort globally; md5 is computed at the scan.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("len_bucket"))
+          .orderBy(col("h"), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("len_bucket", expr("n_chars div 200"))
+          .withColumn("h", md5(col("text")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("len_bucket"), col("rk"), col("doc_id"))
+          .orderBy("lang", "len_bucket", "rk")
+      },
+      Some(
+        """SELECT lang, len_bucket, rk, doc_id FROM (
+          |  SELECT lang, n_chars // 200 AS len_bucket, doc_id,
+          |    CAST(ROW_NUMBER() OVER (
+          |      PARTITION BY lang, n_chars // 200
+          |      ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+          |  FROM documents)
+          |WHERE rk <= 5 ORDER BY lang, len_bucket, rk""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <
