@@ -716,6 +716,25 @@ object PipelineQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    Q("e2s_stream_static_join",
+      "§2.12 driver-visible streaming row #4: STREAM-STATIC broadcast-" +
+        "join enrichment — the most common production join shape " +
+        "(events stream ⋈ broadcast dimension), which unlike " +
+        "stream-stream holds NO join state: the static event_type → " +
+        "tier dim is a plain batch frame re-resolved per micro-batch. " +
+        "File-stream source, broadcast hash join inside the streaming " +
+        "plan, bounded-key Complete-mode aggregate, AvailableNow " +
+        "one-shot through the durable parquet sink — hash-checked " +
+        "against the pure batch equivalent in DuckDB.",
+      (s, d) => graft.streaming.EventsStream.tierRollupOneShot(s, d),
+      Some(
+        """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+          |  WHEN event_type IN ('purchase', 'signup') THEN 'revenue'
+          |  ELSE 'ops' END AS tier,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1 ORDER BY tier""".stripMargin)),
+
     Q("e8_sliding_window",
       "Sliding 1-hour windows every 15 minutes — each event lands in " +
         "exactly 4 overlapping windows (Spark expands via the window() " +

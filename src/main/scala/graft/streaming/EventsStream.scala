@@ -89,6 +89,55 @@ object EventsStream {
     spark.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Stream-STATIC broadcast-join enrichment, the most common
+    * production join shape: each micro-batch joins a bounded dimension
+    * that broadcasts to every task — unlike stream-stream, the join
+    * holds NO stream state at all (the static side is a plain batch
+    * frame re-resolved per micro-batch, which is also how dim updates
+    * become visible mid-stream). The dim here is a deterministic
+    * event_type → tier mapping derived once from the batch table; at
+    * 100 TB it is any warehouse dim small enough to broadcast, and the
+    * aggregate after the join is ordinary bounded-key window state.
+    */
+  def tierRollup(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.engine.Functions.dsum(col("value")).as("total_value"))
+
+  /** The deterministic event_type → tier dimension used by the e2s
+    * drive (engagement / revenue / ops), built as a STATIC batch frame.
+    */
+  def tierDim(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Graft.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .withColumn("tier",
+        when(col("event_type").isin("click", "view"), "engagement")
+          .when(col("event_type").isin("purchase", "signup"), "revenue")
+          .otherwise("ops"))
+
+  /** One-shot streaming execution of [[tierRollup]] over the events
+    * file source with the static [[tierDim]] side — same
+    * AvailableNow + Complete-mode + durable-parquet contract as
+    * [[hourlyCountsOneShot]].
+    */
+  def tierRollupOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.fresh(spark, "e2s_out")
+    val q = tierRollup(source(spark, dir), tierDim(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "e2s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out).orderBy(col("tier"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes with a 1-hour watermark —
     * the incremental twin of `e8_sliding_window`. State per key-window
     * is bounded by (window/slide) x types x horizon.

