@@ -877,6 +877,53 @@ object TextQueries {
           |    AS norm_hash_sum
           |FROM n GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    Q("t18_vocab_growth",
+      "Vocabulary-growth curve (Heaps'-law statistic) — tokens' FIRST-" +
+        "SEEN doc positions bucketed into corpus deciles, with the " +
+        "cumulative vocabulary size per decile: the tokenizer-budget " +
+        "planning stat (is the vocabulary saturating, or does 10x more " +
+        "corpus keep minting types?). One tokenize pass, min(doc_id) " +
+        "per token with map-side combine (the only data-sized " +
+        "shuffle), decile arithmetic against a broadcast 1-row count " +
+        "(t6's lazy-scalar trick — no ntile, which would globally " +
+        "sort the corpus), then a 10-row running sum. Deciles are " +
+        "exact integer arithmetic on BOTH engines.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tk"))
+        val n = docs.agg((max(col("doc_id")) + lit(1L)).as("n"))
+        val fs = tok.groupBy(col("tk"))
+          .agg(min(col("doc_id")).as("first_seen"))
+        val dec = fs.crossJoin(broadcast(n))
+          .withColumn("decile",
+            expr("(first_seen * 10) div n").cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("new_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        dec.withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+          .select(col("decile"), col("new_tokens"), col("cum_vocab"))
+          .orderBy("decile")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, t.tk
+          |  FROM documents, LATERAL UNNEST(string_split_regex(trim(text), '\s+')) t(tk)),
+          |n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+          |fs AS (SELECT tk, MIN(doc_id) AS first_seen FROM tok GROUP BY 1),
+          |dec AS (
+          |  SELECT CAST((first_seen * 10) // (SELECT n FROM n) AS BIGINT)
+          |    AS decile, COUNT(*) AS new_tokens
+          |  FROM fs GROUP BY 1)
+          |SELECT decile, new_tokens,
+          |  CAST(SUM(new_tokens) OVER (ORDER BY decile
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS cum_vocab
+          |FROM dec ORDER BY decile""".stripMargin)),
+
     Q("t17_bm25_topk",
       "BM25 retrieval — top-5 documents per query for a fixed 5-query " +
         "keyword workload (k1=1.2, b=0.75), the ranking function a " +
