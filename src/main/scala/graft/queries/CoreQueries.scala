@@ -691,6 +691,29 @@ object CoreQueries {
       }.reduce(_ unionByName _).orderBy("tbl", "key_col"),
       Some(SkewProfileSql)),
 
+    Q("x12b_heavy_hitters",
+      "Heavy-hitter list — x12's companion: the top-3 keys BY NAME per " +
+        "profiled (table, key) pair with their populations (x12 tells " +
+        "you THAT a key family skews; this names the keys a salting " +
+        "or capping rule must target — the literal list e7's salt or " +
+        "c6's cap would be configured with). Deterministic tiebreak " +
+        "on the key string. Same scale shape as x12: one map-side-" +
+        "combinable count per key, then a per-pair top-k window over " +
+        "the key-cardinality frame (never corpus rows).",
+      (s, d) => SkewProfilePairs.map { case (tbl, kc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+          .orderBy(col("pop").desc, col("key_value"))
+        t(s, d, tbl)
+          .select(col(kc).cast("string").as("key_value"))
+          .groupBy(col("key_value")).agg(count(lit(1)).as("pop"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(lit(tbl).as("tbl"), lit(kc).as("key_col"),
+            col("rk"), col("key_value"), col("pop"))
+      }.reduce(_ unionByName _).orderBy("tbl", "key_col", "rk"),
+      Some(HeavyHittersSql)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")
@@ -979,6 +1002,21 @@ object CoreQueries {
     "orders" -> "o_custkey", "events" -> "user_id",
     "events" -> "event_type", "documents" -> "source",
     "customer" -> "c_nationkey")
+
+  /** x12b's DuckDB twin, generated from [[SkewProfilePairs]]. */
+  private def HeavyHittersSql: String = {
+    val blocks = SkewProfilePairs.map { case (tbl, kc) =>
+      s"""  SELECT '$tbl' AS tbl, '$kc' AS key_col, rk, key_value, pop
+         |  FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |        ORDER BY pop DESC, key_value) AS BIGINT) AS rk,
+         |      key_value, pop
+         |    FROM (SELECT CAST($kc AS VARCHAR) AS key_value,
+         |            COUNT(*) AS pop FROM $tbl GROUP BY 1))
+         |  WHERE rk <= 3""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"SELECT * FROM (\n$blocks\n) ORDER BY tbl, key_col, rk"
+  }
 
   /** x12's DuckDB twin, generated from [[SkewProfilePairs]]. */
   private def SkewProfileSql: String = {
