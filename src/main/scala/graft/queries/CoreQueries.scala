@@ -697,9 +697,11 @@ object CoreQueries {
         "you THAT a key family skews; this names the keys a salting " +
         "or capping rule must target — the literal list e7's salt or " +
         "c6's cap would be configured with). Deterministic tiebreak " +
-        "on the key string. Same scale shape as x12: one map-side-" +
-        "combinable count per key, then a per-pair top-k window over " +
-        "the key-cardinality frame (never corpus rows).",
+        "on the key string. Scale shape: one map-side-combinable " +
+        "count per key, then DISTRIBUTED top-k (orderBy+limit plans " +
+        "as TakeOrderedAndProject — per-partition partial top-3, " +
+        "merged; never a single-partition sort of the key-cardinality " +
+        "frame); the rank window runs over only the 3 survivors.",
       (s, d) => SkewProfilePairs.map { case (tbl, kc) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1))
@@ -707,8 +709,8 @@ object CoreQueries {
         t(s, d, tbl)
           .select(col(kc).cast("string").as("key_value"))
           .groupBy(col("key_value")).agg(count(lit(1)).as("pop"))
+          .orderBy(col("pop").desc, col("key_value")).limit(3)
           .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
           .select(lit(tbl).as("tbl"), lit(kc).as("key_col"),
             col("rk"), col("key_value"), col("pop"))
       }.reduce(_ unionByName _).orderBy("tbl", "key_col", "rk"),
