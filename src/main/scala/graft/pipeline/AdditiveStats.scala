@@ -32,15 +32,31 @@ object AdditiveStats {
     * DECIMAL(38,s)).
     */
   def fold(cat: Catalog, table: String, stats: DataFrame,
-           keys: Seq[String]): DataFrame = {
-    val merged =
+           keys: Seq[String]): DataFrame =
+    fold(cat, table, stats, keys, dropAllZero = false)
+
+  private def fold(cat: Catalog, table: String, stats: DataFrame,
+                   keys: Seq[String], dropAllZero: Boolean): DataFrame = {
+    val sumCols = stats.columns.filterNot(keys.contains).toSeq
+    val summed =
       if (cat.exists(table)) {
-        val sumCols = stats.columns.filterNot(keys.contains).toSeq
         val aggs = sumCols.map(c => sum(col(c)).as(c))
         cat.table(table).unionByName(stats)
           .groupBy(keys.map(col): _*)
           .agg(aggs.head, aggs.tail: _*)
       } else stats
+    // After a retire, a key whose ENTIRE contribution came from the
+    // retired batch is left as an all-zero residue row (e.g. a postings
+    // term seen only in that doc batch) — which a recompute over the
+    // remaining corpus would not contain. Dropping all-zero rows
+    // restores recompute equivalence PROVIDED every live key has at
+    // least one strictly-positive summed column — true for both users
+    // (o8's n_vecs, o9's counts are per-key row counts, > 0 whenever
+    // any contributing row remains).
+    val merged =
+      if (dropAllZero)
+        summed.filter(sumCols.map(col(_) =!= lit(0)).reduce(_ || _))
+      else summed
     val durable = graft.queries.Scratch.materialize(
       cat.spark, s"additive_$table", merged)
     cat.save(table, durable)
@@ -59,6 +75,6 @@ object AdditiveStats {
     val negated = stats.select(stats.columns.toSeq.map { c =>
       if (keys.contains(c)) col(c) else negate(col(c)).as(c)
     }: _*)
-    fold(cat, table, negated, keys)
+    fold(cat, table, negated, keys, dropAllZero = true)
   }
 }

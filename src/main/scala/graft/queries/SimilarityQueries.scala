@@ -1511,7 +1511,13 @@ object SimilarityQueries {
         "trick — floor, not round: half-rules differ across engines), " +
         "so every sum is exact integer/DECIMAL arithmetic and " +
         "order-independent — a float SUM's accumulation order would " +
-        "break the cross-engine hash. Scale shape: ONE corpus pass, " +
+        "break the cross-engine hash. The sums are cast to DOUBLE only " +
+        "at the OUTPUT boundary (both engines identically): the " +
+        "magnitudes stay integer-valued and <= ~5e14 even at the 10x " +
+        "census decade, far below 2^53, so the doubles are exact — " +
+        "while a raw DECIMAL output column renders differently across " +
+        "the Spark-parquet and DuckDB sides of the driver's hasher " +
+        "(the r12 a10/o8 failure mode). Scale shape: ONE corpus pass, " +
         "per-row upper-triangle expansion (d(d+1)/2 products) with " +
         "map-side combine into d^2/2 groups — no join anywhere on the " +
         "data path (the per-coordinate sums join is a broadcast of d " +
@@ -1547,8 +1553,10 @@ object SimilarityQueries {
       |    SUM(CAST(a.x * b.x AS DECIMAL(28,0))) AS sum_prod
       |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.i >= a.i
       |  GROUP BY 1, 2)
-      |SELECT pr.i, pr.j, pr.n_vecs, pr.sum_prod,
-      |  sa.sum_x AS sum_i, sb.sum_x AS sum_j
+      |SELECT pr.i, pr.j, pr.n_vecs,
+      |  CAST(pr.sum_prod AS DOUBLE) AS sum_prod,
+      |  CAST(sa.sum_x AS DOUBLE) AS sum_i,
+      |  CAST(sb.sum_x AS DOUBLE) AS sum_j
       |FROM pr JOIN sx sa ON pr.i = sa.i JOIN sx sb ON pr.j = sb.i
       |ORDER BY pr.i, pr.j""".stripMargin
 
@@ -1556,8 +1564,12 @@ object SimilarityQueries {
     * sufficient-statistics path over a planted-anisotropy fixture.
     * Input: a frame with (vec_id, embedding Array[Float]). Output one
     * row per upper-triangle coordinate pair: (i, j, n_vecs, sum_prod,
-    * sum_i, sum_j) with all sums exact DECIMAL over the 1e-6-grid
-    * int64 quantization.
+    * sum_i, sum_j). Accumulation is exact DECIMAL over the 1e-6-grid
+    * int64 quantization; the sums are cast to DOUBLE at the output
+    * boundary (exact: integer-valued, <= ~5e14 observed at the 10x
+    * census decade, well under 2^53) so no registered query emits a
+    * DecimalType column — the driver's cross-engine hasher renders
+    * DECIMAL differently on the two sides (RegistrySpec lints this).
     */
   private[graft] def gramStats(e: DataFrame): DataFrame = {
     val q = e.select(col("vec_id"), expr(
@@ -1581,8 +1593,10 @@ object SimilarityQueries {
         Seq("i"))
       .join(broadcast(sx.select(col("i").as("j"), col("sum_x").as("sum_j"))),
         Seq("j"))
-      .select(col("i"), col("j"), col("n_vecs"), col("sum_prod"),
-        col("sum_i"), col("sum_j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        col("sum_prod").cast("double").as("sum_prod"),
+        col("sum_i").cast("double").as("sum_i"),
+        col("sum_j").cast("double").as("sum_j"))
       .orderBy("i", "j")
   }
 }

@@ -47,9 +47,9 @@ class PcaSpec extends SparkTestBase {
     val cov = Array.ofDim[Double](Dims, Dims)
     stats.foreach { r =>
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-      val sp = r.getDecimal(3).doubleValue()
-      val si = r.getDecimal(4).doubleValue()
-      val sj = r.getDecimal(5).doubleValue()
+      val sp = r.getDouble(3)
+      val si = r.getDouble(4)
+      val sj = r.getDouble(5)
       val c = (sp - si * sj / n) / n * 1e-12
       cov(i)(j) = c
       cov(j)(i) = c
@@ -69,19 +69,21 @@ class PcaSpec extends SparkTestBase {
 
   test("gram stats are additive across batches — the O(batch) incremental " +
       "maintenance contract") {
-    // Because every a10 statistic is an exact DECIMAL sum over
-    // quantized int64 values, stats(A ∪ B) MUST equal the elementwise
-    // sum of stats(A) and stats(B) — so at 100 TB a new embedding
-    // batch folds into the persisted Gram/PCA statistics by pure
-    // addition (one O(batch) pass), never a corpus recompute. Floats
-    // summed in engine-chosen order could not make this promise.
+    // Because every a10 statistic is an exact sum over quantized int64
+    // values (DECIMAL accumulation, integer-valued-DOUBLE output well
+    // under 2^53), stats(A ∪ B) MUST equal the elementwise sum of
+    // stats(A) and stats(B) — so at 100 TB a new embedding batch folds
+    // into the persisted Gram/PCA statistics by pure addition (one
+    // O(batch) pass), never a corpus recompute. Floats summed in
+    // engine-chosen order could not make this promise; these doubles
+    // can because every value is an exact integer.
     val all = planted()
     val a = all.filter("vec_id < 250")
     val b = all.filter("vec_id >= 250")
     def stats(df: org.apache.spark.sql.DataFrame) =
       SimilarityQueries.gramStats(df).collect()
         .map(r => (r.getLong(0), r.getLong(1)) ->
-          (r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
         .toMap
     val (sa, sb, su) = (stats(a), stats(b), stats(all))
     assert(su.keySet === sa.keySet && su.keySet === sb.keySet)
@@ -89,9 +91,9 @@ class PcaSpec extends SparkTestBase {
       val (na, spa, sia, sja) = sa(ij)
       val (nb, spb, sib, sjb) = sb(ij)
       assert(n === na + nb, s"$ij n_vecs")
-      assert(sp === spa.add(spb), s"$ij sum_prod")
-      assert(si === sia.add(sib), s"$ij sum_i")
-      assert(sj === sja.add(sjb), s"$ij sum_j")
+      assert(sp === spa + spb, s"$ij sum_prod")
+      assert(si === sia + sib, s"$ij sum_i")
+      assert(sj === sja + sjb, s"$ij sum_j")
     }
   }
 
@@ -106,14 +108,14 @@ class PcaSpec extends SparkTestBase {
     import graft.queries.Scratch
     val all = planted()
     val (a, b) = (all.filter("vec_id < 250"), all.filter("vec_id >= 250"))
-    def drive(): Map[(Long, Long), (Long, java.math.BigDecimal)] = {
+    def drive(): Map[(Long, Long), (Long, Double)] = {
       val cat = new graft.engine.Catalog(spark,
         Scratch.fresh(spark, "pca_wh"))
       IncrementalGram.ingest(cat, a, "gram_stats")
       IncrementalGram.ingest(cat, b, "gram_stats")
       cat.table("gram_stats").collect()
         .map(r => (r.getLong(0), r.getLong(1)) ->
-          (r.getLong(2), r.getDecimal(3))).toMap
+          (r.getLong(2), r.getDouble(3))).toMap
     }
     val first = drive()
     val second = drive()
@@ -122,7 +124,7 @@ class PcaSpec extends SparkTestBase {
     // and the merged result equals the one-shot computation
     val oneShot = SimilarityQueries.gramStats(all).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDecimal(3))).toMap
+        (r.getLong(2), r.getDouble(3))).toMap
     assert(first === oneShot, "incremental merge != full recompute")
   }
 
@@ -133,7 +135,7 @@ class PcaSpec extends SparkTestBase {
     val (a, b) = (all.filter("vec_id < 250"), all.filter("vec_id >= 250"))
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       .toMap
     val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "ret_wh"))
     val afterA = snap(IncrementalGram.ingest(cat, a, "gram_stats"))

@@ -47,8 +47,16 @@ class StreamingSpec extends SparkTestBase {
       .start()
     assert(q.awaitTermination(120000), "stream did not terminate in time")
     // the static side must join by BROADCAST inside the micro-batch
-    // plan — a shuffled dim join would defeat the no-state claim
+    // plan — a shuffled dim join would defeat the no-state claim. Assert
+    // it on the EXECUTED physical plan of the last micro-batch, not just
+    // on progress having been made.
     assert(q.lastProgress != null)
+    val executed = q
+      .asInstanceOf[org.apache.spark.sql.execution.streaming
+        .runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+    assert(executed.toString.contains("BroadcastHashJoin"),
+      s"micro-batch plan lost the broadcast dim join:\n$executed")
     val streamed = spark.table("tier_stream").orderBy("tier").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     val batch = EventsStream
