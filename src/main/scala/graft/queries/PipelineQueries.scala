@@ -588,6 +588,32 @@ object PipelineQueries {
       },
       Some(SimilarityQueries.GramOracleSql)),
 
+    Q("o8b_gram_retire",
+      "The deletion path of o8, end to end through the persisted " +
+        "table — takedowns and corrupted-batch rollback for additive " +
+        "statistics: ingest batches A and B (vec_id parity split), " +
+        "then RETIRE B by folding in its statistics negated — one " +
+        "O(batch · d²) pass + a d²-row merge, never a corpus " +
+        "recompute, exactly like ingestion (exact sums are invertible; " +
+        "a float accumulation would not be). Oracle: the full " +
+        "declarative a10 computation over batch A ALONE — the table " +
+        "after retire must hash-match a recompute over the surviving " +
+        "corpus bit for bit, which also exercises the all-zero-residue " +
+        "drop (keys whose entire contribution came from the retired " +
+        "batch must vanish, not linger as zeros).",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o8b_wh"))
+        val e = Graft.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val a = e.filter(col("vec_id") % 2 === 0)
+        val b = e.filter(col("vec_id") % 2 =!= 0)
+        graft.pipeline.IncrementalGram.ingest(cat, a, "gram_stats")
+        graft.pipeline.IncrementalGram.ingest(cat, b, "gram_stats")
+        graft.pipeline.IncrementalGram.retire(cat, b, "gram_stats")
+        cat.table("gram_stats").orderBy("i", "j")
+      },
+      Some(SimilarityQueries.gramOracleSqlOver("WHERE vec_id % 2 = 0"))),
+
     Q("o9_incremental_postings",
       "Incremental BM25 corpus-statistics maintenance — the retrieval " +
         "twin of o8, through the same pipeline/AdditiveStats " +

@@ -136,7 +136,7 @@ object SimilarityQueries {
     * each dimension's values then left-fold before dividing — same
     * order, same fold, same mean on both engines.
     */
-  private[queries] object Lloyd {
+  private[graft] object Lloyd {
     val K = 8
 
     /** embeddings as (vec_id, v: array<double>). */
@@ -1443,6 +1443,145 @@ object SimilarityQueries {
            |FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("a9d_ivfadc_trained",
+      "a9c's IVFADC with TRAINED residual codebooks — the production " +
+        "composition: coarse cells + residual encoding exactly as " +
+        "a9c, but the per-subspace codebooks get one exact Lloyd " +
+        "round over the RESIDUAL subvectors (assign to nearest " +
+        "first-16 donor, recompute each (subspace, code) centroid as " +
+        "the sorted-fold exact mean — a9b's recipe applied where the " +
+        "PQ paper applies it, to residuals) before encode. Training " +
+        "is what buys recall back from the stacked compression: " +
+        "AnnSpec asserts a9d recall >= a9c's at bench scale, " +
+        "mirroring the a9b >= a9 trained-vs-untrained guarantee. " +
+        "Scale shape unchanged from a9c — training shuffles (s, " +
+        "code, dim) cells (k x m x subdim regardless of corpus " +
+        "size), codebooks broadcast, probes read 2 of 8 cell " +
+        "partitions of 8-byte codes.",
+      (s, d) => {
+        val (m, sub, kCells, probe) = (8, 8, 8, 2)
+        val e = Lloyd.corpus(s, d)
+        val cents = Lloyd.init(e, kCells)
+        val rsubs = ivfadcRsubs(e, cents)
+        val cb = pqTrainRound(rsubs, pqDonors(rsubs, 16))
+        def d2(a: String, b: String) =
+          expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as double), (acc, e2) -> acc + e2)")
+        val wCode = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("cb_id"))
+        val codes = rsubs.join(broadcast(cb), col("s") === col("cs"))
+          .withColumn("d2", d2("sub", "csub"))
+          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("s"),
+            col("cb_id").as("code"))
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("q"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", d2("q", "c"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= probe)
+          .withColumn("rq", expr("zip_with(q, c, (x, y) -> x - y)"))
+          .select(col("query_id"), col("cid").as("pcell"), col("rq"))
+        val dtq = probes.select(col("query_id"), col("pcell"),
+            posexplode(expr(
+              s"transform(sequence(0, ${m - 1}), i -> slice(rq, i*$sub+1, $sub))"))
+              .as(Seq("qs", "qsub")))
+          .join(broadcast(cb), col("qs") === col("cs"))
+          .withColumn("qd2", d2("qsub", "csub"))
+          .select(col("query_id"), col("pcell"), col("qs"),
+            col("cb_id").as("qc"), col("qd2"))
+        val adc = codes.join(broadcast(dtq),
+            col("cid") === col("pcell") && col("s") === col("qs") &&
+              col("code") === col("qc") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(Functions.dsum(col("qd2")).as("adc_d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT vec_id, cid, v FROM (
+           |    SELECT e.vec_id, e.v, c1.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Lloyd.distSql("e.v", "c1.c")}, c1.cid) AS rn
+           |    FROM e, c1) t WHERE rn = 1),
+           |res AS (
+           |  SELECT a.vec_id, a.cid,
+           |    list_transform(list_zip(a.v, c1.c), p -> p[1] - p[2]) AS r
+           |  FROM asg a JOIN c1 USING (cid)),
+           |rsubs AS (
+           |  SELECT vec_id, cid, CAST(g.i AS BIGINT) AS s,
+           |    r[CAST(g.i*8+1 AS INTEGER):CAST(g.i*8+8 AS INTEGER)] AS sub
+           |  FROM res, LATERAL UNNEST(range(0, 8)) g(i)),
+           |cb0 AS (SELECT vec_id AS cb_id, s, sub AS csub
+           |        FROM rsubs WHERE vec_id < 16),
+           |asgT AS (
+           |  SELECT s, sub, tcid FROM (
+           |    SELECT rsubs.vec_id, rsubs.s, rsubs.sub, cb0.cb_id AS tcid,
+           |      ROW_NUMBER() OVER (PARTITION BY rsubs.vec_id, rsubs.s
+           |        ORDER BY ${Lloyd.distSql("rsubs.sub", "cb0.csub")}, cb0.cb_id)
+           |        AS rn
+           |    FROM rsubs JOIN cb0 ON rsubs.s = cb0.s) t WHERE rn = 1),
+           |cb AS (
+           |  SELECT s, tcid AS cb_id, list(m ORDER BY pos) AS csub FROM (
+           |    SELECT a.s, a.tcid, r.i AS pos,
+           |      list_reduce(list_prepend(0.0::DOUBLE,
+           |        list_sort(list(a.sub[CAST(r.i AS INTEGER)]))),
+           |        (acc, y) -> acc + y) / COUNT(*) AS m
+           |    FROM asgT a, LATERAL UNNEST(range(1, 9)) r(i)
+           |    GROUP BY a.s, a.tcid, r.i) dims GROUP BY s, tcid),
+           |codes AS (
+           |  SELECT vec_id, cid, s, code FROM (
+           |    SELECT rsubs.vec_id, rsubs.cid, rsubs.s, cb.cb_id AS code,
+           |      ROW_NUMBER() OVER (PARTITION BY rsubs.vec_id, rsubs.s
+           |        ORDER BY ${Lloyd.distSql("rsubs.sub", "cb.csub")}, cb.cb_id)
+           |        AS rn
+           |    FROM rsubs JOIN cb ON rsubs.s = cb.s) t WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, cid AS pcell, q FROM (
+           |    SELECT e.vec_id AS query_id, e.v AS q, c1.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${Lloyd.distSql("e.v", "c1.c")}, c1.cid) AS rn
+           |    FROM e, c1 WHERE e.vec_id < 5) t WHERE rn <= 2),
+           |qres AS (
+           |  SELECT p.query_id, p.pcell,
+           |    list_transform(list_zip(p.q, c1.c), x -> x[1] - x[2]) AS rq
+           |  FROM probes p JOIN c1 ON p.pcell = c1.cid),
+           |dtq AS (
+           |  SELECT q.query_id, q.pcell, CAST(g.i AS BIGINT) AS s,
+           |    cb.cb_id AS qc,
+           |    ${Lloyd.distSql(
+                  "q.rq[CAST(g.i*8+1 AS INTEGER):CAST(g.i*8+8 AS INTEGER)]",
+                  "cb.csub")} AS qd2
+           |  FROM qres q, LATERAL UNNEST(range(0, 8)) g(i)
+           |  JOIN cb ON cb.s = CAST(g.i AS BIGINT)),
+           |adc AS (
+           |  SELECT d.query_id, c.vec_id,
+           |    CAST(SUM(CAST(d.qd2 AS DECIMAL(38,6))) AS DOUBLE) AS adc_d2
+           |  FROM codes c JOIN dtq d ON c.cid = d.pcell AND c.s = d.s
+           |    AND c.code = d.qc
+           |  WHERE c.vec_id != d.query_id GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT query_id, vec_id, adc_d2,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adc_d2, vec_id) AS rank
+           |  FROM adc)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+           |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)),
+
     Q("a11_mrl_recall",
       "Truncated-dimension retrieval recall (Matryoshka-style, " +
         "Kusupati et al. 2022) — exact cosine top-10 over the FIRST 16 " +
@@ -1535,13 +1674,19 @@ object SimilarityQueries {
     * incrementally merged statistics must hash-match the full-corpus
     * declarative computation.
     */
-  private[graft] val GramOracleSql: String =
-    """WITH q AS (
+  private[graft] val GramOracleSql: String = gramOracleSqlOver("")
+
+  /** The same declarative gram-statistics SQL restricted by `where`
+    * (e.g. "WHERE vec_id % 2 = 0") — o8b's retire drive hash-matches
+    * the recompute over the SURVIVING batch alone.
+    */
+  private[graft] def gramOracleSqlOver(where: String): String =
+    s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
       |           AS BIGINT)) AS q
-      |  FROM embeddings),
+      |  FROM embeddings $where),
       |px AS (
       |  SELECT vec_id, t.i, q.q[CAST(t.i + 1 AS INTEGER)] AS x
       |  FROM q, LATERAL UNNEST(range(0, len(q.q))) t(i)),
@@ -1599,4 +1744,71 @@ object SimilarityQueries {
         col("sum_j").cast("double").as("sum_j"))
       .orderBy("i", "j")
   }
+
+  // ---- IVFADC building blocks (a9d; AnnSpec measures training on them) ----
+
+  private def pqD2(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as double), (acc, e2) -> acc + e2)")
+
+  private def pqCodeWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("vec_id"), col("s"))
+    .orderBy(col("d2"), col("cb_id"))
+
+  /** Coarse-residual subvectors: assign each vector to its nearest
+    * centroid, subtract it, split the residual into 8 8-dim subvectors
+    * → rows (vec_id, cid, s, sub).
+    */
+  private[graft] def ivfadcRsubs(e: DataFrame, cents: DataFrame): DataFrame =
+    Lloyd.assign(e, cents).join(broadcast(cents), Seq("cid"))
+      .withColumn("r", expr("zip_with(v, c, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cid"),
+        posexplode(expr(
+          "transform(sequence(0, 7), i -> slice(r, i*8+1, 8))"))
+          .as(Seq("s", "sub")))
+
+  /** Untrained donor codebooks — the first `kc` vectors' subvectors
+    * per subspace (a3's init convention) → rows (cb_id, cs, csub).
+    */
+  private[graft] def pqDonors(rsubs: DataFrame, kc: Int): DataFrame =
+    rsubs.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cb_id"), col("s").as("cs"),
+        col("sub").as("csub"))
+
+  /** One exact per-subspace Lloyd round over `rsubs` starting from
+    * `cb0` (a9b's recipe): assign every subvector to its nearest code
+    * (ties to lower id), recompute each (subspace, code) centroid as
+    * the sorted-fold exact mean. Lloyd's theorem: this never increases
+    * the total encode distortion — the guarantee AnnSpec asserts
+    * (recall on a 25-hit eval is sampling noise; distortion descent is
+    * what training actually promises).
+    */
+  private[graft] def pqTrainRound(rsubs: DataFrame, cb0: DataFrame): DataFrame =
+    rsubs.join(broadcast(cb0), col("s") === col("cs"))
+      .withColumn("d2", pqD2("sub", "csub"))
+      .withColumn("rn", row_number().over(pqCodeWindow))
+      .filter(col("rn") === 1)
+      .select(col("s"), col("sub"), col("cb_id").as("tcid"))
+      .select(col("s"), col("tcid"),
+        posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("s"), col("tcid"), col("pos"))
+      .agg((expr("aggregate(array_sort(collect_list(x)), " +
+        "cast(0 as double), (acc, y) -> acc + y)") /
+        count(lit(1))).as("m"))
+      .groupBy(col("s"), col("tcid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "p -> p.m)").as("csub"))
+      .select(col("tcid").as("cb_id"), col("s").as("cs"), col("csub"))
+
+  /** Total encode distortion of `rsubs` under codebooks `cb`: the sum
+    * over every subvector of its squared distance to the nearest code —
+    * the k-means objective PQ training minimizes.
+    */
+  private[graft] def pqEncodeDistortion(rsubs: DataFrame,
+                                        cb: DataFrame): Double =
+    rsubs.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("d2", pqD2("sub", "csub"))
+      .withColumn("rn", row_number().over(pqCodeWindow))
+      .filter(col("rn") === 1)
+      .agg(sum(col("d2"))).collect()(0).getDouble(0)
 }

@@ -961,38 +961,112 @@ object TextQueries {
           countDistinct(col("doc_id")).cast("double").as("nd"),
           sum(col("tf")).cast("double").as("tt"))
         val allTerms = Bm25Queries.flatMap(_._2).distinct
-        val ts = tf.filter(col("tk").isin(allTerms: _*))
-          .join(df_, Seq("tk")).join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(st))
-          .withColumn("score",
-            ((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-              ((col("tf") * lit(2.2)) /
-                (col("tf") + lit(1.2) *
-                  (lit(0.25) + lit(0.75) *
-                    (col("dl") / (col("tt") / col("nd")))))))
-          .select(col("doc_id"), col("tk"), col("score"))
-        val perQuery = Bm25Queries.map { case (qid, terms) =>
-          val aggs = terms.map(t0 =>
-            max(when(col("tk") === t0, col("score"))).as(s"s_$t0"))
-          val total = terms.map(t0 => coalesce(col(s"s_$t0"), lit(0.0)))
-            .reduceLeft(_ + _)
-          ts.filter(col("tk").isin(terms: _*))
-            .groupBy(col("doc_id"))
-            .agg(aggs.head, aggs.tail: _*)
-            .select(lit(qid.toLong).as("qid"), col("doc_id"),
-              total.as("score"))
-        }.reduce(_ unionByName _)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))
-        perQuery.filter(col("score") > 0)
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
-          .orderBy("qid", "rnk")
+        bm25TopK(bm25Scored(
+          tf.filter(col("tk").isin(allTerms: _*)), df_, dl, st))
+      },
+      Some(Bm25OracleSql)),
+
+    Q("t17b_bm25_maintained",
+      "t17's BM25 scoring run from MAINTAINED corpus statistics — the " +
+        "actual 100 TB query path SCALE.md's o9 row advertises: the " +
+        "corpus is ingested in two disjoint doc batches through " +
+        "pipeline/AdditiveStats into three persisted tables (o9's " +
+        "corpus-stats postings, the per-(doc, term) postings lists for " +
+        "the workload vocabulary, and per-doc lengths — all exact " +
+        "counts, so disjoint batches fold by keyed addition), and " +
+        "query-time scoring READS those tables instead of " +
+        "re-tokenizing the corpus: no corpus scan, no tokenize pass, " +
+        "just index-cardinality joins. The score arithmetic is the " +
+        "SAME Column expressions as t17 (one shared builder), so the " +
+        "oracle is t17's SQL VERBATIM — maintained-statistics scoring " +
+        "must hash-match per-session recomputation bit for bit.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "t17b_wh"))
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        for (batch <- Seq(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0))) {
+          graft.pipeline.AdditiveStats.fold(cat, "postings",
+            postingsStats(batch), Seq("tk"))
+          graft.pipeline.AdditiveStats.fold(cat, "postings_list",
+            postingsLists(batch), Seq("doc_id", "tk"))
+          graft.pipeline.AdditiveStats.fold(cat, "doc_len",
+            docLengths(batch), Seq("doc_id"))
+        }
+        val post = cat.table("postings")
+        val st = post.filter(col("tk") === "__total__")
+          .select(col("df").cast("double").as("nd"),
+            col("tf_total").cast("double").as("tt"))
+        val df_ = post.filter(col("tk") =!= "__total__")
+          .select(col("tk"), col("df"))
+        bm25TopK(bm25Scored(
+          cat.table("postings_list"), df_, cat.table("doc_len"), st))
       },
       Some(Bm25OracleSql))
   )
+
+  /** BM25 per-(doc, term) scores from the four statistics frames —
+    * shared by t17 (session-computed frames) and t17b (maintained
+    * tables), so the two paths run the IDENTICAL Column expressions
+    * and stay bit-equal. `tf` must already be restricted to the
+    * workload vocabulary; `st` is a 1-row (nd, tt) DOUBLE frame.
+    */
+  private def bm25Scored(tf: DataFrame, df_ : DataFrame, dl: DataFrame,
+                         st: DataFrame): DataFrame =
+    tf.join(df_, Seq("tk")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("score",
+        ((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl") / (col("tt") / col("nd")))))))
+      .select(col("doc_id"), col("tk"), col("score"))
+
+  /** The workload pivot + per-query top-5 over scored (doc_id, tk,
+    * score) rows — t17's doc explains the fixed-order partial sums.
+    */
+  private def bm25TopK(ts: DataFrame): DataFrame = {
+    val perQuery = Bm25Queries.map { case (qid, terms) =>
+      val aggs = terms.map(t0 =>
+        max(when(col("tk") === t0, col("score"))).as(s"s_$t0"))
+      val total = terms.map(t0 => coalesce(col(s"s_$t0"), lit(0.0)))
+        .reduceLeft(_ + _)
+      ts.filter(col("tk").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(lit(qid.toLong).as("qid"), col("doc_id"),
+          total.as("score"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perQuery.filter(col("score") > 0)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The per-(doc, workload-term) postings lists — the inverted-index
+    * payload behind t17b's maintained scoring. Disjoint doc batches
+    * make (doc_id, tk) keys disjoint, so AdditiveStats.fold degenerates
+    * to an append — the same primitive, zero cross-batch collisions.
+    */
+  private[graft] def postingsLists(docs: DataFrame): DataFrame = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .filter(col("tk").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-doc token counts (dl) — t17b's third maintained table. */
+  private[graft] def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
 
   /** The additive corpus statistics behind t17's BM25 scoring, per
     * batch of documents: one row per workload term (tk, df, tf_total)
