@@ -36,8 +36,20 @@ import org.apache.spark.sql.functions._
   *    per-bucket population grows ×10 past HotBucketCap, so this corpus
   *    also exercises the d5/d9 hot-bucket guard's linear path — the
   *    regime the guard exists for.
-  *  - everything else (dims, events, region/nation/...): copied
-  *    verbatim.
+  *  - `events`: rows replicated with `event_id`/`user_id` offset by
+  *    `copy × (max+1)` — user cardinality scales ×copies while each
+  *    user keeps exactly the original per-user event sequence, so
+  *    sessionization structure (30-min gaps, per-session ordering,
+  *    session count per user) is reproduced per copy and total session
+  *    work scales linearly. Timestamps shift by `copy` MILLISECONDS: a
+  *    uniform per-copy shift preserves every within-copy gap and
+  *    ordering bit-exactly (watermark/window semantics unchanged —
+  *    cross-copy users never interact), keeps ts near-unique, and
+  *    leaves the hour-window group space fixed (the lineitem
+  *    fixed-date-horizon philosophy: events-per-window grows with
+  *    data, window count does not — how a real event stream grows at
+  *    fixed retention).
+  *  - everything else (dims, region/nation/...): copied verbatim.
   *
   * Usage: runMain graft.CensusData [srcDir] [outDir] [copies]
   */
@@ -109,7 +121,18 @@ object CensusData {
       .withColumn("vec_id", col("vec_id") + col("cp").cast("long") * vecBase)
       .select("vec_id", "embedding", "label"), "embeddings")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))
+    val ev = read("events")
+    val evBase = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userBase = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    write(replicated(ev)
+      .withColumn("event_id",
+        col("event_id") + col("cp").cast("long") * evBase)
+      .withColumn("user_id",
+        col("user_id") + col("cp").cast("long") * userBase)
+      .withColumn("ts", expr("timestampadd(MILLISECOND, cp, ts)"))
+      .drop("cp"), "events")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(read(t), t)
     println(s"[census] wrote ${copies}x replica of $src to $out")
   }
