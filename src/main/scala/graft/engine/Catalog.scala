@@ -654,9 +654,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       .foreach { case (f, _) => rm(f) }
   }
 
+  // Views registered through THIS catalog — tables() reports them
+  // alongside the warehouse's table directories, while temp views other
+  // catalogs sharing the SparkSession registered stay out (they are not
+  // this database's objects).
+  private val viewNames = scala.collection.mutable.LinkedHashSet[String]()
+
   /** S7: non-materialized view over the catalog. */
   def createView(name: String, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView(name)
+    viewNames += name
     spark.table(name)
   }
 
@@ -687,6 +694,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       .map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
         s"$path does not contain a CREATE VIEW statement"))
+    viewNames += name
     spark.table(name)
   }
 
@@ -698,9 +706,20 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     spark.table(name)
   }
 
-  /** S10: introspection — registered table names (SHOW TABLES analog). */
-  def tables(): Seq[String] =
-    spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+  /** S10: introspection — THIS warehouse's table names (directory
+    * listing) plus views this catalog registered: the SHOW TABLES /
+    * inspect_db analog, scoped to the database like DuckDB's. A
+    * session-global temp-view listing would also report other
+    * catalogs' registrations in multi-warehouse sessions (tests,
+    * per-query scratch warehouses) — objects that are not this
+    * database's and whose backing files may be gone.
+    */
+  def tables(): Seq[String] = {
+    val dirs = Option(new java.io.File(warehouse).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && !f.getName.contains(".__compact"))
+      .map(_.getName)
+    (dirs ++ viewNames).distinct.sorted
+  }
 
   /** S10: DESCRIBE analog. */
   def describe(name: String): Seq[(String, String)] =

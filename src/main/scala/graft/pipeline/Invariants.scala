@@ -19,6 +19,20 @@ object Invariants {
     def branch(nm: String, violations: Long): DataFrame =
       Seq((nm, violations)).toDF("check_name", "violations")
 
+    // Schema adapters — one checker serves both warehouses:
+    // RetailPipeline's testdata chain names the columns (rate,
+    // net_amount, net_amount_eur); the raw-file chain
+    // (RawRetailPipeline) keeps the reference's own contracts
+    // (gbp_per_eur, gross_amount_gbp, gross_amount_eur). The checked
+    // identities are the same either way (eur = gbp / rate row-wise).
+    val fx0 = cat.table("daily_fx_rates")
+    val fx = if (fx0.columns.contains("rate")) fx0
+             else fx0.withColumnRenamed("gbp_per_eur", "rate")
+    val eur0 = cat.table("fct_sales_eur")
+    val eur = if (eur0.columns.contains("net_amount_eur")) eur0
+              else eur0.withColumn("net_amount_eur", $"gross_amount_eur")
+                       .withColumn("net_amount", $"gross_amount_gbp")
+
     // Calendar continuity via LAG (dimensions.py:129-143).
     val w = Window.orderBy("date")
     val gaps = cat.table("dim_calendar")
@@ -34,18 +48,16 @@ object Invariants {
 
     // FX coverage: every fact date has a rate (facts.py:210-221).
     val uncovered = fct.select("date").distinct()
-      .join(cat.table("daily_fx_rates").filter($"rate".isNotNull),
-        Seq("date"), "left_anti").count()
+      .join(fx.filter($"rate".isNotNull), Seq("date"), "left_anti").count()
 
     // Conversion completeness: no NULL EUR amounts (facts.py:332-344).
-    val nullEur = cat.table("fct_sales_eur")
-      .filter($"net_amount_eur".isNull).count()
+    val nullEur = eur.filter($"net_amount_eur".isNull).count()
 
     // Reconciliation: EUR == GBP / rate row-wise (facts.py:296-312) —
     // checked with the exact identity, not the 10% tolerance, because we
     // control both sides.
-    val mismatch = cat.table("fct_sales_eur")
-      .join(cat.table("daily_fx_rates"), Seq("date"))
+    val mismatch = eur
+      .join(fx, Seq("date"))
       .filter($"net_amount_eur" =!= $"net_amount" / $"rate").count()
 
     // Aggregate quality (facts.py:523-555): no negative order or item
@@ -58,8 +70,8 @@ object Invariants {
     // the implied conversion rate net/net_eur must sit within 10% of
     // the day's rate. (The hardcoded 0.8654 average is GBP/EUR-specific;
     // the row-wise day rate is its testdata analog.)
-    val relErr = cat.table("fct_sales_eur")
-      .join(cat.table("daily_fx_rates"), Seq("date"))
+    val relErr = eur
+      .join(fx, Seq("date"))
       .filter($"net_amount_eur" =!= 0)
       .filter(abs($"net_amount" / $"net_amount_eur" - $"rate") /
         when($"rate" =!= 0, $"rate") > 0.1)

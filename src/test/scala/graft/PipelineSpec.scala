@@ -507,4 +507,34 @@ class PipelineSpec extends SparkTestBase {
       XmlFxSource(bad.toString).load(spark)
     }
   }
+
+  test("Run CLI: --rawdir/--db/--rebuild drive the raw-file lifecycle " +
+      "with the reference's flag surface") {
+    // run.py parity (reference run.py:29-44,63-65): the rawdir must
+    // contain the reference's exact file names; --rebuild must clear a
+    // pre-existing warehouse; exit code 0 means invariants all passed.
+    val dir = Files.createTempDirectory("graft_run_cli").toString
+    val cfg = graft.engine.GoldenFixture.Config(
+      rowsSheet1 = 600, rowsSheet2 = 500, nProducts = 40, nCustomers = 30)
+    graft.engine.GoldenFixture.writeXlsx(cfg, s"$dir/online_retail_II.xlsx")
+    graft.engine.GoldenFixture.writeFxXml(s"$dir/gbp.xml")
+    graft.engine.GoldenFixture.writeHolidaysXls(
+      s"$dir/ukbankholidays-jul19.xls")
+    val wh = s"$dir/warehouse"
+    // plant stale warehouse content that --rebuild must remove
+    val stale = new java.io.File(s"$wh/stale_table")
+    stale.mkdirs()
+    val a = graft.Run.parse(
+      Seq("--rawdir", dir, "--db", wh, "--rebuild"))
+    assert(a.rawdir.contains(dir) && a.db.contains(wh) && a.rebuild)
+    val code = graft.Run.run(spark, a, wh)
+    assert(code === 0, "Run exited nonzero — invariant violations")
+    assert(!stale.exists(), "--rebuild did not clear the warehouse")
+    // Run's own Catalog still owns the warehouse (single-writer guard),
+    // so assert the built tables on the directory layout + a direct read
+    for (t <- Seq("fct_sales", "agg_country_day", "daily_fx_rates")) {
+      assert(new java.io.File(s"$wh/$t").exists(), s"missing table $t")
+      assert(spark.read.parquet(s"$wh/$t").count() > 0, s"empty table $t")
+    }
+  }
 }
