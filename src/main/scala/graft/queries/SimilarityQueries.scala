@@ -1657,14 +1657,13 @@ object SimilarityQueries {
         "while a raw DECIMAL output column renders differently across " +
         "the Spark-parquet and DuckDB sides of the driver's hasher " +
         "(the r12 a10/o8 failure mode). Scale shape: ONE corpus pass, " +
-        "per-row upper-triangle expansion (d(d+1)/2 products) with " +
-        "map-side combine into d^2/2 groups — no join anywhere on the " +
-        "data path (the per-coordinate sums join is a broadcast of d " +
-        "rows). At 1024+ dims the expansion is ~500k products/row and " +
-        "the scale path swaps in per-partition BLAS accumulation " +
-        "(mapPartitions over primitive arrays) behind the same output " +
-        "contract; at 64 dims the declarative expansion stays inside " +
-        "codegen.",
+        "d(d+1)/2 multiply-adds per row accumulated into per-partition " +
+        "primitive Long arrays (mapPartitions — the BLAS-style " +
+        "accumulation the declarative expansion approximated), then a " +
+        "numPartitions x d^2/2-row exact-DECIMAL merge; no join " +
+        "anywhere. The declarative codegen form is kept as " +
+        "gramStatsDeclarative and PcaSpec asserts the two paths are " +
+        "row-identical (exact integer arithmetic on both).",
       (s, d) => gramStats(t(s, d, "embeddings")),
       Some(GramOracleSql))
   )
@@ -1717,6 +1716,91 @@ object SimilarityQueries {
     * DECIMAL differently on the two sides (RegistrySpec lints this).
     */
   private[graft] def gramStats(e: DataFrame): DataFrame = {
+    // The scale path the a10 doc promises: per-partition accumulation
+    // over primitive arrays (one pass, d(d+1)/2 multiply-adds per row
+    // into a Long triangle — no per-product row machinery), then a
+    // numPartitions x d^2/2-row exact-DECIMAL merge. Numerically
+    // IDENTICAL to [[gramStatsDeclarative]] (PcaSpec asserts
+    // equality): all arithmetic is exact-integer — per-partition Long
+    // partials are bounded by rowsPerPartition x max|x_i*x_j| (~9e12
+    // at the 1e-6 grid for |x|<=3, so ~500k-row partitions stay under
+    // 5e18 << 2^63), and the cross-partition merge sums in
+    // DECIMAL(28,0) so arbitrarily many partitions stay exact.
+    // Per-coordinate sums ride along on every (i, j) row — each
+    // partition contributes exactly one row per (i, j) group, so
+    // summing them per group reproduces the global per-coordinate sum
+    // without a second pass or a broadcast join.
+    val spark = e.sparkSession
+    import spark.implicits._
+    val partials = e.select(expr(
+        "transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("q"))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        var d = -1
+        var prod: Array[Long] = null
+        var sums: Array[Long] = null
+        var n = 0L
+        while (it.hasNext) {
+          val v = it.next().toArray
+          if (d < 0) {
+            d = v.length
+            prod = new Array[Long](d * (d + 1) / 2)
+            sums = new Array[Long](d)
+          }
+          n += 1
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val xi = v(i)
+            sums(i) += xi
+            var j = i
+            while (j < d) { prod(k) += xi * v(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          val out = new Array[(Long, Long, Long, Long, Long, Long)](
+            d * (d + 1) / 2)
+          var i = 0
+          var k = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              out(k) = (i.toLong, j.toLong, n, prod(k), sums(i), sums(j))
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "n_vecs", "sum_prod", "sum_i", "sum_j")
+    partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("sum_prod").cast("decimal(28,0)")).as("sum_prod"),
+        sum(col("sum_i").cast("decimal(28,0)")).as("sum_i"),
+        sum(col("sum_j").cast("decimal(28,0)")).as("sum_j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        col("sum_prod").cast("double").as("sum_prod"),
+        col("sum_i").cast("double").as("sum_i"),
+        col("sum_j").cast("double").as("sum_j"))
+      .orderBy("i", "j")
+  }
+
+  /** The declarative (whole-stage-codegen) form of [[gramStats]] —
+    * upper-triangle expansion + map-side-combined DECIMAL aggregation,
+    * broadcast per-coordinate sums. Kept as the cross-check:
+    * PcaSpec asserts the two paths produce identical rows (both are
+    * exact integer arithmetic, so equality is bitwise). The
+    * mapPartitions path wins at width (d(d+1)/2 struct rows per
+    * vector through the row pipeline vs d(d+1)/2 multiply-adds into a
+    * primitive array).
+    */
+  private[graft] def gramStatsDeclarative(e: DataFrame): DataFrame = {
     val q = e.select(col("vec_id"), expr(
       "transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")

@@ -128,6 +128,18 @@ class PcaSpec extends SparkTestBase {
     assert(first === oneShot, "incremental merge != full recompute")
   }
 
+  test("mapPartitions gram path == declarative gram path, row for row") {
+    // a10's registered builder accumulates into per-partition primitive
+    // arrays; the declarative expansion is kept as the cross-check.
+    // Both are exact integer arithmetic over the same quantized values,
+    // so equality must be bitwise — any drift means one path's
+    // arithmetic (or its output types) changed.
+    val all = planted()
+    val fast = SimilarityQueries.gramStats(all).collect().toSeq
+    val decl = SimilarityQueries.gramStatsDeclarative(all).collect().toSeq
+    assert(fast === decl)
+  }
+
   test("retire(ingest(B)) is the identity — the takedown path") {
     import graft.pipeline.IncrementalGram
     import graft.queries.Scratch
