@@ -38,8 +38,9 @@ object AdditiveStats {
   private def fold(cat: Catalog, table: String, stats: DataFrame,
                    keys: Seq[String], dropAllZero: Boolean): DataFrame = {
     val sumCols = stats.columns.filterNot(keys.contains).toSeq
+    val exists = cat.exists(table)
     val summed =
-      if (cat.exists(table)) {
+      if (exists) {
         val aggs = sumCols.map(c => sum(col(c)).as(c))
         cat.table(table).unionByName(stats)
           .groupBy(keys.map(col): _*)
@@ -57,8 +58,16 @@ object AdditiveStats {
       if (dropAllZero)
         summed.filter(sumCols.map(col(_) =!= lit(0)).reduce(_ || _))
       else summed
-    val durable = graft.queries.Scratch.materialize(
-      cat.spark, s"additive_$table", merged)
+    // The durable-scratch staging exists because `merged` lazily reads
+    // the very files save() replaces — but only the MERGE case reads
+    // the target table. The creation fold writes the batch statistics
+    // straight to the warehouse (halves the creation write cost; at
+    // three maintained tables per ingest the extra write jobs were the
+    // dominant t17b cost, not the statistics).
+    val durable =
+      if (exists) graft.queries.Scratch.materialize(
+        cat.spark, s"additive_$table", merged)
+      else merged
     cat.save(table, durable)
   }
 

@@ -985,12 +985,17 @@ object TextQueries {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         for (batch <- Seq(docs.filter(col("doc_id") % 2 === 0),
             docs.filter(col("doc_id") % 2 =!= 0))) {
+          // ONE tokenize pass per batch: all three maintained tables
+          // derive from the same materialized per-(doc, term) counts
+          // (without this, each fold re-explodes the batch — 3 corpus
+          // tokenize passes per batch at 100 TB)
+          val tf = Scratch.materialize(s, "t17b_tf", tokenTf(batch))
           graft.pipeline.AdditiveStats.fold(cat, "postings",
-            postingsStats(batch), Seq("tk"))
+            postingsStatsFromTf(tf), Seq("tk"))
           graft.pipeline.AdditiveStats.fold(cat, "postings_list",
-            postingsLists(batch), Seq("doc_id", "tk"))
+            postingsListsFromTf(tf), Seq("doc_id", "tk"))
           graft.pipeline.AdditiveStats.fold(cat, "doc_len",
-            docLengths(batch), Seq("doc_id"))
+            docLengthsFromTf(tf), Seq("doc_id"))
         }
         val post = cat.table("postings")
         val st = post.filter(col("tk") === "__total__")
@@ -1052,21 +1057,16 @@ object TextQueries {
     * make (doc_id, tk) keys disjoint, so AdditiveStats.fold degenerates
     * to an append — the same primitive, zero cross-batch collisions.
     */
-  private[graft] def postingsLists(docs: DataFrame): DataFrame = {
+  private[graft] def postingsListsFromTf(tf: DataFrame): DataFrame = {
     val terms = Bm25Queries.flatMap(_._2).distinct
-    docs.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tk"))
-      .filter(col("tk").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tk"))
-      .agg(count(lit(1)).as("tf"))
+    tf.filter(col("tk").isin(terms: _*))
+      .select(col("doc_id"), col("tk"), col("tf"))
   }
 
   /** Per-doc token counts (dl) — t17b's third maintained table. */
-  private[graft] def docLengths(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tk"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
+  private[graft] def docLengthsFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
 
   /** The additive corpus statistics behind t17's BM25 scoring, per
     * batch of documents: one row per workload term (tk, df, tf_total)
@@ -1076,12 +1076,21 @@ object TextQueries {
     * per-term DISTINCT doc count, additive ONLY because batches are
     * disjoint on doc_id — the caller's contract.
     */
-  private[graft] def postingsStats(docs: DataFrame): DataFrame = {
-    val terms = Bm25Queries.flatMap(_._2).distinct
-    val tok = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("tk"))
-    val tf = tok.groupBy(col("doc_id"), col("tk"))
+  private[graft] def postingsStats(docs: DataFrame): DataFrame =
+    postingsStatsFromTf(tokenTf(docs))
+
+  /** One tokenize pass: per-(doc, term) counts — the shared base all
+    * three maintained BM25 tables derive from (t17b materializes it
+    * once per batch).
+    */
+  private[graft] def tokenTf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
       .agg(count(lit(1)).as("tf"))
+
+  private[graft] def postingsStatsFromTf(tf: DataFrame): DataFrame = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
     val perTerm = tf.filter(col("tk").isin(terms: _*))
       .groupBy(col("tk"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
