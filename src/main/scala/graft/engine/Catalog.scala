@@ -384,10 +384,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   /** Append rows to an existing table (creating it if absent) and
     * re-register — the incremental-ingest primitive `save`'s overwrite
-    * semantics can't express.
+    * semantics can't express. `partitionBy` lays batches out under
+    * partition directories (e.g. the o10 inverted file partitioned by
+    * cell), so probes partition-prune and later batches only add files
+    * under their own partitions.
     */
-  def append(name: String, df: DataFrame): DataFrame = {
-    df.write.mode("append").parquet(s"$warehouse/$name")
+  def append(name: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$warehouse/$name")
     val back = spark.read.parquet(s"$warehouse/$name")
     back.createOrReplaceTempView(name)
     back

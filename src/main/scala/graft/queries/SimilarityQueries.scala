@@ -489,39 +489,7 @@ object SimilarityQueries {
             col("vec_id"), col("cosine"))
           .orderBy("query_id", "rank")
       },
-      Some(
-        s"""WITH e AS (SELECT vec_id, embedding,
-           |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
-           |cents AS (SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
-           |          FROM e WHERE vec_id < 8),
-           |assigned AS (
-           |  SELECT vec_id, embedding, norm, cent_id FROM (
-           |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm)
-           |          DESC, c.cent_id) AS crank
-           |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
-           |probes AS (
-           |  SELECT query_id, eq, norm_q, probe_cell FROM (
-           |    SELECT a.vec_id AS query_id, a.embedding AS eq,
-           |      a.norm AS norm_q, c.cent_id AS probe_cell,
-           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-           |        ORDER BY ${dotSql("a.embedding", "c.ce")} / (a.norm * c.cnorm)
-           |          DESC, c.cent_id) AS crank
-           |    FROM assigned a CROSS JOIN cents c WHERE a.vec_id < 5) t
-           |  WHERE crank <= 2),
-           |scored AS (
-           |  SELECT p.query_id, a.vec_id,
-           |    ${dotSql("p.eq", "a.embedding")} / (p.norm_q * a.norm) AS cosine
-           |  FROM assigned a JOIN probes p ON a.cent_id = p.probe_cell
-           |    AND a.vec_id != p.query_id),
-           |ranked AS (
-           |  SELECT query_id, vec_id, cosine,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY cosine DESC, vec_id) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, vec_id, cosine FROM ranked
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(IvfOracleSql)),
 
     Q("a4_ivf_train",
       "IVF centroid TRAINING — one exact Lloyd step with a bit-exact " +
@@ -1582,6 +1550,67 @@ object SimilarityQueries {
            |FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin)),
 
+    Q("o10_incremental_ivf",
+      "Incremental IVF index maintenance — the maintained-index twin " +
+        "of a3 (what t17b is to t17): coarse centroids are PINNED at " +
+        "index creation (the production shape — the codebook is " +
+        "trained once, then the inverted file is maintained under " +
+        "arriving batches), each embedding batch is assigned to its " +
+        "nearest centroid independently (one broadcast pass per " +
+        "batch — assignment is per-row, so batch ingestion commutes " +
+        "with a full rebuild bit for bit) and APPENDED to a " +
+        "cell-PARTITIONED codes table. Query-time probing reads ONLY " +
+        "the probed cell partitions: the driver collects the bounded " +
+        "(queries x probe) cell-id set and the isin filter " +
+        "partition-prunes the scan — a3's 'a probe reads 2 " +
+        "partitions' claim, actually executed against the on-disk " +
+        "layout (PlanSpec asserts the partition filter). Oracle: a3's " +
+        "full-corpus declarative SQL VERBATIM — maintained-index " +
+        "search must hash-match the one-shot computation.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o10_wh"))
+        val e = t(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            col("norm").as("cnorm"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))
+        def assign(batch: DataFrame): DataFrame =
+          batch.crossJoin(broadcast(cents))
+            .withColumn("csim",
+              dot("embedding", "ce") / (col("norm") * col("cnorm")))
+            .withColumn("crank", row_number().over(wAssign))
+            .filter(col("crank") === 1)
+            .select(col("vec_id"), col("embedding"), col("norm"),
+              col("cent_id"))
+        for (b <- Seq(e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 =!= 0)))
+          cat.append("ivf_codes", assign(b), partitionBy = Seq("cent_id"))
+        val probes = ivfProbes(cat.table("ivf_codes"), cents)
+        // bounded driver barrier: <= 5 queries x 2 probes cell ids —
+        // the partition-pruning predicate, never data
+        val cells = probes.select(col("probe_cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val scored = cat.table("ivf_codes")
+          .filter(col("cent_id").isin(cells: _*))
+          .join(broadcast(probes),
+            col("cent_id") === col("probe_cell") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(IvfOracleSql)),
+
     Q("a11_mrl_recall",
       "Truncated-dimension retrieval recall (Matryoshka-style, " +
         "Kusupati et al. 2022) — exact cosine top-10 over the FIRST 16 " +
@@ -1828,6 +1857,63 @@ object SimilarityQueries {
         col("sum_j").cast("double").as("sum_j"))
       .orderBy("i", "j")
   }
+
+  /** a3's DuckDB twin — also `o10_incremental_ivf`'s oracle verbatim:
+    * batch-wise assignment to pinned centroids commutes with the full
+    * rebuild, so maintained-index search must hash-match this one-shot
+    * computation.
+    */
+  private[graft] val IvfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+       |          FROM e WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm)
+       |          DESC, c.cent_id) AS crank
+       |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
+       |probes AS (
+       |  SELECT query_id, eq, norm_q, probe_cell FROM (
+       |    SELECT a.vec_id AS query_id, a.embedding AS eq,
+       |      a.norm AS norm_q, c.cent_id AS probe_cell,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${dotSql("a.embedding", "c.ce")} / (a.norm * c.cnorm)
+       |          DESC, c.cent_id) AS crank
+       |    FROM assigned a CROSS JOIN cents c WHERE a.vec_id < 5) t
+       |  WHERE crank <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${dotSql("p.eq", "a.embedding")} / (p.norm_q * a.norm) AS cosine
+       |  FROM assigned a JOIN probes p ON a.cent_id = p.probe_cell
+       |    AND a.vec_id != p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Each query's (2-nearest-cell) probe set over pinned centroids —
+    * shared by a3's inline flow and o10's maintained-index read path.
+    */
+  private[graft] def ivfProbes(assigned: DataFrame,
+                               cents: DataFrame): DataFrame =
+    assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("norm").as("norm_q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", dot("eq", "ce") / (col("norm_q") * col("cnorm")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") <= 2)
+      .select(col("query_id"), col("eq"), col("norm_q"),
+        col("cent_id").as("probe_cell"))
 
   // ---- IVFADC building blocks (a9d; AnnSpec measures training on them) ----
 

@@ -379,4 +379,17 @@ class PlanSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("o10 probe scan partition-prunes the cell-partitioned inverted file") {
+    // The maintained IVF index is written partitionBy(cent_id); the
+    // probe's isin filter over the collected cell ids must reach the
+    // scan as a PARTITION filter (directory pruning — 'a probe reads 2
+    // partitions'), not a post-scan predicate. A regression here makes
+    // every probe a full-index scan, invisible at fixture scale.
+    val p = formatted("o10_incremental_ivf")
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(pf.contains("cent_id") && pf.contains("IN ("),
+      s"probe scan lost the cent_id partition filter:\n$pf\n${p.take(800)}")
+  }
 }
