@@ -765,6 +765,28 @@ object PipelineQueries {
           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1 ORDER BY tier""".stripMargin)),
 
+    Q("e12s_stream_stream_join",
+      "§2.12 driver-visible streaming row #5: STREAM-STREAM event-time " +
+        "interval join — signup→purchase conversion pairs per user " +
+        "within 24 hours, BOTH sides streaming (a self-join of the " +
+        "event stream), watermarked on each side. This is the join " +
+        "shape that actually holds stream state: each side buffers " +
+        "rows until the other side's watermark clears the interval " +
+        "bound, so state is rate x (delay + interval), not history. " +
+        "Append-mode durable parquet sink (per-batch overwrite would " +
+        "drop earlier batches' pairs), AvailableNow one-shot, " +
+        "hash-checked against the pure batch join in DuckDB.",
+      (s, d) => graft.streaming.EventsStream.conversionPairsOneShot(s, d),
+      Some(
+        """SELECT s.user_id, CAST(s.ts AS TIMESTAMP) AS signup_ts,
+          |  CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value
+          |FROM events s JOIN events p ON s.user_id = p.user_id
+          |  AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          |  AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+          |  AND CAST(p.ts AS TIMESTAMP) <=
+          |      CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
+          |ORDER BY 1, 2, 3""".stripMargin)),
+
     Q("e8_sliding_window",
       "Sliding 1-hour windows every 15 minutes — each event lands in " +
         "exactly 4 overlapping windows (Spark expands via the window() " +

@@ -138,6 +138,54 @@ object EventsStream {
     spark.read.parquet(out).orderBy(col("tier"))
   }
 
+  /** STREAM-STREAM event-time interval join — signup→purchase
+    * conversion pairs per user within 24 hours, both sides streaming
+    * (a self-join of the event stream). The join shape that actually
+    * holds state: each side buffers rows until the OTHER side's
+    * watermark passes beyond the interval bound, so state per side is
+    * bounded by rate × (watermark delay + interval), not by history.
+    * Works identically on a batch frame (withWatermark is a no-op in
+    * batch) — StreamingSpec asserts stream == batch on the same files,
+    * and the registered e12s row hash-checks the DuckDB twin.
+    */
+  def conversionPairs(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <=
+            col("signup_ts") + org.apache.spark.sql.functions
+              .expr("interval 24 hours"))
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
+        col("value"))
+  }
+
+  /** One-shot replay of [[conversionPairs]] through a durable
+    * parquet APPEND sink (stream-stream joins emit append-mode rows;
+    * per-batch overwrite would keep only the last batch's pairs).
+    */
+  def conversionPairsOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.fresh(spark, "e12s_out")
+    val q = conversionPairs(source(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "e12s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out)
+      .orderBy(col("user_id"), col("signup_ts"), col("purchase_ts"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes with a 1-hour watermark —
     * the incremental twin of `e8_sliding_window`. State per key-window
     * is bounded by (window/slide) x types x horizon.

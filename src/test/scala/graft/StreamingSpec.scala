@@ -67,6 +67,21 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(_._1) === Seq("engagement", "ops", "revenue"))
   }
 
+  test("stream-stream interval join == the batch join on the same files") {
+    // Both sides streaming (self-join of the event stream), watermarked;
+    // after an AvailableNow replay the appended pairs must equal the
+    // batch join exactly — withWatermark is a no-op in batch, so the
+    // SAME builder serves as its own twin.
+    val streamed = EventsStream.conversionPairsOneShot(spark, sfDir)
+      .collect().toSeq
+    val batch = EventsStream
+      .conversionPairs(graft.engine.Graft.events(spark, sfDir))
+      .orderBy("user_id", "signup_ts", "purchase_ts")
+      .collect().toSeq
+    assert(streamed.nonEmpty, "stream-stream join emitted no pairs")
+    assert(streamed === batch)
+  }
+
   test("streaming corpus curation == the same pass run as a batch") {
     val ckpt = Files.createTempDirectory("graft-ckpt-corpus").toString
     val q = graft.streaming.CorpusStream
