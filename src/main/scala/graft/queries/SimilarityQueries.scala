@@ -154,15 +154,23 @@ object SimilarityQueries {
 
     /** Assign every vector to its nearest centroid:
       * (vec_id, cid, v, d2).
+      *
+      * argmin as min(struct(d2, cid, v)) — lexicographic struct
+      * ordering IS the (distance ASC, cid ASC) tie-break, and the
+      * hash aggregate combines map-side so the exchange moves one row
+      * per vector instead of one per (vector, centroid) — k× less
+      * shuffle than the former row_number window, bit-identical
+      * result (ties on d2 fall to cid; v never decides — it is
+      * constant within the group).
       */
     def assign(e: DataFrame, cents: DataFrame): DataFrame = {
       val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
         "cast(0 as double), (acc, e2) -> acc + e2)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
       e.crossJoin(broadcast(cents)).withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"), col("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.v").as("v"), col("m.d2").as("d2"))
     }
 
     /** Exact sorted-fold cluster means: (cid, c). */
@@ -1099,13 +1107,9 @@ object SimilarityQueries {
         def d2(a: String, b: String) =
           expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "cast(0 as double), (acc, e2) -> acc + e2)")
-        val wCode = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cb_id"))
-        val codes = subs.join(broadcast(cb), col("s") === col("cs"))
-          .withColumn("d2", d2("sub", "csub"))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("s"), col("cb_id").as("code"))
+        val codes = pqArgmin(subs.join(broadcast(cb), col("s") === col("cs"))
+            .withColumn("d2", d2("sub", "csub")))
+          .select(col("vec_id"), col("s"), col("m.cb_id").as("code"))
         val dtq = subs.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("s").as("qs"),
             col("sub").as("qsub"))
@@ -1185,14 +1189,10 @@ object SimilarityQueries {
         def d2(a: String, b: String) =
           expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "cast(0 as double), (acc, e2) -> acc + e2)")
-        val wCode = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cb_id"))
-        val asg = subs.join(broadcast(cb0), col("s") === col("cs"))
-          .withColumn("d2", d2("sub", "csub"))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("s"), col("sub"),
-            col("cb_id").as("cid"))
+        val asg = pqArgmin(subs.join(broadcast(cb0), col("s") === col("cs"))
+            .withColumn("d2", d2("sub", "csub")), "sub")
+          .select(col("s"), col("m.sub").as("sub"),
+            col("m.cb_id").as("cid"))
         val cb = asg
           .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy(col("s"), col("cid"), col("pos"))
@@ -1203,10 +1203,9 @@ object SimilarityQueries {
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
             "p -> p.m)").as("csub"))
           .select(col("cid").as("cb_id"), col("s").as("cs"), col("csub"))
-        val codes = subs.join(broadcast(cb), col("s") === col("cs"))
-          .withColumn("d2", d2("sub", "csub"))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("s"), col("cb_id").as("code"))
+        val codes = pqArgmin(subs.join(broadcast(cb), col("s") === col("cs"))
+            .withColumn("d2", d2("sub", "csub")))
+          .select(col("vec_id"), col("s"), col("m.cb_id").as("code"))
         val dtq = subs.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("s").as("qs"),
             col("sub").as("qsub"))
@@ -1311,14 +1310,10 @@ object SimilarityQueries {
         def d2(a: String, b: String) =
           expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "cast(0 as double), (acc, e2) -> acc + e2)")
-        val wCode = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cb_id"))
-        val codes = rsubs.join(broadcast(cb), col("s") === col("cs"))
-          .withColumn("d2", d2("sub", "csub"))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("s"),
-            col("cb_id").as("code"))
+        val codes = pqArgmin(rsubs.join(broadcast(cb), col("s") === col("cs"))
+            .withColumn("d2", d2("sub", "csub")), "cid")
+          .select(col("vec_id"), col("m.cid").as("cid"), col("s"),
+            col("m.cb_id").as("code"))
         val wProbe = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
         val probes = e.filter(col("vec_id") < 5)
@@ -1435,14 +1430,10 @@ object SimilarityQueries {
         def d2(a: String, b: String) =
           expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
             "cast(0 as double), (acc, e2) -> acc + e2)")
-        val wCode = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("s"))
-          .orderBy(col("d2"), col("cb_id"))
-        val codes = rsubs.join(broadcast(cb), col("s") === col("cs"))
-          .withColumn("d2", d2("sub", "csub"))
-          .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("s"),
-            col("cb_id").as("code"))
+        val codes = pqArgmin(rsubs.join(broadcast(cb), col("s") === col("cs"))
+            .withColumn("d2", d2("sub", "csub")), "cid")
+          .select(col("vec_id"), col("m.cid").as("cid"), col("s"),
+            col("m.cb_id").as("code"))
         val wProbe = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("d2"), col("cid"))
         val probes = e.filter(col("vec_id") < 5)
@@ -1921,9 +1912,16 @@ object SimilarityQueries {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       "cast(0 as double), (acc, e2) -> acc + e2)")
 
-  private def pqCodeWindow = org.apache.spark.sql.expressions.Window
-    .partitionBy(col("vec_id"), col("s"))
-    .orderBy(col("d2"), col("cb_id"))
+  /** Per-(vector, subspace) argmin over codebook entries —
+    * min(struct(d2, cb_id, payload...)): lexicographic struct order is
+    * the (distance ASC, code ASC) tie-break, map-side combined (k×
+    * less shuffle than a row_number window, identical rows).
+    */
+  private def pqArgmin(scored: DataFrame, payload: String*): DataFrame = {
+    val fields = (Seq("d2", "cb_id") ++ payload).map(col)
+    scored.groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(fields: _*)).as("m"))
+  }
 
   /** Coarse-residual subvectors: assign each vector to its nearest
     * centroid, subtract it, split the residual into 8 8-dim subvectors
@@ -1954,11 +1952,9 @@ object SimilarityQueries {
     * what training actually promises).
     */
   private[graft] def pqTrainRound(rsubs: DataFrame, cb0: DataFrame): DataFrame =
-    rsubs.join(broadcast(cb0), col("s") === col("cs"))
-      .withColumn("d2", pqD2("sub", "csub"))
-      .withColumn("rn", row_number().over(pqCodeWindow))
-      .filter(col("rn") === 1)
-      .select(col("s"), col("sub"), col("cb_id").as("tcid"))
+    pqArgmin(rsubs.join(broadcast(cb0), col("s") === col("cs"))
+        .withColumn("d2", pqD2("sub", "csub")), "sub")
+      .select(col("s"), col("m.sub").as("sub"), col("m.cb_id").as("tcid"))
       .select(col("s"), col("tcid"),
         posexplode(col("sub")).as(Seq("pos", "x")))
       .groupBy(col("s"), col("tcid"), col("pos"))
@@ -1976,9 +1972,7 @@ object SimilarityQueries {
     */
   private[graft] def pqEncodeDistortion(rsubs: DataFrame,
                                         cb: DataFrame): Double =
-    rsubs.join(broadcast(cb), col("s") === col("cs"))
-      .withColumn("d2", pqD2("sub", "csub"))
-      .withColumn("rn", row_number().over(pqCodeWindow))
-      .filter(col("rn") === 1)
-      .agg(sum(col("d2"))).collect()(0).getDouble(0)
+    pqArgmin(rsubs.join(broadcast(cb), col("s") === col("cs"))
+        .withColumn("d2", pqD2("sub", "csub")))
+      .agg(sum(col("m.d2"))).collect()(0).getDouble(0)
 }
