@@ -739,6 +739,64 @@ object SimilarityQueries {
            |  CAST(label_c AS BIGINT) AS neg_label, cosine FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("a8b_hard_negatives_moreplanes",
+      "The a8 hard-negative mine at 6 LSH planes (64 buckets) — the " +
+        "same corpus-scale dial a5b demonstrates for the plain " +
+        "KNN-join, applied to the label-mismatch variant whose census " +
+        "slope is the suite's steepest (the fixed-16-bucket join's " +
+        "per-bucket population grows linearly with the corpus). " +
+        "Signatures are prefix-extensions of a8's (shared seed " +
+        "stream), so candidate pairs drop ~4x while every pair " +
+        "reported by both variants carries the identical cosine " +
+        "(AnnSpec) — the dial changes CANDIDACY, never scoring or the " +
+        "label-mismatch predicate, which still drops same-label pairs " +
+        "at the join.",
+      (s, d) => {
+        val e = withBucketN(t(s, d, "embeddings"), "embedding", 6)
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("label").as("label_q"),
+            col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("label").as("label_c"),
+            col("bucket"))
+        val scored = c.join(q,
+            c("bucket") === q("bucket") && col("label_c") =!= col("label_q"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label_c").cast("long").as("neg_label"),
+            col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSqlN("embedding", 6)} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        label AS label_q, bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c,
+           |        label AS label_c, bucket FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id, c.label_c,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q ON c.bucket = q.bucket AND c.label_c != q.label_q),
+           |ranked AS (
+           |  SELECT query_id, vec_id, label_c, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id,
+           |  CAST(label_c AS BIGINT) AS neg_label, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     Q("a6_ann_quantized",
       "Int8-quantized ANN — per-vector scalar quantization " +
         "(scale = greatest(max|x|/127, 1e-30) — the epsilon floor " +

@@ -208,6 +208,28 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a8b (6-plane) hard negatives: candidacy-only dial, label " +
+      "mismatch preserved") {
+    val a8 = run("a8_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    val a8b = run("a8b_hard_negatives_moreplanes").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3), r.getDouble(4)))
+    assert(a8b.nonEmpty)
+    // identical cosine wherever both variants report the same pair
+    a8b.foreach { case (k, _, c) =>
+      a8.get(k).foreach(e => assert(e === c, s"cosine differs for $k"))
+    }
+    // the label-mismatch predicate survives the dial: no reported
+    // negative carries its query's label
+    val labels = graft.engine.Graft.table(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    a8b.foreach { case ((q, v), negLabel, _) =>
+      assert((labels(v) === negLabel) && (negLabel !== labels(q)),
+        s"pair ($q,$v) label contract violated")
+    }
+  }
+
   test("a11 truncated-dim recall: full retrieval set, exact arithmetic, " +
       "and a replica of the truncated ranking reproduces its hits") {
     val report = run("a11_mrl_recall").collect()
