@@ -787,6 +787,24 @@ object PipelineQueries {
           |      CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
           |ORDER BY 1, 2, 3""".stripMargin)),
 
+    Q("d1s_dedup_stream",
+      "§2.12 driver-visible streaming row #6: STREAMING EXACT DEDUP — " +
+        "d1's dedup-at-ingestion twin. The event stream unioned with a " +
+        "second reader re-emitting every tenth event (planted " +
+        "duplicates — corpus event_ids are unique, so a bare dedup " +
+        "would be an unobservable pass-through) flows through " +
+        "dropDuplicatesWithinWatermark(event_id): state holds one key " +
+        "per event inside the 1-hour horizon and is evicted past it, " +
+        "so memory is rate × horizon, never corpus-wide. Dedup emits " +
+        "first-occurrence rows immediately in Append mode; durable " +
+        "parquet sink, AvailableNow one-shot, hash-checked against " +
+        "the plain batch table (dedup(events ∪ copies) == events).",
+      (s, d) => graft.streaming.EventsStream.dedupOneShot(s, d),
+      Some(
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+          |  event_type, value, props
+          |FROM events ORDER BY event_id""".stripMargin)),
+
     Q("e8_sliding_window",
       "Sliding 1-hour windows every 15 minutes — each event lands in " +
         "exactly 4 overlapping windows (Spark expands via the window() " +

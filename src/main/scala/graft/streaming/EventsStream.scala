@@ -209,6 +209,46 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The d1s drive input: the event stream UNIONED with a second
+    * reader re-emitting every tenth event — the corpus's event_ids are
+    * unique, so without planted copies a dedup row would be a no-op
+    * pass-through and the oracle couldn't distinguish "dedup dropped
+    * the copies" from "nothing was ever duplicated". Both readers
+    * enumerate the same files, so each copy lands in the SAME
+    * micro-batch as its original and the within-watermark guarantee is
+    * never in play for the planted pairs (the horizon only governs
+    * state eviction for genuinely late copies).
+    */
+  def dedupDriveInput(spark: SparkSession, dir: String): DataFrame =
+    source(spark, dir)
+      .unionByName(source(spark, dir).filter(col("event_id") % 10 === 0))
+
+  /** One-shot streaming execution of [[dedupStream]] over
+    * [[dedupDriveInput]] — dedup is the one stateful operator that
+    * emits in APPEND mode immediately (first occurrence flows through;
+    * the watermark only bounds state), so the durable parquet sink
+    * receives exactly one copy of every event and the result
+    * hash-checks against the plain batch table in DuckDB. This is the
+    * dedup-at-ingestion shape of an LLM corpus feed: re-delivered
+    * documents (at-least-once sources re-send on retry) are dropped in
+    * the stream with state bounded by rate × horizon, never by a
+    * corpus-wide join.
+    */
+  def dedupOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.fresh(spark, "d1s_out")
+    val q = dedupStream(dedupDriveInput(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "d1s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out).orderBy(col("event_id"))
+  }
+
   /** Watermarked stream-stream interval join (the enrichment shape):
     * pairs each left event with same-user right events from the
     * preceding 10 minutes. Both sides carry watermarks and the join

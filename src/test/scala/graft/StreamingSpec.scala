@@ -142,6 +142,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("d1s planted-duplicate drive: the union really feeds copies, and " +
+      "dedup returns exactly the batch table") {
+    import org.apache.spark.sql.functions._
+    // without dedup the planted union carries n + n/10 rows — run it
+    // raw to prove the second reader emits (otherwise a silent
+    // zero-row planted side would make the d1s oracle vacuous)
+    val ckpt = Files.createTempDirectory("graft-ckpt-d1s").toString
+    val q = EventsStream.dedupDriveInput(spark, sfDir)
+      .writeStream
+      .format("memory")
+      .queryName("d1s_raw_union")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
+    val events = graft.engine.Graft.events(spark, sfDir)
+    val n = events.count()
+    val planted = events.filter(col("event_id") % 10 === 0).count()
+    assert(planted > 0)
+    assert(spark.table("d1s_raw_union").count() === n + planted)
+    // the registered row: dedup(events ∪ copies) == events, full rows
+    val out = EventsStream.dedupOneShot(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = events.collect().map(_.toString).sorted.toSeq
+    assert(out === batch)
+  }
+
   test("flatMapGroupsWithState emits closed sessions matching the batch sessionizer") {
     import org.apache.spark.sql.functions._
     val ckpt = Files.createTempDirectory("graft-ckpt3").toString
