@@ -27,7 +27,7 @@ object SimilarityQueries {
 
   private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
 

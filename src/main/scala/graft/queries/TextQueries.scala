@@ -943,27 +943,7 @@ object TextQueries {
         "filter is an inverted-index probe — only postings of the " +
         "query terms survive into the join; top-k is one window per " +
         "query id over that tiny candidate set.",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val tok = docs.select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("tk"))
-        // ONE tokenize pass: tf is materialized (vocab-cardinality per
-        // doc, tiny vs the corpus) and dl / df / corpus stats all
-        // derive from it — without this, Catalyst recomputes the
-        // corpus explode once per consumer (4 corpus scans at 100 TB).
-        val tf = Scratch.materialize(s, "bm25_tf",
-          tok.groupBy(col("doc_id"), col("tk"))
-            .agg(count(lit(1)).as("tf")))
-        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        val df_ = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
-        // corpus stats as a broadcast 1-row frame (t6's lazy-scalar trick)
-        val st = tf.agg(
-          countDistinct(col("doc_id")).cast("double").as("nd"),
-          sum(col("tf")).cast("double").as("tt"))
-        val allTerms = Bm25Queries.flatMap(_._2).distinct
-        bm25TopK(bm25Scored(
-          tf.filter(col("tk").isin(allTerms: _*)), df_, dl, st))
-      },
+      (s, d) => bm25SessionTopK(s, d),
       Some(Bm25OracleSql)),
 
     Q("t17b_bm25_maintained",
@@ -1006,8 +986,97 @@ object TextQueries {
         bm25TopK(bm25Scored(
           cat.table("postings_list"), df_, cat.table("doc_len"), st))
       },
-      Some(Bm25OracleSql))
+      Some(Bm25OracleSql)),
+
+    Q("t19_hybrid_rrf",
+      "Hybrid retrieval — BM25 and dense-vector candidate lists fused " +
+        "by reciprocal-rank fusion (RRF, k=60): the standard two-arm " +
+        "retrieval layer of a RAG / training-data search stack, where " +
+        "lexical and embedding recall failures are uncorrelated and " +
+        "the fusion needs no score calibration because it consumes " +
+        "only RANKS. Arm 1 is t17's BM25 top-5 (identical shared " +
+        "builder); arm 2 is exact cosine top-5 per query over the " +
+        "document embeddings (embeddings.vec_id is documents.doc_id; " +
+        "the query's own document is excluded). RRF sums " +
+        "1/(60+rank) over the arms in fixed written order — rank " +
+        "arithmetic only, so the whole fusion is IEEE-exact and " +
+        "hash-matched cross-engine. Scale shape: each arm already has " +
+        "its 100 TB path (t17b's maintained postings probe; the " +
+        "a2/a3/a9 ANN ladder swaps in for brute-force cosine), and " +
+        "the fusion itself joins two top-k lists — k rows per query " +
+        "per arm, broadcast-size regardless of corpus.",
+      (s, d) => {
+        val bm25 = bm25SessionTopK(s, d)
+          .select(col("qid"), col("doc_id"), col("rnk").as("brnk"))
+        val e = t(s, d, "embeddings")
+          .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+        val q = e.filter(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+            col("norm").as("norm_q"))
+        val scored = e.select(col("vec_id").as("doc_id"),
+            col("embedding").as("ec"), col("norm").as("norm_c"))
+          .crossJoin(broadcast(q))
+          .filter(col("doc_id") =!= col("qid"))
+          .withColumn("cosine",
+            expr("graft_dot(eq, ec)") / (col("norm_q") * col("norm_c")))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("doc_id"))
+        val vtop = scored.withColumn("vrnk", row_number().over(wv))
+          .filter(col("vrnk") <= 5)
+          .select(col("qid"), col("doc_id"), col("vrnk").cast("long").as("vrnk"))
+        rrfFuse(bm25, vtop)
+      },
+      Some(HybridRrfOracleSql))
   )
+
+  /** Rank-only RRF fusion of two per-query candidate lists: full-outer
+    * join on (qid, doc_id), score = 1/(60+brnk) + 1/(60+vrnk) with a
+    * missing arm contributing 0, top-5 per query. A doc surfaced by
+    * BOTH arms always outranks any single-arm doc at equal best rank
+    * (1/61 + 1/(60+r) > 1/61) — HybridSpec exercises that branch with
+    * planted overlap, since the synthetic corpus's embeddings are
+    * uncorrelated with its text and the two arms never naturally agree.
+    */
+  private[graft] def rrfFuse(bm25: DataFrame, vtop: DataFrame): DataFrame = {
+    val fused = bm25.join(vtop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("brnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vrnk")), lit(0.0)))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rrf_rank", row_number().over(wf).cast("long"))
+      .filter(col("rrf_rank") <= 5)
+      .select(col("qid"), col("rrf_rank"), col("doc_id"), col("rrf"))
+      .orderBy("qid", "rrf_rank")
+  }
+
+  /** t17's full session-computed BM25 pipeline (tokenize → tf/df/dl →
+    * score → per-query top-5), shared with t19's BM25 arm so both rows
+    * run the identical Column expressions.
+    */
+  private[graft] def bm25SessionTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tk"))
+    // ONE tokenize pass: tf is materialized (vocab-cardinality per
+    // doc, tiny vs the corpus) and dl / df / corpus stats all
+    // derive from it — without this, Catalyst recomputes the
+    // corpus explode once per consumer (4 corpus scans at 100 TB).
+    val tf = Scratch.materialize(s, "bm25_tf",
+      tok.groupBy(col("doc_id"), col("tk"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df_ = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    // corpus stats as a broadcast 1-row frame (t6's lazy-scalar trick)
+    val st = tf.agg(
+      countDistinct(col("doc_id")).cast("double").as("nd"),
+      sum(col("tf")).cast("double").as("tt"))
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    bm25TopK(bm25Scored(
+      tf.filter(col("tk").isin(allTerms: _*)), df_, dl, st))
+  }
 
   /** BM25 per-(doc, term) scores from the four statistics frames —
     * shared by t17 (session-computed frames) and t17b (maintained
@@ -1138,7 +1207,20 @@ object TextQueries {
     * term lists and the left-assoc partial-sum order can never drift
     * from the Spark plan.
     */
-  private def Bm25OracleSql: String = {
+  private def Bm25OracleSql: String =
+    s"""WITH $bm25CoreCtes
+       |SELECT qid, rnk, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM scored WHERE score > 0)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** The tokenize → tf/df/dl/st → per-(doc, term) score → per-query
+    * pivoted score CTE chain shared by [[Bm25OracleSql]] and
+    * [[HybridRrfOracleSql]] (ends with the `scored` CTE).
+    */
+  private def bm25CoreCtes: String = {
     val allTerms =
       Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
     val perQuery = Bm25Queries.map { case (qid, terms) =>
@@ -1150,7 +1232,7 @@ object TextQueries {
          |    $partials AS score
          |  FROM ts WHERE tk IN ($inList) GROUP BY doc_id""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, t.tk
        |  FROM documents, LATERAL UNNEST(string_split_regex(trim(text), '\\s+')) t(tk)),
        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1169,12 +1251,51 @@ object TextQueries {
        |  JOIN df USING (tk) JOIN dl USING (doc_id) CROSS JOIN st
        |  WHERE tf.tk IN ($allTerms)),
        |scored AS (
-       |$perQuery)
-       |SELECT qid, rnk, doc_id, score FROM (
-       |  SELECT qid, doc_id, score,
+       |$perQuery)""".stripMargin
+  }
+
+  /** t19's DuckDB twin: the shared BM25 CTE chain, the a1-style exact
+    * cosine arm, and the rank-only RRF fusion — every arithmetic step
+    * mirrors the Spark Column expressions operation for operation.
+    */
+  private def HybridRrfOracleSql: String = {
+    val dot = SimilarityQueries.dotSql _
+    s"""WITH $bm25CoreCtes,
+       |bm5 AS (
+       |  SELECT qid, doc_id, rnk FROM (
+       |    SELECT qid, doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |    FROM scored WHERE score > 0)
+       |  WHERE rnk <= 5),
+       |e AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings),
+       |vq AS (SELECT vec_id AS qid, embedding AS eq, norm AS norm_q
+       |       FROM e WHERE vec_id BETWEEN 1 AND 5),
+       |vscored AS (
+       |  SELECT vq.qid, e.vec_id AS doc_id,
+       |    ${dot("vq.eq", "e.embedding")} / (vq.norm_q * e.norm) AS cosine
+       |  FROM e CROSS JOIN vq WHERE e.vec_id != vq.qid),
+       |vtop AS (
+       |  SELECT qid, doc_id, vrnk FROM (
+       |    SELECT qid, doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, doc_id) AS BIGINT) AS vrnk
+       |    FROM vscored)
+       |  WHERE vrnk <= 5),
+       |fused AS (
+       |  SELECT COALESCE(b.qid, v.qid) AS qid,
+       |    COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(1.0::DOUBLE / (60.0::DOUBLE + b.rnk), 0.0::DOUBLE)
+       |      + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + v.vrnk), 0.0::DOUBLE)
+       |      AS rrf
+       |  FROM bm5 b FULL OUTER JOIN vtop v
+       |    ON b.qid = v.qid AND b.doc_id = v.doc_id)
+       |SELECT qid, rrf_rank, doc_id, rrf FROM (
+       |  SELECT qid, doc_id, rrf,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM scored WHERE score > 0)
-       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rrf_rank
+       |  FROM fused)
+       |WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank""".stripMargin
   }
 }

@@ -182,4 +182,27 @@ class TextSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet == queryTerms.keySet,
       "every query must return at least one hit on the corpus")
   }
+
+  test("rrfFuse: a both-arms doc outranks single-arm docs; missing arm " +
+      "contributes exactly zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted lists for one query: doc 10 ranks 2 in BOTH arms; docs
+    // 11/12 are arm-1-only rank 1, docs 21/22 arm-2-only rank 1/3
+    val b = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "doc_id", "brnk")
+    val v = Seq((1L, 21L, 1L), (1L, 10L, 2L), (1L, 22L, 3L))
+      .toDF("qid", "doc_id", "vrnk")
+    val out = queries.TextQueries.rrfFuse(b, v).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    // both-arms doc: 1/62 + 1/62; single-arm rank-1 docs: 1/61
+    assert(byDoc(10L) === 1.0 / 62.0 + 1.0 / 62.0)
+    assert(byDoc(11L) === 1.0 / 61.0 && byDoc(21L) === 1.0 / 61.0)
+    assert(byDoc(12L) === 1.0 / 63.0 && byDoc(22L) === 1.0 / 63.0)
+    // the overlap doc wins the fused ranking outright
+    assert(out.find(_._2 == 1L).get._1 === 10L)
+    // dense ranks, ordered by score desc then doc_id
+    assert(out.sortBy(_._2).map(_._1).toSeq === Seq(10L, 11L, 21L, 12L, 22L))
+  }
 }
