@@ -982,7 +982,87 @@ object CoreQueries {
           |  UNION ALL SELECT 2, 'nfc_exact_dedup', d_docs, d_tok, d_ch FROM a
           |  UNION ALL SELECT 3, 'quality_0.5', q_docs, q_tok, q_ch FROM a
           |  UNION ALL SELECT 4, 'min_40_tokens', l_docs, l_tok, l_ch FROM a)
-          |ORDER BY stage_id""".stripMargin))
+          |ORDER BY stage_id""".stripMargin)),
+
+    Q("x11_drift_profile",
+      "Corpus drift monitor — per-category distribution shift between " +
+        "two corpus snapshots (doc_id parity stands in for " +
+        "version N vs N+1) over the three features a data-quality " +
+        "gate watches: language mix, source mix, and length-bucket " +
+        "histogram (floor(n_chars/100)). Each category row carries " +
+        "both raw counts, both proportions, and its triangular-" +
+        "discrimination contribution (p-q)^2/(p+q) — the chi-square-" +
+        "family statistic chosen over PSI because it needs no ln() " +
+        "(a libm call whose last ulp differs across runtimes, " +
+        "unacceptable in a hash-matched contract) and no smoothing " +
+        "(p+q > 0 by construction for every emitted category). " +
+        "Per-category rows are emitted UNAGGREGATED, ordered, so no " +
+        "order-dependent float summation exists anywhere; the alert " +
+        "threshold is the consumer's. Scale shape: ONE corpus scan " +
+        "(the three features explode from one projected row), one " +
+        "map-side-combined aggregation on (feature, category) — " +
+        "category-cardinality output regardless of corpus size.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("side", when(col("doc_id") % 2 === 0, 1).otherwise(0))
+        val feats = docs.select(col("side"), explode(array(
+            struct(lit("lang").as("feature"), col("lang").as("category")),
+            struct(lit("len_bucket").as("feature"),
+              expr("CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS STRING)")
+                .as("category")),
+            struct(lit("source").as("feature"), col("source").as("category"))
+          )).as("f"))
+          .select(col("side"), col("f.feature"), col("f.category"))
+        val counts = feats.groupBy(col("feature"), col("category"))
+          .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_cur"))
+        val totals = docs.agg(
+          sum(when(col("side") === 1, 1L).otherwise(0L))
+            .cast("double").as("t_base"),
+          sum(when(col("side") === 0, 1L).otherwise(0L))
+            .cast("double").as("t_cur"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("p", col("n_base") / col("t_base"))
+          .withColumn("q", col("n_cur") / col("t_cur"))
+          .withColumn("contrib",
+            (col("p") - col("q")) * (col("p") - col("q"))
+              / (col("p") + col("q")))
+          .select(col("feature"), col("category"), col("n_base"),
+            col("n_cur"), col("p"), col("q"), col("contrib"))
+          .orderBy("feature", "category")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT *, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS side
+          |  FROM documents),
+          |feats AS (
+          |  SELECT side, 'lang' AS feature, lang AS category FROM docs
+          |  UNION ALL
+          |  SELECT side, 'len_bucket',
+          |    CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS VARCHAR)
+          |  FROM docs
+          |  UNION ALL
+          |  SELECT side, 'source', source FROM docs),
+          |counts AS (
+          |  SELECT feature, category,
+          |    CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS BIGINT)
+          |      AS n_base,
+          |    CAST(COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS BIGINT)
+          |      AS n_cur
+          |  FROM feats GROUP BY 1, 2),
+          |totals AS (
+          |  SELECT CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0)
+          |      AS DOUBLE) AS t_base,
+          |    CAST(COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS DOUBLE)
+          |      AS t_cur
+          |  FROM docs)
+          |SELECT feature, category, n_base, n_cur,
+          |  n_base / t_base AS p, n_cur / t_cur AS q,
+          |  (n_base / t_base - n_cur / t_cur)
+          |    * (n_base / t_base - n_cur / t_cur)
+          |    / (n_base / t_base + n_cur / t_cur) AS contrib
+          |FROM counts CROSS JOIN totals
+          |ORDER BY feature, category""".stripMargin))
   )
 
   import Checksum.{IntLike, Str, TsDay}
