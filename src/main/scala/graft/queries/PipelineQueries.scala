@@ -805,6 +805,26 @@ object PipelineQueries {
           |  event_type, value, props
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("e8s_sliding_window_stream",
+      "§2.12 driver-visible streaming row #7: SLIDING-window stateful " +
+        "aggregation — e8's topology run by the streaming engine " +
+        "(1-hour windows every 15 minutes, 1-hour watermark). The " +
+        "overlap factor (window/slide = 4) multiplies STATE, not " +
+        "input: each event lands in 4 window keys, so state is " +
+        "4 x types x horizon, bounded by the grid. Exact DECIMAL " +
+        "value accumulation (micro-batch boundaries reorder float " +
+        "additions), Complete-mode durable parquet sink, AvailableNow " +
+        "one-shot, hash-checked against e8's DuckDB oracle verbatim.",
+      (s, d) => graft.streaming.EventsStream.slidingCountsOneShot(s, d),
+      Some(
+        """SELECT make_timestamp(
+          |    (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+          |      - CAST(g.i AS BIGINT) * 900000000) AS win_start,
+          |  event_type, COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          |FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS i) g
+          |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
     Q("e8_sliding_window",
       "Sliding 1-hour windows every 15 minutes — each event lands in " +
         "exactly 4 overlapping windows (Spark expands via the window() " +

@@ -195,9 +195,36 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        // exact DECIMAL accumulation (dsum), same as hourlyCounts:
+        // micro-batch boundaries reorder float additions, and an
+        // order-dependent double sum would drift from the batch/oracle
+        // result by ulps
+        graft.engine.Functions.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** One-shot streaming execution of [[slidingCounts]] — same
+    * AvailableNow + Complete-mode + durable-parquet contract as
+    * [[hourlyCountsOneShot]]. The overlap factor (window/slide = 4)
+    * multiplies STATE here, not input: each event lands in 4 window
+    * keys, so sliding state = 4 x types x horizon — still bounded by
+    * the grid, never the stream.
+    */
+  def slidingCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.fresh(spark, "e8s_out")
+    val q = slidingCounts(source(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.queries.Scratch.fresh(spark, "e8s_ckpt"))
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out).orderBy(col("win_start"), col("event_type"))
+  }
 
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the incremental twin of the batch hash-dedup (d1): state holds one
