@@ -716,6 +716,57 @@ object CoreQueries {
       }.reduce(_ unionByName _).orderBy("tbl", "key_col", "rk"),
       Some(HeavyHittersSql)),
 
+    Q("x12c_heavy_hitters_cms",
+      "Heavy hitters via count-min sketch — the 100 TB swap for " +
+        "x12b's exact per-key counts when the key set itself no " +
+        "longer fits anywhere: a fixed-size (eps=5e-4, depth 7, seed " +
+        "42) counter array that merges map-side, with candidate keys " +
+        "rescored against the sketch. Driver-visible as the " +
+        "established exact-vs-approx DIFFERENTIAL (g12b/x2b): the " +
+        "output carries the exact top-10 event users by population " +
+        "(DuckDB reproduces them) plus a boolean per row asserting " +
+        "the CMS estimate obeys both published guarantees — " +
+        "one-sided (estimate >= exact, an ALWAYS-true structural " +
+        "property, not probabilistic) and bounded overshoot " +
+        "(estimate <= exact + 2*eps*N; deterministic for the fixed " +
+        "seed on fixed data). A broken sketch flips a boolean and " +
+        "fails the driver's hash gate. The 10-key estimate loop is a " +
+        "bounded driver barrier over the collected k-row top list, " +
+        "the same shape as the dashboard aggregates; the sketch " +
+        "build is one distributed pass.",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"))
+        val eps = 5e-4
+        val n = ev.count()
+        val sketch = ev.stat.countMinSketch(
+          "user_id", eps, 1.0 - 1.0 / 128.0, 42)
+        val topRows = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("pop"))
+          .orderBy(col("pop").desc, col("user_id")).limit(10)
+          .collect()
+        val bound = 2.0 * eps * n
+        val out = topRows.map { r =>
+          val (uid, pop) = (r.getLong(0), r.getLong(1))
+          val est = sketch.estimateCount(uid)
+          (uid, pop, est >= pop && est <= pop + bound)
+        }.toSeq
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+          .orderBy(col("pop").desc, col("user_id"))
+        out.toDF("user_id", "pop", "cms_ok")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("rk"), col("user_id"), col("pop"), col("cms_ok"))
+          .orderBy("rk")
+      },
+      Some(
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY pop DESC, user_id)
+          |    AS BIGINT) AS rk,
+          |  user_id, pop, TRUE AS cms_ok
+          |FROM (SELECT user_id, COUNT(*) AS pop FROM events
+          |      GROUP BY 1 ORDER BY pop DESC, user_id LIMIT 10)
+          |ORDER BY rk""".stripMargin)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")
