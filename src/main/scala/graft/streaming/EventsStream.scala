@@ -19,6 +19,31 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered
+    * to `n` — the knob that sizes STREAMING STATE parallelism: Spark
+    * creates one state-store instance per shuffle partition per
+    * stateful operator (a stream-stream join holds four per
+    * partition), each paying open/snapshot/commit overhead every
+    * micro-batch. The batch suite's 32 partitions are right for
+    * corpus-sized shuffles but charge a bounded one-shot replay 32x
+    * store bookkeeping for kilobyte-scale state. Production sizes this
+    * by rate x horizon / target-partition-size; the bounded replays
+    * here use 8. Results are partitioning-independent (hash
+    * aggregation, dedup, and joins commute across partition counts;
+    * every one-shot ends in an explicit orderBy) — only the state
+    * constant changes. The conf is restored even on failure; the
+    * override applies at query START (state layout is fixed by the
+    * FIRST run against a checkpoint — these harnesses always start
+    * fresh checkpoints, so no layout conflict exists).
+    */
+  private[streaming] def withStatePartitions[T](spark: SparkSession,
+                                                n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Streaming source over the events parquet, normalized through the
     * SAME type-tolerant reader as the batch side
     * ([[graft.engine.Graft.normalizeTs]]). The file stream source needs
@@ -75,17 +100,19 @@ object EventsStream {
     */
   def hourlyCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e1s_out")
-    val q = hourlyCounts(source(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "e1s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = hourlyCounts(source(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "e1s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -124,17 +151,19 @@ object EventsStream {
     */
   def tierRollupOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e2s_out")
-    val q = tierRollup(source(spark, dir), tierDim(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "e2s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = tierRollup(source(spark, dir), tierDim(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "e2s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).orderBy(col("tier"))
   }
 
@@ -172,16 +201,18 @@ object EventsStream {
     */
   def conversionPairsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e12s_out")
-    val q = conversionPairs(source(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", out)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "e12s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = conversionPairs(source(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "e12s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out)
       .orderBy(col("user_id"), col("signup_ts"), col("purchase_ts"))
   }
@@ -212,17 +243,19 @@ object EventsStream {
     */
   def slidingCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e8s_out")
-    val q = slidingCounts(source(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "e8s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = slidingCounts(source(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "e8s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).orderBy(col("win_start"), col("event_type"))
   }
 
@@ -263,16 +296,18 @@ object EventsStream {
     */
   def dedupOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "d1s_out")
-    val q = dedupStream(dedupDriveInput(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", out)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "d1s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = dedupStream(dedupDriveInput(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "d1s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).orderBy(col("event_id"))
   }
 
@@ -479,22 +514,24 @@ object EventsStream {
     val src = source(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
-    val q = sessionStats(src)
-      .writeStream
-      .outputMode(OutputMode.Update())
-      // durable sink: update mode delivers each user's refreshed
-      // cumulative row per micro-batch; appends accumulate across
-      // batches and the read below collapses to the latest row per
-      // user (counters only grow, so per-column max IS the latest) —
-      // executors write, nothing resident on the driver
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSessionStats], _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.queries.Scratch.fresh(spark, "e4s_ckpt"))
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = sessionStats(src)
+        .writeStream
+        .outputMode(OutputMode.Update())
+        // durable sink: update mode delivers each user's refreshed
+        // cumulative row per micro-batch; appends accumulate across
+        // batches and the read below collapses to the latest row per
+        // user (counters only grow, so per-column max IS the latest) —
+        // executors write, nothing resident on the driver
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSessionStats], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.queries.Scratch.fresh(spark, "e4s_ckpt"))
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.read.parquet(out).groupBy(col("user_id"))
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"),
