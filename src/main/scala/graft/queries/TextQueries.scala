@@ -1090,11 +1090,14 @@ object TextQueries {
     val docs = t(s, d, "documents")
     val tok = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tk"))
-    // ONE tokenize pass: tf is materialized (vocab-cardinality per
-    // doc, tiny vs the corpus) and dl / df / corpus stats all
-    // derive from it — without this, Catalyst recomputes the
-    // corpus explode once per consumer (4 corpus scans at 100 TB).
-    val tf = Scratch.materialize(s, "bm25_tf",
+    // ONE tokenize pass PER CORPUS: tf is memoized keyed by the
+    // (immutable) corpus dir — vocab-cardinality per doc, tiny vs the
+    // corpus — and dl / df / corpus stats all derive from it. Without
+    // the materialization Catalyst recomputes the corpus explode once
+    // per consumer (4 corpus scans at 100 TB); with the keyed memo the
+    // pass is also shared across consumers (t17 and t19's BM25 arm),
+    // the warehouse shape where term frequencies are a corpus artifact.
+    val tf = Scratch.memoized(s, s"bm25_tf:$d", "bm25_tf",
       tok.groupBy(col("doc_id"), col("tk"))
         .agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
