@@ -28,7 +28,8 @@ object EventsStream {
     * corpus-sized shuffles but charge a bounded one-shot replay 32x
     * store bookkeeping for kilobyte-scale state. Production sizes this
     * by rate x horizon / target-partition-size; the bounded replays
-    * here use 8. Results are partitioning-independent (hash
+    * compute the same sizing from the input via
+    * [[statePartitionsFor]]. Results are partitioning-independent (hash
     * aggregation, dedup, and joins commute across partition counts;
     * every one-shot ends in an explicit orderBy) — only the state
     * constant changes. The conf is restored even on failure; the
@@ -42,6 +43,24 @@ object EventsStream {
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, old)
+  }
+
+  /** State-partition count sized to the replay's actual state volume —
+    * the production "rate × horizon / target-partition-size" sizing
+    * computed from the bounded input: source rows (a metadata-only
+    * parquet footer count) × the operator's state expansion factor
+    * (the sliding window holds window/slide = 4 entries per event),
+    * targeting ~100k state rows per partition, clamped to [8, 32].
+    * A fixed 8 was measured 2× WORSE than 32 for the sliding window
+    * at the 10× census decade (state became data-dominated) while 32
+    * stayed 32× bookkeeping overhead at bench scale — the knob must
+    * follow volume, exactly as it would at 100 TB.
+    */
+  private[streaming] def statePartitionsFor(spark: SparkSession,
+                                            dir: String,
+                                            stateFactor: Long = 1L): Int = {
+    val rows = spark.read.parquet(s"$dir/events.parquet").count()
+    math.min(32L, math.max(8L, rows * stateFactor / 100000L)).toInt
   }
 
   /** Streaming source over the events parquet, normalized through the
@@ -100,7 +119,7 @@ object EventsStream {
     */
   def hourlyCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e1s_out")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) {
       val q = hourlyCounts(source(spark, dir))
         .writeStream
         .outputMode(OutputMode.Complete())
@@ -151,7 +170,7 @@ object EventsStream {
     */
   def tierRollupOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e2s_out")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) {
       val q = tierRollup(source(spark, dir), tierDim(spark, dir))
         .writeStream
         .outputMode(OutputMode.Complete())
@@ -201,7 +220,7 @@ object EventsStream {
     */
   def conversionPairsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e12s_out")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) {
       val q = conversionPairs(source(spark, dir))
         .writeStream
         .outputMode(OutputMode.Append())
@@ -243,7 +262,7 @@ object EventsStream {
     */
   def slidingCountsOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "e8s_out")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir, 4L)) {
       val q = slidingCounts(source(spark, dir))
         .writeStream
         .outputMode(OutputMode.Complete())
@@ -296,7 +315,7 @@ object EventsStream {
     */
   def dedupOneShot(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.fresh(spark, "d1s_out")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) {
       val q = dedupStream(dedupDriveInput(spark, dir))
         .writeStream
         .outputMode(OutputMode.Append())
@@ -514,7 +533,7 @@ object EventsStream {
     val src = source(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) {
       val q = sessionStats(src)
         .writeStream
         .outputMode(OutputMode.Update())
