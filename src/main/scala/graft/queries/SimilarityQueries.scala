@@ -82,6 +82,59 @@ object SimilarityQueries {
 
   def bucketSql(emb: String): String = bucketSqlN(emb, NPlanes)
 
+  /** Plane-count ladder for the adaptive KNN-join (a5c): the smallest
+    * p in [[AdaptiveMinPlanes]]..[[AdaptiveMaxPlanes]] with
+    * corpusRows <= [[AdaptiveBucketTarget]] * 2^p — i.e. the plane
+    * count that holds EXPECTED per-bucket population at the target as
+    * the corpus grows, the same follow-the-volume sizing rule as the
+    * streaming state-partition count (EventsStream.statePartitionsFor).
+    * Integer thresholds only, so the DuckDB oracle reproduces the
+    * choice with a CASE ladder over COUNT(*) — no float log2 whose
+    * boundary rounding could diverge between engines.
+    */
+  val AdaptiveBucketTarget = 60L
+  val AdaptiveMinPlanes = 4
+  val AdaptiveMaxPlanes = 12
+
+  def adaptivePlanes(corpusRows: Long): Int = {
+    var p = AdaptiveMinPlanes
+    while (p < AdaptiveMaxPlanes &&
+      corpusRows > AdaptiveBucketTarget * (1L << p)) p += 1
+    p
+  }
+
+  /** DuckDB twin of [[adaptivePlanes]] as a one-row CTE body:
+    * `SELECT ... AS p` over COUNT(*) of `embeddings`, thresholds
+    * textually identical to the Scala ladder.
+    */
+  def adaptivePlanesSql: String = {
+    val cases = (AdaptiveMinPlanes until AdaptiveMaxPlanes)
+      .map(p => s"WHEN cnt <= ${AdaptiveBucketTarget * (1L << p)} THEN $p")
+      .mkString(" ")
+    s"SELECT CASE $cases ELSE $AdaptiveMaxPlanes END AS p " +
+      "FROM (SELECT COUNT(*) AS cnt FROM embeddings)"
+  }
+
+  /** [[bucketSqlN]] at a RUNTIME plane count: all AdaptiveMaxPlanes
+    * terms expand textually, each gated on `j < pRef` (a scalar
+    * subquery over the [[adaptivePlanesSql]] CTE). Because planesFor
+    * shares one seed stream, the gated sum over j < p IS
+    * bucketSqlN(emb, p) for every p — signatures stay prefix-extensions
+    * and the p chosen at runtime matches the Spark side bit-for-bit.
+    */
+  def bucketSqlGated(emb: String, pRef: String): String = {
+    val ps = planesFor(AdaptiveMaxPlanes)
+    (0 until AdaptiveMaxPlanes).map { j =>
+      val planeLit = ps(j)
+        .map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      val fold = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(list_zip($emb, $planeLit), " +
+        "p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+      s"(CASE WHEN $j < $pRef AND $fold >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** One extra deterministic hyperplane (seed 43 — disjoint from the
     * bucket planes) whose CONTINUOUS projection orders vectors inside a
     * hot bucket: near-identical vectors project near-identically, so
@@ -666,6 +719,65 @@ object SimilarityQueries {
         s"""WITH e AS (SELECT vec_id, embedding,
            |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
            |  ${bucketSqlN("embedding", 6)} AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c, bucket
+           |      FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q USING (bucket)),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("a5c_knn_join_adaptive",
+      "The a5 KNN-join with the plane count SIZED BY THE CORPUS instead " +
+        "of fixed by hand: p = smallest in [4,12] with rows <= 60*2^p " +
+        "(integer ladder, DuckDB twin is a CASE over COUNT(*)), so " +
+        "expected per-bucket population holds at ~60 as the corpus " +
+        "grows — a5b proved the 6-plane dial works; this row makes the " +
+        "dial AUTOMATIC, the same follow-the-volume rule as the " +
+        "streaming state-partition sizing. At the test SFs the ladder " +
+        "lands on both manual rungs (500 rows -> 4 planes == a5; 2000 " +
+        "rows -> 6 planes == a5b), and the 10x census corpus lands on " +
+        "9 planes (512 buckets) untouched by any code change. The " +
+        "corpus count is a metadata-only parquet footer read; planes " +
+        "share a5's seed stream so every signature is a prefix " +
+        "extension of a5's. Recall tradeoff is a5b's, documented there.",
+      (s, d) => {
+        val n = s.read.parquet(s"$d/embeddings.parquet").count()
+        val p = adaptivePlanes(n)
+        val e = withBucketN(t(s, d, "embeddings"), "embedding", p)
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("bucket"))
+        val scored = c.join(q, Seq("bucket"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH np AS ($adaptivePlanesSql),
+           |e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSqlGated("embedding", "(SELECT p FROM np)")} AS bucket
+           |  FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
            |        bucket FROM e WHERE vec_id % 10 = 0),
            |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c, bucket

@@ -208,6 +208,26 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a5c adaptive planes: integer ladder exact at thresholds, and " +
+      "at the test corpus the ladder reproduces a5 row-for-row") {
+    import SimilarityQueries.adaptivePlanes
+    // ladder boundaries: smallest p in [4,12] with n <= 60*2^p
+    assert(adaptivePlanes(1L) === 4)
+    assert(adaptivePlanes(500L) === 4)     // sf0.001/sf0.01 corpus
+    assert(adaptivePlanes(960L) === 4)
+    assert(adaptivePlanes(961L) === 5)
+    assert(adaptivePlanes(2000L) === 6)    // sf0.1 corpus == a5b's rung
+    assert(adaptivePlanes(20000L) === 9)   // 10x census corpus
+    assert(adaptivePlanes(122880L) === 11)
+    assert(adaptivePlanes(122881L) === 12)
+    assert(adaptivePlanes(Long.MaxValue) === 12) // capped
+    // at 500 rows the ladder picks 4 planes — a5c must BE a5, byte for
+    // byte (same planes, same join, same window)
+    val a5 = run("a5_knn_join").collect().toSeq
+    val a5c = run("a5c_knn_join_adaptive").collect().toSeq
+    assert(a5c === a5)
+  }
+
   test("a8b (6-plane) hard negatives: candidacy-only dial, label " +
       "mismatch preserved") {
     val a8 = run("a8_hard_negatives").collect()
