@@ -39,24 +39,49 @@ object Bench {
     // paying it here makes every timed j6b run measure the
     // zero-Exchange JOIN alone; the build cost stays visible as its
     // own field in the JSON line.
-    val j6bBuildSecs: Option[Double] =
-      if (only.forall(_.contains("j6b_fact_variants_bucketed"))) {
-        val t0 = System.nanoTime()
-        try { graft.queries.PipelineQueries.j6bBucketedFacts(spark, sfDir)
-          Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      } else None
-    // Same split for t17b: the maintained BM25 index (postings /
-    // postings_list / doc_len via the two-batch AdditiveStats ingest)
-    // is a one-time ingest artifact; the timed row measures scoring
-    // from the persisted tables.
-    val t17bBuildSecs: Option[Double] =
-      if (only.forall(_.contains("t17b_bm25_maintained"))) {
-        val t0 = System.nanoTime()
-        try { graft.queries.TextQueries.t17bIndex(spark, sfDir)
-          Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      } else None
+    // The same split generalized to every per-corpus derived INDEX the
+    // suite maintains (r13): fingerprint / gram / shingle / term-
+    // frequency / tokenized-corpus tables are warehouse artifacts a
+    // production deployment writes once per corpus at ingest (exactly
+    // like j6b's bucketed facts and t17b's postings), then every
+    // query-time consumer reads. Billing the build to whichever
+    // consumer happens to run first (alphabetical order) made census
+    // slopes measure the INDEX WRITE, not the query. Each build stays
+    // visible as its own ingest_artifacts field. Deliberately NOT
+    // here: candidate-pair tables and cluster labels (lsh_cand,
+    // emb_pairs, simhash_pairs, cc_labels) — those are the dedup
+    // queries' own work product; moving them to warmup would leave
+    // the rows measuring nothing.
+    val artifactBuilders: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("j6b_bucket_build", Set("j6b_fact_variants_bucketed"),
+        () => graft.queries.PipelineQueries.j6bBucketedFacts(spark, sfDir)),
+      ("t17b_index_build", Set("t17b_bm25_maintained"),
+        () => graft.queries.TextQueries.t17bIndex(spark, sfDir)),
+      ("winnow_fp_index_build",
+        Set("d6_winnowing_decontam", "d8_split_decontam",
+          "d13_source_overlap"),
+        () => graft.queries.DedupQueries.corpusWinnowPruned(spark, sfDir): Unit),
+      ("eval_gram_index_build",
+        Set("d14_eval_ngram_overlap", "c11_split_repair"),
+        () => graft.queries.DedupQueries.evalGramIndex(spark, sfDir): Unit),
+      ("shingle_index_build",
+        Set("d2_ngram_jaccard", "d2b_minhash_jaccard_diff",
+          "d3_minhash_lsh"),
+        () => graft.queries.DedupQueries.corpusShingles(spark, sfDir): Unit),
+      ("bm25_tf_index_build",
+        Set("t17_bm25_topk", "t19_hybrid_rrf"),
+        () => graft.queries.TextQueries.bm25TfIndex(spark, sfDir): Unit),
+      ("bpe_token_corpus_build",
+        Set("t16_bpe_encode", "c9b_token_budget_bpe"),
+        () => graft.queries.TextQueries.bpeDocTokens(spark, sfDir): Unit))
+    val artifactSecs: Seq[(String, Double)] = artifactBuilders.flatMap {
+      case (artifact, consumers, build) =>
+        if (only.forall(o => consumers.exists(o.contains))) {
+          val t0 = System.nanoTime()
+          try { build(); Some(artifact -> (System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        } else None
+    }
     // A query that crashes is recorded with a NULL timing and listed
     // under "failed" — a regression must never masquerade as a fast run,
     // and consumers summing/trending the queries map never silently mix
@@ -116,8 +141,7 @@ object Bench {
     val total = median(runTotals)
     val runsJson = runTotals.mkString("[", ",", "]")
     val ingestParts =
-      j6bBuildSecs.map(s => s""""j6b_bucket_build":$s""").toSeq ++
-        t17bBuildSecs.map(s => s""""t17b_index_build":$s""").toSeq
+      artifactSecs.map { case (n, s) => s""""$n":$s""" }
     val ingest =
       if (ingestParts.isEmpty) ""
       else s""","ingest_artifacts":{${ingestParts.mkString(",")}}"""

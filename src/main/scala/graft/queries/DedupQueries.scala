@@ -103,15 +103,19 @@ object DedupQueries {
     * for digests present on BOTH sides of the split, so collisions
     * can only add candidates, never false hits (the d12 discipline).
     */
-  private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {
+  private[graft] def evalGramIndex(s: SparkSession, d: String): DataFrame = {
     val N = 13
-    val grams = Scratch.memoized(s, s"d14_grams:$d", "d14_grams",
+    Scratch.memoized(s, s"d14_grams:$d", "d14_grams",
       taggedSplits(s, d)
         .filter(size(col("w")) >= N)
         .select(col("doc_id"), col("split"),
           explode(expr(s"transform(sequence(0, size(w) - $N), " +
             s"i -> array_join(slice(w, i + 1, $N), ' '))")).as("gram"))
         .withColumn("h", expr("graft_strhash(gram)")))
+  }
+
+  private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {
+    val grams = evalGramIndex(s, d)
     val candH = grams.filter(col("split") === "train")
       .select("h").distinct()
       .join(grams.filter(col("split") =!= "train")
@@ -283,7 +287,7 @@ object DedupQueries {
   }
 
   /** Per-corpus memoized hashed shingles (shared by d2 and d3). */
-  private def corpusShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpusShingles(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"shingles:$d", "shingles",
       hashedShingles(Graft.table(s, d, "documents")))
 
@@ -1445,7 +1449,7 @@ object DedupQueries {
   /** Per-corpus memoized pruned fingerprint table (shared by d6/d8) —
     * the fingerprint index is built once per corpus, not per consumer.
     */
-  private def corpusWinnowPruned(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpusWinnowPruned(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"winnow_fps:$d", "winnow_fps",
       winnowPruned(Graft.table(s, d, "documents")))
 

@@ -100,7 +100,7 @@ object TextQueries {
     * outgrows broadcast). Memoized per corpus: t16 reports it, c9b
     * budgets on it, one computation.
     */
-  private[queries] def bpeDocTokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeDocTokens(s: SparkSession, d: String): DataFrame =
     Scratch.memoized(s, s"bpe_doc_tokens:$d", "bpe_doc_tokens",
       bpeDocTokensPlan(s, d))
 
@@ -302,17 +302,18 @@ object TextQueries {
         "(tf * N/df) so the score is exact integer-ratio arithmetic on " +
         "both engines (ln() is a libm call whose last ulp can differ " +
         "across runtimes — unacceptable in a hash-matched contract). " +
-        "Scale shape: tf and df are both map-combinable groupBys; the " +
-        "df join broadcasts only under AQE when the vocabulary is " +
-        "small, else shuffles on token.",
+        "Scale shape: tf reads the per-corpus maintained term-frequency " +
+        "table (the same (doc, token, tf) artifact BM25 scores from — " +
+        "one tokenize pass per corpus, shared with t17/t19), df derives " +
+        "from it by a vocab-cardinality groupBy (a doc contributes one " +
+        "tf row per distinct token, so COUNT(*) per token IS document " +
+        "frequency), and the report-side tf filter prunes to the " +
+        "requested docs at the scan.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val tok = docs.select(col("doc_id"),
-          explode(split(trim(col("text")), "\\s+")).as("tk"))
-        val tf = tok.groupBy(col("doc_id"), col("tk"))
-          .agg(count(lit(1)).as("tf"))
-        val df_ = tok.select(col("doc_id"), col("tk")).distinct()
-          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val tfAll = bm25TfIndex(s, d)
+        val tf = tfAll.filter(col("doc_id") < 20)
+        val df_ = tfAll.groupBy(col("tk")).agg(count(lit(1)).as("df"))
         // corpus size as a broadcast scalar subquery (1-row cross
         // join), not a driver .first() — keeps the whole plan lazy
         val n = docs.select(countDistinct(col("doc_id"))
@@ -1086,20 +1087,25 @@ object TextQueries {
     * score → per-query top-5), shared with t19's BM25 arm so both rows
     * run the identical Column expressions.
     */
-  private[graft] def bm25SessionTopK(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val tok = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("tk"))
-    // ONE tokenize pass PER CORPUS: tf is memoized keyed by the
-    // (immutable) corpus dir — vocab-cardinality per doc, tiny vs the
-    // corpus — and dl / df / corpus stats all derive from it. Without
-    // the materialization Catalyst recomputes the corpus explode once
-    // per consumer (4 corpus scans at 100 TB); with the keyed memo the
-    // pass is also shared across consumers (t17 and t19's BM25 arm),
-    // the warehouse shape where term frequencies are a corpus artifact.
-    val tf = Scratch.memoized(s, s"bm25_tf:$d", "bm25_tf",
-      tok.groupBy(col("doc_id"), col("tk"))
+  /** The per-corpus memoized (doc_id, tk, tf) term-frequency table.
+    * ONE tokenize pass PER CORPUS: tf is memoized keyed by the
+    * (immutable) corpus dir — vocab-cardinality per doc, tiny vs the
+    * corpus — and dl / df / corpus stats all derive from it. Without
+    * the materialization Catalyst recomputes the corpus explode once
+    * per consumer (4 corpus scans at 100 TB); with the keyed memo the
+    * pass is also shared across consumers (t17 and t19's BM25 arm),
+    * the warehouse shape where term frequencies are a corpus artifact.
+    */
+  private[graft] def bm25TfIndex(s: SparkSession, d: String): DataFrame =
+    Scratch.memoized(s, s"bm25_tf:$d", "bm25_tf",
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tk"))
+        .groupBy(col("doc_id"), col("tk"))
         .agg(count(lit(1)).as("tf")))
+
+  private[graft] def bm25SessionTopK(s: SparkSession, d: String): DataFrame = {
+    val tf = bm25TfIndex(s, d)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df_ = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     // corpus stats as a broadcast 1-row frame (t6's lazy-scalar trick)
