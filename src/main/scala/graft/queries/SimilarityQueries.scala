@@ -909,6 +909,70 @@ object SimilarityQueries {
            |  CAST(label_c AS BIGINT) AS neg_label, cosine FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("a8c_hard_negatives_adaptive",
+      "The a8 hard-negative mine with the plane count SIZED BY THE " +
+        "CORPUS — a5c's integer ladder (smallest p in [4,12] with " +
+        "rows <= 60*2^p, a metadata-only footer count, DuckDB twin a " +
+        "CASE over COUNT(*)) applied to the suite's steepest census " +
+        "row. a8b proved the 6-plane dial halves a8's slope by hand; " +
+        "this row turns the knob automatically, so per-bucket " +
+        "population — and with it the candidate-pair count the " +
+        "label-mismatch join scores — holds at ~60 however large the " +
+        "corpus grows. Signatures share a8's seed stream (prefix " +
+        "extensions); the ladder lands on a8's 4 planes at 500 rows " +
+        "and a8b's 6 at 2000, so both manual rungs are reproduced " +
+        "before the automatic ones take over. Recall tradeoff is " +
+        "a8b's, documented there.",
+      (s, d) => {
+        val n = s.read.parquet(s"$d/embeddings.parquet").count()
+        val p = adaptivePlanes(n)
+        val e = withBucketN(t(s, d, "embeddings"), "embedding", p)
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("label").as("label_q"),
+            col("bucket"))
+        val c = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ec"),
+            col("norm").as("norm_c"), col("label").as("label_c"),
+            col("bucket"))
+        val scored = c.join(q,
+            c("bucket") === q("bucket") && col("label_c") =!= col("label_q"))
+          .withColumn("cosine",
+            dot("eq", "ec") / (col("norm_q") * col("norm_c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("label_c").cast("long").as("neg_label"),
+            col("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH np AS ($adaptivePlanesSql),
+           |e AS (SELECT vec_id, embedding, label,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+           |  ${bucketSqlGated("embedding", "(SELECT p FROM np)")} AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS eq, norm AS norm_q,
+           |        label AS label_q, bucket FROM e WHERE vec_id % 10 = 0),
+           |c AS (SELECT vec_id, embedding AS ec, norm AS norm_c,
+           |        label AS label_c, bucket FROM e WHERE vec_id % 10 != 0),
+           |scored AS (
+           |  SELECT q.query_id, c.vec_id, c.label_c,
+           |    ${dotSql("q.eq", "c.ec")} / (q.norm_q * c.norm_c) AS cosine
+           |  FROM c JOIN q ON c.bucket = q.bucket AND c.label_c != q.label_q),
+           |ranked AS (
+           |  SELECT query_id, vec_id, label_c, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, vec_id,
+           |  CAST(label_c AS BIGINT) AS neg_label, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     Q("a6_ann_quantized",
       "Int8-quantized ANN — per-vector scalar quantization " +
         "(scale = greatest(max|x|/127, 1e-30) — the epsilon floor " +

@@ -250,6 +250,15 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("a8c adaptive hard negatives: at the test corpus the ladder " +
+      "reproduces a8 row-for-row") {
+    // 500 rows -> the ladder picks a8's 4 planes, so a8c must BE a8,
+    // byte for byte (same planes, same label-mismatch join, same window)
+    val a8 = run("a8_hard_negatives").collect().toSeq
+    val a8c = run("a8c_hard_negatives_adaptive").collect().toSeq
+    assert(a8c === a8)
+  }
+
   test("a11 truncated-dim recall: full retrieval set, exact arithmetic, " +
       "and a replica of the truncated ranking reproduces its hits") {
     val report = run("a11_mrl_recall").collect()
