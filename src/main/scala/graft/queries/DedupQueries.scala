@@ -979,6 +979,105 @@ object DedupQueries {
            |  ON s.doc_id = h.doc_id AND s.split = h.split
            |WHERE s.split != 'train' GROUP BY 1 ORDER BY s.split""".stripMargin)),
 
+    Q("d15_segment_dedup_rewrite",
+      "C4-style sub-document dedup that EMITS THE REWRITTEN CORPUS — " +
+        "the op the d-family's reports feed: every doc is cut into " +
+        "consecutive 20-token segments, each segment's first " +
+        "occurrence corpus-wide (total order: doc_id, then offset) " +
+        "survives, every later verbatim recurrence is deleted, and " +
+        "each doc is reassembled from its kept segments in order " +
+        "(boilerplate paragraphs, repeated headers/footers vanish " +
+        "corpus-wide while their first occurrence stays readable — " +
+        "what C4/RefinedWeb line-dedup does, re-cut on token windows " +
+        "because this corpus is single-line). Membership decisions " +
+        "never shuffle segment text: the first-occurrence window runs " +
+        "over (doc_id, start, 8-byte xxhash64) triples; digest-unique " +
+        "segments are kept outright (same literal => same digest, so " +
+        "a unique digest proves a unique segment), and only " +
+        "digest-recurring positions re-derive their literal (a join " +
+        "back to affected docs ONLY) for the exact tie-break window — " +
+        "collisions can only ADD candidates, never delete wrongly " +
+        "(the d12 confirmation discipline). Reassembly re-slices each " +
+        "doc's own token array by kept offsets, so document text " +
+        "moves on exactly ONE shuffle (the doc_id group) and segments " +
+        "move on none. At 100 TB: one digest-keyed decision shuffle " +
+        "of 20-byte rows + O(duplicated content) literal confirms + " +
+        "one doc-keyed rebuild — no all-pairs, no driver state.",
+      (s, d) => {
+        val W = 20
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        // every segment start (stride W, the c4 construction: >=1
+        // segment per doc, partial tail kept); only the 8-byte digest
+        // leaves the scan
+        val seg = toks.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            greatest(size(col("tk")).cast("long") - 1L, lit(0L)),
+            lit(W.toLong))).as("start"))
+          .withColumn("h",
+            xxhash64(array_join(slice(col("tk"), col("start") + 1, lit(W)), " ")))
+          .select(col("doc_id"), col("start"), col("h"))
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+        val marked = seg.withColumn("nh", count(lit(1)).over(wH))
+        val uniqueKept = marked.filter(col("nh") === 1)
+          .select(col("doc_id"), col("start"))
+        // literal confirm only where a digest recurs: rebuild the
+        // segment text from the doc's own token array, exact
+        // first-occurrence tie-break on the literal
+        val cand = marked.filter(col("nh") >= 2)
+          .select(col("doc_id"), col("start"))
+          .join(toks, Seq("doc_id"))
+          .withColumn("seg",
+            array_join(slice(col("tk"), col("start") + 1, lit(W)), " "))
+          .select(col("doc_id"), col("start"), col("seg"))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seg")).orderBy(col("doc_id"), col("start"))
+        val confirmKept = cand.withColumn("rn", row_number().over(wS))
+          .filter(col("rn") === 1).select(col("doc_id"), col("start"))
+        val kept = uniqueKept.union(confirmKept)
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("start"))).as("starts"))
+        // n_segs is arithmetic on the doc scan, not a third pass over
+        // the position table
+        toks.join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (floor(greatest(size(col("tk")).cast("long") - 1L, lit(0L))
+              / W) + 1L).cast("long").as("n_segs"),
+            coalesce(size(col("starts")), lit(0)).cast("long").as("n_kept"),
+            coalesce(
+              array_join(transform(col("starts"),
+                i => array_join(slice(col("tk"), i + 1, lit(W)), " ")), " "),
+              lit("")).as("rewritten"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |  FROM documents),
+           |segs AS (
+           |  SELECT doc_id, start,
+           |    array_to_string(tk[start + 1 : start + 20], ' ') AS seg
+           |  FROM (
+           |    SELECT doc_id, tk,
+           |      UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), 20))
+           |        AS start
+           |    FROM toks) p),
+           |marked AS (
+           |  SELECT doc_id, start, seg,
+           |    ROW_NUMBER() OVER (PARTITION BY seg
+           |      ORDER BY doc_id, start) AS rn
+           |  FROM segs),
+           |agg AS (
+           |  SELECT doc_id, COUNT(*) AS n_segs,
+           |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           |    COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+           |      ORDER BY start), '') AS rewritten
+           |  FROM marked GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+           |  CAST(n_kept AS BIGINT) AS n_kept, rewritten
+           |FROM agg ORDER BY doc_id""".stripMargin)),
+
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
         "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +

@@ -44,6 +44,41 @@ class DedupSpec extends SparkTestBase {
       "unrelated doc must not pair")
   }
 
+  test("d15 segment rewrite: one survivor per distinct segment, and " +
+      "it is the (doc_id, start)-first occurrence") {
+    import org.apache.spark.sql.functions._
+    val out = run("d15_segment_dedup_rewrite")
+    // reference segment frame, pure literal semantics
+    val segs = graft.engine.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          greatest(size(col("tk")).cast("long") - 1L, lit(0L)),
+          lit(20L))).as("start"),
+        col("tk"))
+      .withColumn("seg",
+        array_join(slice(col("tk"), col("start") + 1, lit(20)), " "))
+      .select("doc_id", "start", "seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDistinct = segs.map(_._3).distinct.length
+    assert(out.agg(sum(col("n_kept"))).first().getLong(0) === nDistinct.toLong,
+      "total kept must equal the number of distinct segment literals")
+    // the survivor of each literal is its minimal (doc_id, start)
+    val first = segs.groupBy(_._3).map { case (seg, occ) =>
+      seg -> occ.map(t => (t._1, t._2)).min
+    }
+    val rewritten = out.select("doc_id", "rewritten").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (seg, (docId, _)) =>
+      if (seg.nonEmpty)
+        assert(rewritten(docId).contains(seg),
+          s"first occurrence of segment (doc $docId) must survive")
+    }
+    // deleted mass is real on this corpus (planted + generated dups)
+    val deleted = out.agg(sum(col("n_segs") - col("n_kept"))).first().getLong(0)
+    assert(deleted > 0, "corpus has duplicate segments; some must delete")
+  }
+
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
