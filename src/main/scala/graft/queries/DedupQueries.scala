@@ -86,6 +86,83 @@ object DedupQueries {
 
   private val P = 1000000007L
 
+  /** Tokens per segment for d15/o11's sub-document dedup. */
+  private[graft] val SegW = 20
+
+  /** (doc_id, tk): each doc's whitespace token array, built once. */
+  private[graft] def segTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+
+  /** (doc_id, start, h, seg): every stride-[[SegW]] segment (the c4
+    * construction: >=1 segment per doc, partial tail kept) with its
+    * literal and 8-byte xxhash64 digest. Decision-only consumers (d15)
+    * project the literal away before any shuffle; the o11 registry
+    * fold reduces to dictionary cardinality before strings move.
+    */
+  private[graft] def docSegments(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("tk"),
+      explode(sequence(lit(0L),
+        greatest(size(col("tk")).cast("long") - 1L, lit(0L)),
+        lit(SegW.toLong))).as("start"))
+      .withColumn("seg",
+        array_join(slice(col("tk"), col("start") + 1, lit(SegW)), " "))
+      .withColumn("h", xxhash64(col("seg")))
+      .select(col("doc_id"), col("start"), col("h"), col("seg"))
+
+  /** d15-shape output from a kept (doc_id, start) set: n_segs by
+    * arithmetic on the doc scan (not a pass over the position table),
+    * rewritten text by re-slicing each doc's own token array at its
+    * kept offsets — document text moves on exactly one doc_id shuffle,
+    * segment strings on none.
+    */
+  private[graft] def rewriteFromKept(toks: DataFrame,
+                                       kept: DataFrame): DataFrame = {
+    val starts = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (floor(greatest(size(col("tk")).cast("long") - 1L, lit(0L))
+          / SegW) + 1L).cast("long").as("n_segs"),
+        coalesce(size(col("starts")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(transform(col("starts"),
+            i => array_join(slice(col("tk"), i + 1, lit(SegW)), " ")), " "),
+          lit("")).as("rewritten"))
+      .orderBy("doc_id")
+  }
+
+  /** The full-corpus literal-semantics oracle for the segment rewrite —
+    * shared verbatim by d15 (recompute) and o11 (maintained registry):
+    * both paths must hash-match it bit for bit.
+    */
+  private[graft] val SegRewriteOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, start,
+       |    array_to_string(tk[start + 1 : start + $SegW], ' ') AS seg
+       |  FROM (
+       |    SELECT doc_id, tk,
+       |      UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), $SegW))
+       |        AS start
+       |    FROM toks) p),
+       |marked AS (
+       |  SELECT doc_id, start, seg,
+       |    ROW_NUMBER() OVER (PARTITION BY seg
+       |      ORDER BY doc_id, start) AS rn
+       |  FROM segs),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_segs,
+       |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+       |      ORDER BY start), '') AS rewritten
+       |  FROM marked GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       |  CAST(n_kept AS BIGINT) AS n_kept, rewritten
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** t5's deterministic hash split tag + tokenized words — the shared
     * base of the token-n-gram decontamination family (d14 report,
     * c11 repair in CurationQueries).
@@ -1004,19 +1081,10 @@ object DedupQueries {
         "of 20-byte rows + O(duplicated content) literal confirms + " +
         "one doc-keyed rebuild — no all-pairs, no driver state.",
       (s, d) => {
-        val W = 20
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
-        // every segment start (stride W, the c4 construction: >=1
-        // segment per doc, partial tail kept); only the 8-byte digest
-        // leaves the scan
-        val seg = toks.select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0L),
-            greatest(size(col("tk")).cast("long") - 1L, lit(0L)),
-            lit(W.toLong))).as("start"))
-          .withColumn("h",
-            xxhash64(array_join(slice(col("tk"), col("start") + 1, lit(W)), " ")))
-          .select(col("doc_id"), col("start"), col("h"))
+        val toks = segTokens(s, d)
+        // only the 8-byte digest leaves the scan for the decision path
+        val seg = docSegments(toks).select(col("doc_id"), col("start"),
+          col("h"))
         val wH = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h"))
         val marked = seg.withColumn("nh", count(lit(1)).over(wH))
@@ -1029,54 +1097,15 @@ object DedupQueries {
           .select(col("doc_id"), col("start"))
           .join(toks, Seq("doc_id"))
           .withColumn("seg",
-            array_join(slice(col("tk"), col("start") + 1, lit(W)), " "))
+            array_join(slice(col("tk"), col("start") + 1, lit(SegW)), " "))
           .select(col("doc_id"), col("start"), col("seg"))
         val wS = org.apache.spark.sql.expressions.Window
           .partitionBy(col("seg")).orderBy(col("doc_id"), col("start"))
         val confirmKept = cand.withColumn("rn", row_number().over(wS))
           .filter(col("rn") === 1).select(col("doc_id"), col("start"))
-        val kept = uniqueKept.union(confirmKept)
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("start"))).as("starts"))
-        // n_segs is arithmetic on the doc scan, not a third pass over
-        // the position table
-        toks.join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (floor(greatest(size(col("tk")).cast("long") - 1L, lit(0L))
-              / W) + 1L).cast("long").as("n_segs"),
-            coalesce(size(col("starts")), lit(0)).cast("long").as("n_kept"),
-            coalesce(
-              array_join(transform(col("starts"),
-                i => array_join(slice(col("tk"), i + 1, lit(W)), " ")), " "),
-              lit("")).as("rewritten"))
-          .orderBy("doc_id")
+        rewriteFromKept(toks, uniqueKept.union(confirmKept))
       },
-      Some(
-        s"""WITH toks AS (
-           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-           |  FROM documents),
-           |segs AS (
-           |  SELECT doc_id, start,
-           |    array_to_string(tk[start + 1 : start + 20], ' ') AS seg
-           |  FROM (
-           |    SELECT doc_id, tk,
-           |      UNNEST(generate_series(0, GREATEST(len(tk) - 1, 0), 20))
-           |        AS start
-           |    FROM toks) p),
-           |marked AS (
-           |  SELECT doc_id, start, seg,
-           |    ROW_NUMBER() OVER (PARTITION BY seg
-           |      ORDER BY doc_id, start) AS rn
-           |  FROM segs),
-           |agg AS (
-           |  SELECT doc_id, COUNT(*) AS n_segs,
-           |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-           |    COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
-           |      ORDER BY start), '') AS rewritten
-           |  FROM marked GROUP BY doc_id)
-           |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
-           |  CAST(n_kept AS BIGINT) AS n_kept, rewritten
-           |FROM agg ORDER BY doc_id""".stripMargin)),
+      Some(SegRewriteOracleSql)),
 
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +

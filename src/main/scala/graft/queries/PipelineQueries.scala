@@ -646,6 +646,59 @@ object PipelineQueries {
       },
       Some(TextQueries.PostingsOracleSql)),
 
+    Q("o11_incremental_segments",
+      "Incremental first-occurrence segment registry — d15's corpus " +
+        "rewrite maintained by ingest through pipeline/MinMergeStats, " +
+        "the THIRD merge algebra in the incremental family: per " +
+        "distinct segment the registry keeps the lexicographically-" +
+        "minimal (doc_id, start) owner, and min over a total order is " +
+        "commutative, associative AND idempotent — so unlike o8/o9's " +
+        "additive folds the registry is exact under ANY batch arrival " +
+        "order and under REDELIVERY. This drive proves it the hard " +
+        "way: the even-doc batch folds TWICE on purpose (an " +
+        "at-least-once upstream's double delivery) and the odd batch " +
+        "lands in between — the final registry must still equal the " +
+        "full-corpus recompute, with no upstream dedup contract. The " +
+        "tradeoff vs addition: min is not invertible, so takedowns " +
+        "rebuild affected keys from the surviving corpus instead of " +
+        "retiring by negation (documented in MinMergeStats). The " +
+        "registry is the deduplicated segment DICTIONARY (one row per " +
+        "distinct literal), so its merge shuffles at dictionary " +
+        "cardinality, not corpus mass; the rewrite then probes it by " +
+        "(digest, literal) and keeps exactly the registered owners. " +
+        "Oracle: d15's full-corpus SQL verbatim — maintained-registry " +
+        "semantics must equal recompute bit for bit.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11_wh"))
+        val toks = DedupQueries.segTokens(s, d)
+        val segs = DedupQueries.docSegments(toks)
+        val regKeys = Seq("h", "seg")
+        val regOrd = Seq("first_doc", "first_start")
+        def owners(b: org.apache.spark.sql.DataFrame) =
+          b.groupBy(col("h"), col("seg"))
+            .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+            .select(col("h"), col("seg"),
+              col("o.doc_id").as("first_doc"),
+              col("o.start").as("first_start"))
+        val even = segs.filter(col("doc_id") % 2 === 0)
+        val odd = segs.filter(col("doc_id") % 2 =!= 0)
+        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+          owners(even), regKeys, regOrd)
+        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+          owners(odd), regKeys, regOrd)
+        // deliberate redelivery: the second even fold must be a no-op
+        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+          owners(even), regKeys, regOrd)
+        val reg = cat.table("seg_registry")
+        val kept = segs.join(reg,
+            segs("h") === reg("h") && segs("seg") === reg("seg") &&
+              segs("doc_id") === reg("first_doc") &&
+              segs("start") === reg("first_start"))
+          .select(segs("doc_id"), segs("start"))
+        DedupQueries.rewriteFromKept(toks, kept)
+      },
+      Some(DedupQueries.SegRewriteOracleSql)),
+
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
         "history operator (Kimball SCD2): an update batch (here the " +

@@ -79,6 +79,35 @@ class DedupSpec extends SparkTestBase {
     assert(deleted > 0, "corpus has duplicate segments; some must delete")
   }
 
+  test("o11 min-merge registry: order-independent and idempotent " +
+      "(the algebra AdditiveStats does not have)") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.MinMergeStats
+    import graft.queries.{DedupQueries, Scratch}
+    val toks = DedupQueries.segTokens(spark, sfDir)
+    val segs = DedupQueries.docSegments(toks)
+    def owners(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy(col("h"), col("seg"))
+        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+        .select(col("h"), col("seg"),
+          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
+    val even = owners(segs.filter(col("doc_id") % 2 === 0))
+    val odd = owners(segs.filter(col("doc_id") % 2 =!= 0))
+    val keys = Seq("h", "seg")
+    val ord = Seq("first_doc", "first_start")
+    def registry(name: String,
+                 folds: Seq[org.apache.spark.sql.DataFrame]) = {
+      val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, name))
+      folds.foreach(MinMergeStats.fold(cat, "reg", _, keys, ord))
+      cat.table("reg").orderBy("h", "seg").collect().toSeq
+    }
+    val ab = registry("mm_ab", Seq(even, odd))
+    val ba = registry("mm_ba", Seq(odd, even))
+    assert(ab === ba, "fold order must not change the registry")
+    val redelivered = registry("mm_re", Seq(even, odd, even, odd))
+    assert(redelivered === ab, "redelivery must be a no-op")
+  }
+
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
