@@ -182,6 +182,24 @@ class PlanSpec extends SparkTestBase {
       s"payload crossed an exchange:\n$exchangeArgs")
   }
 
+  test("d15 digest-keyed decision exchange carries no segment text") {
+    // The corpus-wide first-occurrence window shuffles (doc_id, start,
+    // h) triples; segment literals may only cross the wire on the
+    // bounded literal-confirm (seg-keyed) and doc_id-keyed rebuild
+    // exchanges. A digest exchange whose input carries seg/tk/text
+    // ships corpus strings through the decision shuffle.
+    val p = formatted("d15_segment_dedup_rewrite")
+    val blocks = p.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(h#"))
+    assert(blocks.nonEmpty, p.take(800))
+    blocks.foreach { b =>
+      val input = b.linesIterator.filter(_.startsWith("Input")).mkString
+      Seq("seg#", "tk#", "text#").foreach(c =>
+        assert(!input.contains(c),
+          s"segment text crossed the digest exchange:\n$b"))
+    }
+  }
+
   test("x10 funnel's only data-sized exchange is the dedup hash partition") {
     // One hash partition on the content digest (which exact dedup needs
     // anyway), then a single-partition exchange for the global one-row
