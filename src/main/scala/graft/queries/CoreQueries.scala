@@ -767,6 +767,102 @@ object CoreQueries {
           |      GROUP BY 1 ORDER BY pop DESC, user_id LIMIT 10)
           |ORDER BY rk""".stripMargin)),
 
+    Q("x14_bloom_semijoin",
+      "Runtime-filter semi-join pruning via an explicit Bloom filter — " +
+        "the technique that makes selective large⋈large joins cheap at " +
+        "100 TB: instead of broadcasting the build side's ROWS or " +
+        "shuffling the probe side, broadcast a fixed-size bit-position " +
+        "SET (m=65536 bits, k=3 integer hash functions h_j(x) = " +
+        "((x*A_j + B_j) mod P) mod m — pure BIGINT arithmetic, so the " +
+        "DuckDB oracle reproduces the EXACT pass set bit for bit, a " +
+        "stronger contract than the x12c boolean differential) and " +
+        "drop probe rows that miss any bit at the scan side. Build = " +
+        "high-balance customers; probe = orders. Output is the " +
+        "differential: probe census, exact semi-join matches, bloom " +
+        "passes, false positives, observed fp rate. The Bloom " +
+        "guarantee is structural: every exact match passes (no false " +
+        "negatives — ApproxSpec asserts it), and the fp count is " +
+        "deterministic for the fixed constants. At 100 TB: the bit " +
+        "set is <= 3*|build| entries regardless of probe size, the " +
+        "probe side is touched map-side only (explode + broadcast " +
+        "bit join), and the per-order membership count collapses in " +
+        "partial aggregation before its exchange — the same shape " +
+        "Spark's runtime row-level filtering injects, made " +
+        "oracle-checkable.",
+      (s, d) => {
+        val m = 65536L
+        val p = 1000000007L
+        val as = Seq(1000003L, 2000003L, 3000019L)
+        val bs = Seq(12345L, 67890L, 424242L)
+        def h(j: Int, c: org.apache.spark.sql.Column) =
+          ((c * as(j) + bs(j)) % p) % m
+        val build = t(s, d, "customer")
+          .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+        val bits = build.select(explode(array(
+            (0 until 3).map(j => h(j, col("c_custkey"))): _*)).as("bit"))
+          .distinct()
+        val probe = t(s, d, "orders")
+          .filter(col("o_custkey").isNotNull)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val need = probe.select(col("o_orderkey"),
+          array_distinct(array(
+            (0 until 3).map(j => h(j, col("o_custkey"))): _*)).as("bs"))
+        val hits = need
+          .select(col("o_orderkey"), size(col("bs")).as("nb"),
+            explode(col("bs")).as("bit"))
+          .join(broadcast(bits), Seq("bit"))
+          .groupBy(col("o_orderkey"), col("nb"))
+          .agg(count(lit(1)).as("nhit"))
+          .filter(col("nhit") === col("nb"))
+        val nPass = hits.count()
+        val nExact = probe.join(build,
+          probe("o_custkey") === build("c_custkey"), "left_semi").count()
+        val nProbe = probe.count()
+        import s.implicits._
+        Seq((nProbe, nExact, nPass, nPass - nExact,
+          (nPass - nExact).toDouble / (nProbe - nExact).toDouble))
+          .toDF("n_probe", "n_exact", "n_bloom_pass", "n_false_pos",
+            "fp_rate")
+      },
+      Some(
+        """WITH build AS (
+          |  SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+          |bits AS (
+          |  SELECT ((c_custkey * 1000003 + 12345) % 1000000007) % 65536
+          |    AS bit FROM build
+          |  UNION
+          |  SELECT ((c_custkey * 2000003 + 67890) % 1000000007) % 65536
+          |    FROM build
+          |  UNION
+          |  SELECT ((c_custkey * 3000019 + 424242) % 1000000007) % 65536
+          |    FROM build),
+          |probe AS (
+          |  SELECT o_orderkey, o_custkey FROM orders
+          |  WHERE o_custkey IS NOT NULL),
+          |need AS (
+          |  SELECT o_orderkey, list_distinct([
+          |    ((o_custkey * 1000003 + 12345) % 1000000007) % 65536,
+          |    ((o_custkey * 2000003 + 67890) % 1000000007) % 65536,
+          |    ((o_custkey * 3000019 + 424242) % 1000000007) % 65536]) AS bs
+          |  FROM probe),
+          |expl AS (
+          |  SELECT o_orderkey, len(bs) AS nb, UNNEST(bs) AS bit FROM need),
+          |hits AS (
+          |  SELECT e.o_orderkey, e.nb, COUNT(*) AS nhit
+          |  FROM expl e JOIN bits USING (bit) GROUP BY 1, 2),
+          |pass AS (
+          |  SELECT COUNT(*) AS n_bloom_pass FROM hits WHERE nhit = nb),
+          |exact AS (
+          |  SELECT COUNT(*) AS n_exact FROM probe o
+          |  WHERE EXISTS (SELECT 1 FROM build b
+          |                WHERE b.c_custkey = o.o_custkey)),
+          |tot AS (SELECT COUNT(*) AS n_probe FROM probe)
+          |SELECT n_probe, n_exact, n_bloom_pass,
+          |  n_bloom_pass - n_exact AS n_false_pos,
+          |  CAST(n_bloom_pass - n_exact AS DOUBLE)
+          |    / CAST(n_probe - n_exact AS DOUBLE) AS fp_rate
+          |FROM tot, exact, pass""".stripMargin)),
+
     Q("x1_distinct",
       "X1 — dropDuplicates / SELECT DISTINCT",
       (s, d) => t(s, d, "lineitem")

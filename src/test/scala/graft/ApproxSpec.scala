@@ -14,6 +14,38 @@ class ApproxSpec extends SparkTestBase {
   private def run(name: String) =
     Registry.all.find(_.name == name).get.run(spark, sfDir)
 
+  test("x14 bloom semi-join: no false negatives — every exact match " +
+      "passes the filter, and the pass census reconciles") {
+    import org.apache.spark.sql.functions._
+    val r = run("x14_bloom_semijoin").collect().head
+    val (nProbe, nExact, nPass, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nPass >= nExact, "bloom dropped a true match (false negative)")
+    assert(nFp === nPass - nExact)
+    assert(nPass <= nProbe)
+    // per-row structural check: recompute the exact match set and the
+    // bloom pass set independently and assert containment
+    val m = 65536L; val p = 1000000007L
+    val as = Seq(1000003L, 2000003L, 3000019L)
+    val bs = Seq(12345L, 67890L, 424242L)
+    val cust = graft.engine.Graft.table(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val bits = cust.flatMap(k =>
+      (0 until 3).map(j => ((k * as(j) + bs(j)) % p) % m))
+    val orders = graft.engine.Graft.table(spark, sfDir, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exactSet = orders.filter(o => cust(o._2)).map(_._1).toSet
+    val passSet = orders.filter { case (_, ck) =>
+      (0 until 3).forall(j => bits(((ck * as(j) + bs(j)) % p) % m))
+    }.map(_._1).toSet
+    assert(exactSet.subsetOf(passSet), "containment violated")
+    assert(passSet.size.toLong === nPass &&
+      exactSet.size.toLong === nExact, "census mismatch vs the query")
+  }
+
   test("g12b carries g12's exact percentiles plus in-bound sketch booleans") {
     val exact = run("g12_percentiles").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
