@@ -689,12 +689,21 @@ object PipelineQueries {
         // deliberate redelivery: the second even fold must be a no-op
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
           owners(even), regKeys, regOrd)
+        // The probe ships NO literals: a registry row's (first_doc,
+        // first_start) is the exact corpus position its seg literal was
+        // read from, so position equality (plus the digest) implies
+        // literal equality — the (h, seg)-keyed registry protects the
+        // MERGE from digest collisions, while the probe rides 24-byte
+        // (h, doc_id, start) triples.
         val reg = cat.table("seg_registry")
-        val kept = segs.join(reg,
-            segs("h") === reg("h") && segs("seg") === reg("seg") &&
-              segs("doc_id") === reg("first_doc") &&
-              segs("start") === reg("first_start"))
-          .select(segs("doc_id"), segs("start"))
+          .select(col("h"), col("first_doc"), col("first_start"))
+        val probe = segs.select(col("doc_id"), col("start"), col("h"))
+        val kept = probe
+          .join(reg,
+            probe("h") === reg("h") &&
+              probe("doc_id") === reg("first_doc") &&
+              probe("start") === reg("first_start"))
+          .select(probe("doc_id"), probe("start"))
         DedupQueries.rewriteFromKept(toks, kept)
       },
       Some(DedupQueries.SegRewriteOracleSql)),
