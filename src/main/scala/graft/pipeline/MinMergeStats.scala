@@ -48,4 +48,38 @@ object MinMergeStats {
       else merged
     cat.save(table, durable)
   }
+
+  /** Takedown — the min-merge complement of AdditiveStats.retire. A
+    * min is not invertible (the table no longer holds the runner-up),
+    * so removing a batch's contribution REBUILDS the affected keys
+    * from the surviving corpus instead of folding a negation:
+    *
+    *  - affected keys = registry rows whose OWNER satisfies
+    *    `retiredOwner`. Keys owned by a surviving row are untouched —
+    *    removing a non-owner occurrence never changes a min, so the
+    *    rebuild work is O(occurrences of affected keys among
+    *    `survivors`), not a corpus recompute;
+    *  - `survivors` is the surviving corpus's candidate-owner frame
+    *    (keys ++ ord columns, reduced or not — the groupBy reduces);
+    *    affected keys with no surviving occurrence drop out entirely,
+    *    restoring recompute equivalence.
+    */
+  def rebuild(cat: Catalog, table: String, survivors: DataFrame,
+              retiredOwner: org.apache.spark.sql.Column,
+              keys: Seq[String], ord: Seq[String]): DataFrame = {
+    require(cat.exists(table),
+      s"rebuild: registry table '$table' does not exist")
+    val reg = cat.table(table)
+    val affected = reg.filter(retiredOwner)
+    val keep = reg.filter(!retiredOwner)
+    val rebuilt = survivors
+      .join(affected.select(keys.map(col): _*), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(ord.map(col): _*)).as("__owner"))
+      .select(keys.map(col) ++
+        ord.map(c => col(s"__owner.$c").as(c)): _*)
+    val merged = graft.queries.Scratch.materialize(
+      cat.spark, s"minmerge_$table", keep.unionByName(rebuilt))
+    cat.save(table, merged)
+  }
 }

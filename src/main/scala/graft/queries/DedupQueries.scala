@@ -132,14 +132,15 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** The full-corpus literal-semantics oracle for the segment rewrite —
-    * shared verbatim by d15 (recompute) and o11 (maintained registry):
-    * both paths must hash-match it bit for bit.
+  /** The literal-semantics oracle for the segment rewrite over any doc
+    * source — shared by d15 (recompute), o11 (maintained registry) and
+    * o11b (post-takedown registry over the surviving corpus): every
+    * path must hash-match the recompute bit for bit.
     */
-  private[graft] val SegRewriteOracleSql: String =
+  private[graft] def segRewriteOracleSqlOver(docsRef: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-       |  FROM documents),
+       |  FROM $docsRef),
        |segs AS (
        |  SELECT doc_id, start,
        |    array_to_string(tk[start + 1 : start + $SegW], ' ') AS seg
@@ -162,6 +163,9 @@ object DedupQueries {
        |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
        |  CAST(n_kept AS BIGINT) AS n_kept, rewritten
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  private[graft] val SegRewriteOracleSql: String =
+    segRewriteOracleSqlOver("documents")
 
   /** t5's deterministic hash split tag + tokenized words — the shared
     * base of the token-n-gram decontamination family (d14 report,

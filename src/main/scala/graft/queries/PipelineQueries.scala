@@ -708,6 +708,64 @@ object PipelineQueries {
       },
       Some(DedupQueries.SegRewriteOracleSql)),
 
+    Q("o11b_segment_retire",
+      "Takedown on the min-merge registry — the path MinMergeStats' " +
+        "doc promises in place of retire-by-negation (a min is not " +
+        "invertible: the table no longer holds the runner-up). " +
+        "Retiring a doc batch REBUILDS exactly the affected keys — " +
+        "registry rows whose OWNER is a retired doc; keys owned by a " +
+        "survivor are untouched, because removing a non-owner " +
+        "occurrence never changes a min — from the surviving corpus " +
+        "(one digest-triple pass, semi-join-pruned to affected keys), " +
+        "and affected keys with no surviving occurrence drop out. " +
+        "This drive ingests even+odd doc batches, retires the odd " +
+        "batch, then emits the corpus rewrite for the survivors from " +
+        "the rebuilt registry — which must hash-match a from-scratch " +
+        "d15 recompute over the surviving docs alone (the oracle: the " +
+        "shared rewrite SQL with the retired docs filtered at the " +
+        "source). The o8b contrast, completed: addition retires by " +
+        "negation but demands exactly-once delivery; min-merge " +
+        "ingests idempotently but retires by bounded rebuild.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11b_wh"))
+        val toks = DedupQueries.segTokens(s, d)
+        val segs = DedupQueries.docSegments(toks)
+        val regKeys = Seq("h", "seg")
+        val regOrd = Seq("first_doc", "first_start")
+        def owners(b: org.apache.spark.sql.DataFrame) =
+          b.groupBy(col("h"), col("seg"))
+            .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+            .select(col("h"), col("seg"),
+              col("o.doc_id").as("first_doc"),
+              col("o.start").as("first_start"))
+        val even = segs.filter(col("doc_id") % 2 === 0)
+        val odd = segs.filter(col("doc_id") % 2 =!= 0)
+        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+          owners(even), regKeys, regOrd)
+        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+          owners(odd), regKeys, regOrd)
+        // takedown: retire the odd batch — rebuild keys owned by odd
+        // docs from the surviving (even) corpus only
+        graft.pipeline.MinMergeStats.rebuild(cat, "seg_registry",
+          even.select(col("h"), col("seg"),
+            col("doc_id").as("first_doc"),
+            col("start").as("first_start")),
+          col("first_doc") % 2 =!= 0, regKeys, regOrd)
+        val reg = cat.table("seg_registry")
+          .select(col("h"), col("first_doc"), col("first_start"))
+        val probe = even.select(col("doc_id"), col("start"), col("h"))
+        val kept = probe
+          .join(reg,
+            probe("h") === reg("h") &&
+              probe("doc_id") === reg("first_doc") &&
+              probe("start") === reg("first_start"))
+          .select(probe("doc_id"), probe("start"))
+        DedupQueries.rewriteFromKept(
+          toks.filter(col("doc_id") % 2 === 0), kept)
+      },
+      Some(DedupQueries.segRewriteOracleSqlOver(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)"))),
+
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
         "history operator (Kimball SCD2): an update batch (here the " +

@@ -108,6 +108,39 @@ class DedupSpec extends SparkTestBase {
     assert(redelivered === ab, "redelivery must be a no-op")
   }
 
+  test("o11b takedown: rebuild(retire odd) restores the even-only " +
+      "registry exactly — recompute equivalence at the registry level") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.MinMergeStats
+    import graft.queries.{DedupQueries, Scratch}
+    val toks = DedupQueries.segTokens(spark, sfDir)
+    val segs = DedupQueries.docSegments(toks)
+    def owners(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy(col("h"), col("seg"))
+        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+        .select(col("h"), col("seg"),
+          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
+    val keys = Seq("h", "seg")
+    val ord = Seq("first_doc", "first_start")
+    val even = segs.filter(col("doc_id") % 2 === 0)
+    val odd = segs.filter(col("doc_id") % 2 =!= 0)
+    // full ingest then takedown of the odd batch
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "mm_rt"))
+    MinMergeStats.fold(cat, "reg", owners(even), keys, ord)
+    MinMergeStats.fold(cat, "reg", owners(odd), keys, ord)
+    MinMergeStats.rebuild(cat, "reg",
+      even.select(col("h"), col("seg"), col("doc_id").as("first_doc"),
+        col("start").as("first_start")),
+      col("first_doc") % 2 =!= 0, keys, ord)
+    val after = cat.table("reg").orderBy("h", "seg").collect().toSeq
+    // fresh registry over the surviving batch alone
+    val cat2 = new graft.engine.Catalog(spark, Scratch.fresh(spark, "mm_rf"))
+    MinMergeStats.fold(cat2, "reg", owners(even), keys, ord)
+    val fresh = cat2.table("reg").orderBy("h", "seg").collect().toSeq
+    assert(after === fresh,
+      "post-takedown registry must equal the survivors-only recompute")
+  }
+
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
