@@ -773,6 +773,97 @@ object TextQueries {
           |  CAST(SUM(s_num) AS DOUBLE) / 1000.0 AS weight_sum
           |FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
 
+    Q("t20_calibration_curve",
+      "Classifier calibration — the reliability diagram the eval loop " +
+        "runs before trusting a quality model's scores as sampling " +
+        "weights (the FineWeb-Edu/DCLM step after t13's filter): docs " +
+        "bucket by t13's integer model score (FIXED score ranges, a " +
+        "map-only assignment — no global ntile sort, so the bucketing " +
+        "is one scan at any corpus size), and each bucket row carries " +
+        "its census, positive count, exact integer score sum, the " +
+        "empirical positive rate, the score-implied predicted rate, " +
+        "and the calibration gap. Ground truth is a deterministic " +
+        "planted label (label=1 iff wsum + noise >= 0, noise = " +
+        "strhash-derived uniform over [-2000, 2000]), so the TRUE " +
+        "P(label|score) is (score+2001)/4001 clamped — the predicted " +
+        "column applies exactly that link to the bucket's mean score, " +
+        "and the gap column measures real binning/Jensen error, " +
+        "largest where clamping bites. Float discipline: every " +
+        "aggregate is an exact integer sum; doubles appear only in " +
+        "per-row post-aggregation division chains (IEEE-identical on " +
+        "both engines), never in a cross-row float sum, and no ECE " +
+        "total is emitted precisely because summing bucket gaps would " +
+        "be an order-dependent float fold — the 10 bucket rows ARE " +
+        "the diagram. At 100 TB: one scan, one 10-row aggregate.",
+      (s, d) => {
+        val wsum = expr(
+          "aggregate(transform(tk, tok -> " +
+            "pmod(graft_strhash(tok), 2001) - 1000L), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)")
+        val noise = expr(
+          "pmod(graft_strhash(concat('lbl', cast(doc_id as string))), " +
+            "4001) - 2000L")
+        t(s, d, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .withColumn("wsum", wsum)
+          .withColumn("label", (col("wsum") + noise) >= 0L)
+          .withColumn("bucket",
+            greatest(lit(-5L), least(lit(4L),
+              floor(col("wsum").cast("double") / 2000.0))).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("label"), 1)).as("n_pos"),
+            sum(col("wsum")).as("score_sum"))
+          .withColumn("pos_rate",
+            col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .withColumn("predicted",
+            least(lit(1.0), greatest(lit(0.0),
+              (col("score_sum").cast("double")
+                / col("n_docs").cast("double") + 2001.0) / 4001.0)))
+          .withColumn("gap", abs(col("predicted") - col("pos_rate")))
+          .select(col("bucket"), col("n_docs"), col("n_pos"),
+            col("score_sum"), col("pos_rate"), col("predicted"),
+            col("gap"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split_regex(trim(text), '\s+'),
+          |        tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(regexp_extract_all(tok, '(?s).'),
+          |            ch -> CAST(ascii(ch) AS BIGINT))),
+          |          (a2, c2) -> (a2 * 31 + c2) % 1000000007) % 2001
+          |          - 1000)),
+          |      (acc, x) -> acc + x) AS wsum,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(regexp_extract_all(
+          |          'lbl' || CAST(doc_id AS VARCHAR), '(?s).'),
+          |        ch -> CAST(ascii(ch) AS BIGINT))),
+          |      (a2, c2) -> (a2 * 31 + c2) % 1000000007) % 4001 - 2000
+          |      AS noise
+          |  FROM documents),
+          |b AS (
+          |  SELECT GREATEST(-5, LEAST(4,
+          |      CAST(FLOOR(CAST(wsum AS DOUBLE) / 2000.0) AS BIGINT)))
+          |      AS bucket,
+          |    COUNT(*) AS n_docs,
+          |    CAST(COUNT(*) FILTER (wsum + noise >= 0) AS BIGINT)
+          |      AS n_pos,
+          |    CAST(SUM(wsum) AS BIGINT) AS score_sum
+          |  FROM scored GROUP BY 1)
+          |SELECT bucket, n_docs, n_pos, score_sum,
+          |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+          |  LEAST(1.0, GREATEST(0.0,
+          |    (CAST(score_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          |      + 2001.0) / 4001.0)) AS predicted,
+          |  ABS(LEAST(1.0, GREATEST(0.0,
+          |    (CAST(score_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          |      + 2001.0) / 4001.0))
+          |    - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS gap
+          |FROM b ORDER BY bucket""".stripMargin)),
+
     Q("t13_model_quality",
       "Model-based quality filter — the fastText/CCNet-shaped linear " +
         "scorer production pipelines run after the t2 heuristics: each " +
