@@ -332,4 +332,51 @@ class PropertySpec extends SparkTestBase {
         s"stage ${b._1} grew vs ${a._1}")
     }
   }
+
+  test("property: min-merge registry is invariant under random batch " +
+      "partitionings and fold orders") {
+    // The o11 contract generalized: HOWEVER the corpus is cut into
+    // ingest batches, and in WHATEVER order the batches fold, the
+    // registry equals the one-shot fold. ScalaCheck picks the salt
+    // that assigns docs to batches and the fold permutation; any
+    // violation means the merge algebra (or its read-modify-overwrite
+    // plumbing) broke commutativity/associativity.
+    import graft.pipeline.MinMergeStats
+    import graft.queries.{DedupQueries, Scratch}
+    val toks = DedupQueries.segTokens(spark, sfDir)
+    val segs = DedupQueries.docSegments(toks).localCheckpoint(true)
+    def owners(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy(col("h"), col("seg"))
+        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+        .select(col("h"), col("seg"),
+          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
+    val keys = Seq("h", "seg")
+    val ord = Seq("first_doc", "first_start")
+    val reference = {
+      val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "mmp_ref"))
+      MinMergeStats.fold(cat, "reg", owners(segs), keys, ord)
+      cat.table("reg").orderBy("h", "seg").collect().toSeq
+    }
+    val cases = samples(for {
+      salt <- Gen.choose(0L, 1000000L)
+      k <- Gen.choose(2, 4)
+      perm <- Gen.delay(Gen.const(new scala.util.Random(salt)
+        .shuffle((0 until k).toList)))
+    } yield (salt, k, perm), 3)
+    cases.zipWithIndex.foreach { case ((salt, k, perm), i) =>
+      val cat = new graft.engine.Catalog(spark,
+        Scratch.fresh(spark, s"mmp_$i"))
+      perm.foreach { b =>
+        // a batch = the docs a seeded hash assigns to it; owners are
+        // computed PER BATCH, exactly the o11 ingest shape
+        MinMergeStats.fold(cat, "reg",
+          owners(segs.filter(
+            pmod(col("doc_id") * 31L + salt, lit(k.toLong)) === b.toLong)),
+          keys, ord)
+      }
+      val got = cat.table("reg").orderBy("h", "seg").collect().toSeq
+      assert(got === reference,
+        s"registry diverged for salt=$salt k=$k order=$perm")
+    }
+  }
 }
