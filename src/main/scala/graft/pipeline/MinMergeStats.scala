@@ -70,8 +70,12 @@ object MinMergeStats {
     require(cat.exists(table),
       s"rebuild: registry table '$table' does not exist")
     val reg = cat.table(table)
-    val affected = reg.filter(retiredOwner)
-    val keep = reg.filter(!retiredOwner)
+    // NULL-evaluating predicates would otherwise drop a row from BOTH
+    // sides (filter(p) and filter(!p) each exclude NULL) — a live key
+    // silently deleted on takedown. Treat NULL as not-retired.
+    val retired = coalesce(retiredOwner, lit(false))
+    val affected = reg.filter(retired)
+    val keep = reg.filter(!retired)
     val rebuilt = survivors
       .join(affected.select(keys.map(col): _*), keys, "left_semi")
       .groupBy(keys.map(col): _*)

@@ -819,8 +819,14 @@ object CoreQueries {
           probe("o_custkey") === build("c_custkey"), "left_semi").count()
         val nProbe = probe.count()
         import s.implicits._
-        Seq((nProbe, nExact, nPass, nPass - nExact,
-          (nPass - nExact).toDouble / (nProbe - nExact).toDouble))
+        // zero non-matching probes = no false-positive opportunity:
+        // define the rate as 0.0 (both engines; avoids 0/0 NaN whose
+        // rendering is engine-specific)
+        val nonMatches = nProbe - nExact
+        val fpRate =
+          if (nonMatches == 0L) 0.0
+          else (nPass - nExact).toDouble / nonMatches.toDouble
+        Seq((nProbe, nExact, nPass, nPass - nExact, fpRate))
           .toDF("n_probe", "n_exact", "n_bloom_pass", "n_false_pos",
             "fp_rate")
       },
@@ -859,8 +865,9 @@ object CoreQueries {
           |tot AS (SELECT COUNT(*) AS n_probe FROM probe)
           |SELECT n_probe, n_exact, n_bloom_pass,
           |  n_bloom_pass - n_exact AS n_false_pos,
-          |  CAST(n_bloom_pass - n_exact AS DOUBLE)
-          |    / CAST(n_probe - n_exact AS DOUBLE) AS fp_rate
+          |  CASE WHEN n_probe - n_exact = 0 THEN 0.0
+          |    ELSE CAST(n_bloom_pass - n_exact AS DOUBLE)
+          |      / CAST(n_probe - n_exact AS DOUBLE) END AS fp_rate
           |FROM tot, exact, pass""".stripMargin)),
 
     Q("x1_distinct",

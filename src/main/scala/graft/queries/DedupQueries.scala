@@ -110,6 +110,24 @@ object DedupQueries {
       .withColumn("h", xxhash64(col("seg")))
       .select(col("doc_id"), col("start"), col("h"), col("seg"))
 
+  /** Registry key/owner column contracts for the o11/o11b min-merge
+    * segment registry — single source of truth for every fold, probe,
+    * and spec.
+    */
+  private[graft] val SegRegistryKeys = Seq("h", "seg")
+  private[graft] val SegRegistryOrd = Seq("first_doc", "first_start")
+
+  /** A batch's candidate-owner frame: one row per distinct (digest,
+    * literal) with its minimal (doc_id, start) occurrence — the shape
+    * MinMergeStats folds and rebuilds from.
+    */
+  private[graft] def segmentOwners(batch: DataFrame): DataFrame =
+    batch.groupBy(col("h"), col("seg"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+      .select(col("h"), col("seg"),
+        col("o.doc_id").as("first_doc"),
+        col("o.start").as("first_start"))
+
   /** d15-shape output from a kept (doc_id, start) set: n_segs by
     * arithmetic on the doc scan (not a pass over the position table),
     * rewritten text by re-slicing each doc's own token array at its

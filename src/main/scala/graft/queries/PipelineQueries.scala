@@ -669,26 +669,21 @@ object PipelineQueries {
         "Oracle: d15's full-corpus SQL verbatim — maintained-registry " +
         "semantics must equal recompute bit for bit.",
       (s, d) => {
+        import DedupQueries.{SegRegistryKeys, SegRegistryOrd, segmentOwners}
         val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11_wh"))
         val toks = DedupQueries.segTokens(s, d)
-        val segs = DedupQueries.docSegments(toks)
-        val regKeys = Seq("h", "seg")
-        val regOrd = Seq("first_doc", "first_start")
-        def owners(b: org.apache.spark.sql.DataFrame) =
-          b.groupBy(col("h"), col("seg"))
-            .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-            .select(col("h"), col("seg"),
-              col("o.doc_id").as("first_doc"),
-              col("o.start").as("first_start"))
+        // one tokenize+explode pass feeds every fold and the probe
+        val segs = Scratch.materialize(s, "o11_segs",
+          DedupQueries.docSegments(toks))
         val even = segs.filter(col("doc_id") % 2 === 0)
         val odd = segs.filter(col("doc_id") % 2 =!= 0)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          owners(even), regKeys, regOrd)
+          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          owners(odd), regKeys, regOrd)
+          segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
         // deliberate redelivery: the second even fold must be a no-op
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          owners(even), regKeys, regOrd)
+          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
         // The probe ships NO literals: a registry row's (first_doc,
         // first_start) is the exact corpus position its seg literal was
         // read from, so position equality (plus the digest) implies
@@ -727,30 +722,24 @@ object PipelineQueries {
         "negation but demands exactly-once delivery; min-merge " +
         "ingests idempotently but retires by bounded rebuild.",
       (s, d) => {
+        import DedupQueries.{SegRegistryKeys, SegRegistryOrd, segmentOwners}
         val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11b_wh"))
         val toks = DedupQueries.segTokens(s, d)
-        val segs = DedupQueries.docSegments(toks)
-        val regKeys = Seq("h", "seg")
-        val regOrd = Seq("first_doc", "first_start")
-        def owners(b: org.apache.spark.sql.DataFrame) =
-          b.groupBy(col("h"), col("seg"))
-            .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-            .select(col("h"), col("seg"),
-              col("o.doc_id").as("first_doc"),
-              col("o.start").as("first_start"))
+        val segs = Scratch.materialize(s, "o11b_segs",
+          DedupQueries.docSegments(toks))
         val even = segs.filter(col("doc_id") % 2 === 0)
         val odd = segs.filter(col("doc_id") % 2 =!= 0)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          owners(even), regKeys, regOrd)
+          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          owners(odd), regKeys, regOrd)
+          segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
         // takedown: retire the odd batch — rebuild keys owned by odd
         // docs from the surviving (even) corpus only
         graft.pipeline.MinMergeStats.rebuild(cat, "seg_registry",
           even.select(col("h"), col("seg"),
             col("doc_id").as("first_doc"),
             col("start").as("first_start")),
-          col("first_doc") % 2 =!= 0, regKeys, regOrd)
+          col("first_doc") % 2 =!= 0, SegRegistryKeys, SegRegistryOrd)
         val reg = cat.table("seg_registry")
           .select(col("h"), col("first_doc"), col("first_start"))
         val probe = even.select(col("doc_id"), col("start"), col("h"))

@@ -86,15 +86,11 @@ class DedupSpec extends SparkTestBase {
     import graft.queries.{DedupQueries, Scratch}
     val toks = DedupQueries.segTokens(spark, sfDir)
     val segs = DedupQueries.docSegments(toks)
-    def owners(b: org.apache.spark.sql.DataFrame) =
-      b.groupBy(col("h"), col("seg"))
-        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-        .select(col("h"), col("seg"),
-          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
+    val owners = DedupQueries.segmentOwners _
     val even = owners(segs.filter(col("doc_id") % 2 === 0))
     val odd = owners(segs.filter(col("doc_id") % 2 =!= 0))
-    val keys = Seq("h", "seg")
-    val ord = Seq("first_doc", "first_start")
+    val keys = DedupQueries.SegRegistryKeys
+    val ord = DedupQueries.SegRegistryOrd
     def registry(name: String,
                  folds: Seq[org.apache.spark.sql.DataFrame]) = {
       val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, name))
@@ -115,13 +111,9 @@ class DedupSpec extends SparkTestBase {
     import graft.queries.{DedupQueries, Scratch}
     val toks = DedupQueries.segTokens(spark, sfDir)
     val segs = DedupQueries.docSegments(toks)
-    def owners(b: org.apache.spark.sql.DataFrame) =
-      b.groupBy(col("h"), col("seg"))
-        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-        .select(col("h"), col("seg"),
-          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
-    val keys = Seq("h", "seg")
-    val ord = Seq("first_doc", "first_start")
+    val owners = DedupQueries.segmentOwners _
+    val keys = DedupQueries.SegRegistryKeys
+    val ord = DedupQueries.SegRegistryOrd
     val even = segs.filter(col("doc_id") % 2 === 0)
     val odd = segs.filter(col("doc_id") % 2 =!= 0)
     // full ingest then takedown of the odd batch

@@ -345,13 +345,9 @@ class PropertySpec extends SparkTestBase {
     import graft.queries.{DedupQueries, Scratch}
     val toks = DedupQueries.segTokens(spark, sfDir)
     val segs = DedupQueries.docSegments(toks).localCheckpoint(true)
-    def owners(b: org.apache.spark.sql.DataFrame) =
-      b.groupBy(col("h"), col("seg"))
-        .agg(min(struct(col("doc_id"), col("start"))).as("o"))
-        .select(col("h"), col("seg"),
-          col("o.doc_id").as("first_doc"), col("o.start").as("first_start"))
-    val keys = Seq("h", "seg")
-    val ord = Seq("first_doc", "first_start")
+    val owners = DedupQueries.segmentOwners _
+    val keys = DedupQueries.SegRegistryKeys
+    val ord = DedupQueries.SegRegistryOrd
     val reference = {
       val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "mmp_ref"))
       MinMergeStats.fold(cat, "reg", owners(segs), keys, ord)
