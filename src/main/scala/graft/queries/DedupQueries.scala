@@ -1114,17 +1114,20 @@ object DedupQueries {
           .select(col("doc_id"), col("start"))
         // literal confirm only where a digest recurs: rebuild the
         // segment text from the doc's own token array, exact
-        // first-occurrence tie-break on the literal
+        // first-occurrence tie-break on the literal. The tie-break is
+        // a min(struct) AGGREGATE, not a row_number window: min
+        // combines map-side, so a corpus-dominating boilerplate
+        // segment (the C4 hot line) collapses in partial aggregation
+        // instead of sorting one giant window partition on a straggler
         val cand = marked.filter(col("nh") >= 2)
           .select(col("doc_id"), col("start"))
           .join(toks, Seq("doc_id"))
           .withColumn("seg",
             array_join(slice(col("tk"), col("start") + 1, lit(SegW)), " "))
           .select(col("doc_id"), col("start"), col("seg"))
-        val wS = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("seg")).orderBy(col("doc_id"), col("start"))
-        val confirmKept = cand.withColumn("rn", row_number().over(wS))
-          .filter(col("rn") === 1).select(col("doc_id"), col("start"))
+        val confirmKept = cand.groupBy(col("seg"))
+          .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+          .select(col("o.doc_id").as("doc_id"), col("o.start").as("start"))
         rewriteFromKept(toks, uniqueKept.union(confirmKept))
       },
       Some(SegRewriteOracleSql)),
