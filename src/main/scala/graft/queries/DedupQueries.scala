@@ -1107,9 +1107,14 @@ object DedupQueries {
         // only the 8-byte digest leaves the scan for the decision path
         val seg = docSegments(toks).select(col("doc_id"), col("start"),
           col("h"))
-        val wH = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("h"))
-        val marked = seg.withColumn("nh", count(lit(1)).over(wH))
+        // digest recurrence census as a groupBy + hash join, NOT a
+        // count-over-window: d15's expected input HAS a hot segment
+        // (corpus boilerplate), and a window on h would sort that
+        // digest's entire position set in one partition — the groupBy
+        // combines map-side (hot digest collapses to one count row)
+        // and AQE skew-splits the join's hot key
+        val counts = seg.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+        val marked = seg.join(counts, Seq("h"))
         val uniqueKept = marked.filter(col("nh") === 1)
           .select(col("doc_id"), col("start"))
         // literal confirm only where a digest recurs: rebuild the
