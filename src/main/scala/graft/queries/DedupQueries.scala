@@ -332,8 +332,12 @@ object DedupQueries {
   /** DuckDB twin of [[simhashDocs]] as a `tok AS (...), sh AS (...)`
     * CTE pair (bit 63's addend prints as Long.MinValue; DuckDB widens
     * the sum through HUGEINT and the final CAST lands back in BIGINT).
+    * Parameterized over the doc relation and text expression so the
+    * corpus-release chain can run the identical signature over its
+    * NFC-normalized frame (`simhashDocsSqlOver("nd0", "d.norm")`).
     */
-  private[graft] val SimhashDocsSql: String = {
+  private[graft] def simhashDocsSqlOver(rel: String,
+                                        textExpr: String): String = {
     def fold(base: Int) =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(regexp_extract_all(t.tk, '(?s).'), " +
@@ -346,11 +350,37 @@ object DedupQueries {
     }.mkString(" + ")
     s"""tok AS (
        |  SELECT d.doc_id, ${fold(31)} AS h1, ${fold(131)} AS h2, ${fold(257)} AS h3
-       |  FROM documents d,
-       |    LATERAL UNNEST(string_split_regex(trim(d.text), '\\s+')) t(tk)),
+       |  FROM $rel d,
+       |    LATERAL UNNEST(string_split_regex(trim($textExpr), '\\s+')) t(tk)),
        |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
        |       FROM tok GROUP BY doc_id)""".stripMargin
   }
+
+  private[graft] val SimhashDocsSql: String =
+    simhashDocsSqlOver("documents", "d.text")
+
+  /** The simhash hamming<=3 connected-component closure as a CTE block
+    * (`banded`, `pairs`, `bidir`, `reach`, `comp`) over a preceding
+    * `sh(doc_id, simhash)` CTE — the d7/d10 oracle machinery, shared
+    * so the corpus-release oracle can never drift from the dedup rows'
+    * definition of a cluster. Callers must open WITH RECURSIVE.
+    */
+  private[graft] val SimhashClosureSql: String =
+    """banded AS (
+      |  SELECT doc_id, simhash, g.k,
+      |    (simhash >> (16 * g.k)) & 65535 AS band
+      |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM banded a JOIN banded b
+      |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(v, u) AS (
+      |  SELECT a AS v, a AS u FROM bidir
+      |  UNION
+      |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
+      |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)""".stripMargin
 
   /** The full d2 pipeline over any (doc_id, text) frame — LSH candidate
     * generation then exact digest-set Jaccard verification, pairs
@@ -1465,25 +1495,32 @@ object DedupQueries {
     * exact bit_count filter, distinct `(doc_a, doc_b, hamming)`.
     */
   private def simhashNearPairs(s: SparkSession, d: String): DataFrame =
-    Scratch.memoized(s, s"simhash_pairs:$d", "simhash_pairs", {
-      val sh = simhashSigs(s, d)
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
-          .as(Seq("k", "band")))
-      val a = banded.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sim_a"), col("k"), col("band"))
-      val b2 = banded.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sim_b"), col("k").as("k_b"),
-        col("band").as("band_b"))
-      a.join(b2, col("k") === col("k_b") && col("band") === col("band_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-    })
+    Scratch.memoized(s, s"simhash_pairs:$d", "simhash_pairs",
+      simhashNearPairsOver(simhashSigs(s, d)))
+
+  /** The banded hamming<=3 pair join over any `(doc_id, simhash)`
+    * frame — extracted from the per-corpus memo so the corpus-release
+    * chain can run the identical pair semantics over its normalized
+    * signatures.
+    */
+  private[graft] def simhashNearPairsOver(sh: DataFrame): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("k", "band")))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("k"), col("band"))
+    val b2 = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("k").as("k_b"),
+      col("band").as("band_b"))
+    a.join(b2, col("k") === col("k_b") && col("band") === col("band_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
 
   /** Hot-bucket guard parameters for the embedding pair scan.
     * Random-hyperplane LSH sends similar vectors to the SAME bucket by

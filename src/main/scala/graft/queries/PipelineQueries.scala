@@ -521,8 +521,12 @@ object PipelineQueries {
         import s.implicits._
         val e = Graft.events(s, d).withColumn("date", to_date($"ts"))
         val b = e.agg(min($"date"), max($"date")).head()
+        // Grid = date series x distinct event types: both sides bounded
+        // (days in range; type cardinality), and the broadcast hint
+        // keeps the product a BNLJ instead of a partition-product
+        // CartesianProduct when auto-broadcast is off.
         val series = Functions.dateSeries(s, b.getDate(0), b.getDate(1))
-          .crossJoin(e.select($"event_type").distinct())
+          .crossJoin(broadcast(e.select($"event_type").distinct()))
         val daily = e.groupBy($"date", $"event_type")
           .agg(max($"value").as("v"))
         val joined = series.join(daily, Seq("date", "event_type"), "left")
@@ -1477,6 +1481,27 @@ object PipelineQueries {
           |  total_revenue / NULLIF(total_orders, 0) AS avg_order_value
           |FROM monthly WHERE total_revenue > 0
           |ORDER BY year, month, country""".stripMargin)),
+
+    Q("pipe_corpus_release",
+      "End-to-end LLM corpus-release pipeline as ONE oracle row — the " +
+        "documents-side analog of pipe_monthly_summary: NFC (t15) -> " +
+        "quality floor (t13's integer scorer) -> exact dedup (d1's md5 " +
+        "canonical) -> near-dup verdicts (d10 semantics over the " +
+        "normalized corpus) -> train split (t5) -> decontamination " +
+        "(train docs leaking val/test 13-grams dropped, the c11 " +
+        "mirror) -> temperature mixture (c7, rates from the " +
+        "decontaminated census) -> sequence packing (c3) -> epoch " +
+        "shuffle (c8) -> versioned snapshot (o5), with the shard/pack " +
+        "census computed from the COMMITTED version read back. The " +
+        "report: 7 cumulative funnel rows (docs, tokens, kept-doc_id " +
+        "witness), per-shard permutation witnesses, per-lang packing " +
+        "stats — all exact integers, hash-matched against one DuckDB " +
+        "CTE chain reproducing every stage. This is where inter-stage " +
+        "contract bugs live (which text a digest is over, kept/drop " +
+        "conventions, null handling); piecewise per-operator oracles " +
+        "cannot see them.",
+      (s, d) => graft.pipeline.CorpusRelease.report(s, d),
+      Some(graft.pipeline.CorpusRelease.ReportOracleSql)),
 
     Q("r3_dashboard_insights",
       "S9 — the reference dashboard's KEY INSIGHTS block " +
