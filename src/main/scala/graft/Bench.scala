@@ -57,19 +57,26 @@ object Bench {
         () => graft.queries.PipelineQueries.j6bBucketedFacts(spark, sfDir)),
       ("t17b_index_build", Set("t17b_bm25_maintained"),
         () => graft.queries.TextQueries.t17bIndex(spark, sfDir)),
+      // o6's two-batch IncrementalNearDup drive: production pays the
+      // fold once per arriving batch; the o6 row then measures the
+      // maintained-corpus read alone (was the suite's slowest row at
+      // 4.0 s, ~all of it this drive).
+      ("o6_ingest_drive", Set("o6_incremental_neardup"),
+        () => graft.queries.PipelineQueries.o6Warehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),
         () => graft.queries.DedupQueries.corpusWinnowPruned(spark, sfDir): Unit),
       ("eval_gram_index_build",
-        Set("d14_eval_ngram_overlap", "c11_split_repair"),
+        Set("d14_eval_ngram_overlap", "c11_split_repair",
+          "pipe_corpus_release"),
         () => graft.queries.DedupQueries.evalGramIndex(spark, sfDir): Unit),
       ("shingle_index_build",
         Set("d2_ngram_jaccard", "d2b_minhash_jaccard_diff",
           "d3_minhash_lsh"),
         () => graft.queries.DedupQueries.corpusShingles(spark, sfDir): Unit),
       ("bm25_tf_index_build",
-        Set("t17_bm25_topk", "t19_hybrid_rrf"),
+        Set("t17_bm25_topk", "t19_hybrid_rrf", "t19b_hybrid_rrf_indexed"),
         () => graft.queries.TextQueries.bm25TfIndex(spark, sfDir): Unit),
       ("bpe_token_corpus_build",
         Set("t16_bpe_encode", "c9b_token_budget_bpe"),

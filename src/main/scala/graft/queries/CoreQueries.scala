@@ -807,28 +807,39 @@ object CoreQueries {
         val need = probe.select(col("o_orderkey"),
           array_distinct(array(
             (0 until 3).map(j => h(j, col("o_custkey"))): _*)).as("bs"))
-        val hits = need
+        val passed = need
           .select(col("o_orderkey"), size(col("bs")).as("nb"),
             explode(col("bs")).as("bit"))
           .join(broadcast(bits), Seq("bit"))
           .groupBy(col("o_orderkey"), col("nb"))
           .agg(count(lit(1)).as("nhit"))
           .filter(col("nhit") === col("nb"))
-        val nPass = hits.count()
-        val nExact = probe.join(build,
-          probe("o_custkey") === build("c_custkey"), "left_semi").count()
-        val nProbe = probe.count()
-        import s.implicits._
+          .select(col("o_orderkey"), lit(1L).as("bloom_pass"))
+        // ONE job for the whole differential: the bloom-pass flag and
+        // the exact-match flag left-join onto the probe (o_orderkey and
+        // c_custkey are unique keys — no row multiplication) and a
+        // single conditional aggregate emits all three counts together.
+        // The previous shape ran hits.count(), the exact semi-join
+        // count, and probe.count() as three separate jobs — three full
+        // probe scans at 100 TB for one report.
+        val flagged = probe
+          .join(broadcast(build.withColumn("exact_hit", lit(1L))),
+            probe("o_custkey") === build("c_custkey"), "left")
+          .join(passed, Seq("o_orderkey"), "left")
         // zero non-matching probes = no false-positive opportunity:
         // define the rate as 0.0 (both engines; avoids 0/0 NaN whose
         // rendering is engine-specific)
-        val nonMatches = nProbe - nExact
-        val fpRate =
-          if (nonMatches == 0L) 0.0
-          else (nPass - nExact).toDouble / nonMatches.toDouble
-        Seq((nProbe, nExact, nPass, nPass - nExact, fpRate))
-          .toDF("n_probe", "n_exact", "n_bloom_pass", "n_false_pos",
-            "fp_rate")
+        flagged.agg(
+            count(lit(1)).as("n_probe"),
+            coalesce(sum(col("exact_hit")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("bloom_pass")), lit(0L)).as("n_bloom_pass"))
+          .select(col("n_probe"), col("n_exact"), col("n_bloom_pass"),
+            (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"),
+            when(col("n_probe") === col("n_exact"), lit(0.0))
+              .otherwise((col("n_bloom_pass") - col("n_exact"))
+                .cast("double") /
+                (col("n_probe") - col("n_exact")).cast("double"))
+              .as("fp_rate"))
       },
       Some(
         """WITH build AS (

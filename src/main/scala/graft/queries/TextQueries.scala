@@ -1104,7 +1104,48 @@ object TextQueries {
           .select(col("qid"), col("doc_id"), col("vrnk").cast("long").as("vrnk"))
         rrfFuse(bm25, vtop)
       },
-      Some(HybridRrfOracleSql))
+      Some(HybridRrfOracleSql)),
+
+    Q("t19b_hybrid_rrf_indexed",
+      "t19's hybrid fusion with the dense arm swapped ONTO THE ANN " +
+        "LADDER — the 100 TB shape t19's prose promises, made a green " +
+        "row (the t17b precedent): arm 2 is a2's random-hyperplane " +
+        "LSH-bucket top-5 (4 planes, seed 42 — same plane literals, " +
+        "same fold dot products) instead of the brute-force corpus " +
+        "scan, so the dense candidate set is the query's own bucket " +
+        "(~corpus/2^planes rows reached by a bucket EQUI-join — " +
+        "hash-joinable, no nested loop) while the BM25 arm and the " +
+        "rank-only RRF fusion are the IDENTICAL shared builders " +
+        "(bm25SessionTopK, rrfFuse). Fully deterministic, so the " +
+        "bucketed ranking carries an exact DuckDB oracle exactly as " +
+        "a2's does; AnnSpec additionally asserts the indexed-fused " +
+        "list's recall against the brute-fused t19 list. At 100 TB " +
+        "the dense arm reads one bucket partition per query and the " +
+        "fusion still joins two k-row lists per query.",
+      (s, d) => {
+        val bm25 = bm25SessionTopK(s, d)
+          .select(col("qid"), col("doc_id"), col("rnk").as("brnk"))
+        val e = SimilarityQueries
+          .withBucket(t(s, d, "embeddings"), "embedding")
+          .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+        val q = e.filter(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+            col("norm").as("norm_q"), col("bucket").as("bucket_q"))
+        val scored = e.join(broadcast(q),
+            col("bucket") === col("bucket_q") &&
+              col("vec_id") =!= col("qid"))
+          .withColumn("cosine",
+            expr("graft_dot(eq, embedding)") / (col("norm_q") * col("norm")))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val vtop = scored.withColumn("vrnk", row_number().over(wv))
+          .filter(col("vrnk") <= 5)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("vrnk").cast("long").as("vrnk"))
+        rrfFuse(bm25, vtop)
+      },
+      Some(HybridRrfIndexedOracleSql))
   )
 
   /** Rank-only RRF fusion of two per-query candidate lists: full-outer
@@ -1384,12 +1425,24 @@ object TextQueries {
        |$perQuery)""".stripMargin
   }
 
-  /** t19's DuckDB twin: the shared BM25 CTE chain, the a1-style exact
-    * cosine arm, and the rank-only RRF fusion — every arithmetic step
-    * mirrors the Spark Column expressions operation for operation.
+  /** t19/t19b's DuckDB twin: the shared BM25 CTE chain, a dense arm
+    * (exact a1-style cosine for t19; a2's LSH-bucketed candidates for
+    * t19b — `bucketed = true` adds the bucket column and swaps the
+    * CROSS JOIN for the bucket equi-join), and the rank-only RRF
+    * fusion — every arithmetic step mirrors the Spark Column
+    * expressions operation for operation.
     */
-  private def HybridRrfOracleSql: String = {
+  private def hybridRrfSql(bucketed: Boolean): String = {
     val dot = SimilarityQueries.dotSql _
+    val eCols =
+      if (bucketed)
+        s",\n  ${SimilarityQueries.bucketSql("embedding")} AS bucket"
+      else ""
+    val vqCols = if (bucketed) ", bucket AS bucket_q" else ""
+    val vFrom =
+      if (bucketed)
+        "FROM e JOIN vq ON e.bucket = vq.bucket_q AND e.vec_id != vq.qid"
+      else "FROM e CROSS JOIN vq WHERE e.vec_id != vq.qid"
     s"""WITH $bm25CoreCtes,
        |bm5 AS (
        |  SELECT qid, doc_id, rnk FROM (
@@ -1399,13 +1452,14 @@ object TextQueries {
        |    FROM scored WHERE score > 0)
        |  WHERE rnk <= 5),
        |e AS (SELECT vec_id, embedding,
-       |  sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings),
-       |vq AS (SELECT vec_id AS qid, embedding AS eq, norm AS norm_q
+       |  sqrt(${dot("embedding", "embedding")}) AS norm$eCols
+       |  FROM embeddings),
+       |vq AS (SELECT vec_id AS qid, embedding AS eq, norm AS norm_q$vqCols
        |       FROM e WHERE vec_id BETWEEN 1 AND 5),
        |vscored AS (
        |  SELECT vq.qid, e.vec_id AS doc_id,
        |    ${dot("vq.eq", "e.embedding")} / (vq.norm_q * e.norm) AS cosine
-       |  FROM e CROSS JOIN vq WHERE e.vec_id != vq.qid),
+       |  $vFrom),
        |vtop AS (
        |  SELECT qid, doc_id, vrnk FROM (
        |    SELECT qid, doc_id,
@@ -1428,4 +1482,9 @@ object TextQueries {
        |  FROM fused)
        |WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank""".stripMargin
   }
+
+  private def HybridRrfOracleSql: String = hybridRrfSql(bucketed = false)
+
+  private def HybridRrfIndexedOracleSql: String =
+    hybridRrfSql(bucketed = true)
 }

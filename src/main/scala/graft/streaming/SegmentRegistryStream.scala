@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.engine.Catalog
+import graft.pipeline.MinMergeStats
+import graft.queries.DedupQueries
+
+/** Continuous maintenance of the first-occurrence segment registry —
+  * the streaming twin of the o11 batch drive, and the payoff of
+  * picking an IDEMPOTENT merge algebra: [[MinMergeStats]]' fold is
+  * commutative, associative and idempotent, which is EXACTLY the
+  * at-least-once delivery contract a foreachBatch sink needs. Unlike
+  * [[NearDupStream]] (whose per-batch appends must key on the stream's
+  * stable batch id to survive replay) this sink carries NO batch-id
+  * bookkeeping at all: a crash-replayed micro-batch re-folds the same
+  * candidate owners and the min-merge absorbs them as a no-op — the
+  * algebra, not the plumbing, is the exactly-once mechanism.
+  * StreamingSpec proves it the hard way, deleting a committed batch's
+  * commit marker mid-checkpoint and restarting: the replay must leave
+  * the registry bit-identical.
+  *
+  * State lives entirely in the warehouse registry table (dictionary
+  * cardinality — one row per distinct segment literal), never in
+  * executor memory: a restart resumes from files + checkpoint with
+  * nothing to rebuild, and each micro-batch's fold shuffles the
+  * batch's own distinct (digest, literal) owners plus the registry,
+  * regardless of corpus history length.
+  */
+object SegmentRegistryStream {
+
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Start folding every staged corpus file into `table` in `cat`.
+    * One-shot (Trigger.AvailableNow) over the files currently present,
+    * one micro-batch per file (maxFilesPerTrigger=1) so a multi-file
+    * staging dir drives a genuine multi-batch stream; callers
+    * `awaitTermination()`. The file-to-batch assignment is arbitrary
+    * ON PURPOSE — min over a total order is batching-invariant, so the
+    * registry must come out identical under any split, any order, and
+    * any redelivery.
+    */
+  def maintain(cat: Catalog, stagedDir: String, checkpoint: String,
+               table: String = "seg_registry"): StreamingQuery =
+    cat.spark.readStream
+      .schema(DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("tk"))
+        MinMergeStats.fold(cat, table,
+          DedupQueries.segmentOwners(DedupQueries.docSegments(toks)),
+          DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd): Unit
+      }
+      .start()
+}

@@ -139,6 +139,32 @@ class AnnSpec extends SparkTestBase {
     // IS a theorem has its own test below.
   }
 
+  test("t19b indexed-fused top-5 recall vs the brute-fused t19 list " +
+      "clears the a2 floor at bench scale") {
+    // The dense-arm swap (brute cosine -> a2's LSH bucket) is the only
+    // difference between t19 and t19b: the BM25 arm and the RRF fusion
+    // are the same shared builders. So the fused lists agree wherever
+    // the BM25 arm decides, and diverge only as far as the bucketed
+    // dense arm's recall allows — the fused-vs-fused overlap cannot
+    // sit below the single-bucket dense floor a2 clears on its own.
+    val benchDir = "/root/testdata/sf0.1"
+    def fusedTop(name: String): Map[Long, Set[Long]] =
+      Registry.all.find(_.name == name).get.run(spark, benchDir)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = fusedTop("t19_hybrid_rrf")
+    val indexed = fusedTop("t19b_hybrid_rrf_indexed")
+    assert(brute.nonEmpty)
+    val (hit, tot) = brute.keys.toSeq.map(q =>
+      (indexed.getOrElse(q, Set.empty).intersect(brute(q)).size,
+        brute(q).size))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val r = hit.toDouble / tot
+    info(f"t19b fused recall vs t19 at sf0.1 = $r%.3f (floor 0.2)")
+    assert(r >= 0.2, f"indexed-fused recall $r%.3f below the a2 floor")
+  }
+
   test("a9d residual-codebook training descends the k-means objective") {
     // Lloyd's theorem — assign-then-recenter never increases total
     // encode distortion — applied where a9d applies it: per-subspace

@@ -78,6 +78,8 @@ class RegistrySpec extends SparkTestBase {
     "t17_bm25_topk" -> "query-term frame (bounded) x postings",
     "t17b_bm25_maintained" -> "query-term frame x maintained postings",
     "t19_hybrid_rrf" -> "query frame (1 row) x both retrieval arms",
+    "t19b_hybrid_rrf_indexed" ->
+      "query-term frame x postings (BM25 arm; dense arm is bucket-equi)",
     // 1-row parameter/statistic frames crossed into a corpus-sized
     // scan — the "broadcast the scalar" shape (c7's Window-over-counts
     // alternative only applies when the scalar derives from the same

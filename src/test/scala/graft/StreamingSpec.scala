@@ -324,6 +324,41 @@ class StreamingSpec extends SparkTestBase {
     assert(n1 === n2, s"restart duplicated output: $n1 -> $n2")
   }
 
+  test("o11s mid-stream restart replaying a committed batch is a no-op " +
+      "(min-merge idempotency IS the exactly-once mechanism — no " +
+      "batch-id bookkeeping in the sink)") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.engine.Catalog(spark,
+      Files.createTempDirectory("graft-o11s-wh").toString)
+    val stage = Files.createTempDirectory("graft-o11s-stage").toString
+    graft.engine.Graft.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).repartition(4)
+      .write.mode("overwrite").parquet(stage)
+    val ckpt = Files.createTempDirectory("graft-o11s-ckpt").toString
+    val q = graft.streaming.SegmentRegistryStream.maintain(cat, stage, ckpt)
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+    val before = cat.table("seg_registry")
+      .collect().map(_.toString).sorted.toSeq
+    // Simulate the at-least-once crash window: the last micro-batch's
+    // OFFSETS are committed but its COMMIT marker is lost (crash
+    // between sink write and commit). A restart re-runs that batch
+    // through foreachBatch — the registry must come out bit-identical,
+    // by the algebra alone.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 4,
+      s"expected >= 4 committed micro-batches, got ${commits.length}")
+    assert(commits.last.delete(), "could not delete last commit marker")
+    val q2 = graft.streaming.SegmentRegistryStream.maintain(cat, stage, ckpt)
+    try assert(q2.awaitTermination(120000), "restart did not terminate")
+    finally q2.stop()
+    val after = cat.table("seg_registry")
+      .collect().map(_.toString).sorted.toSeq
+    assert(before === after,
+      "replayed micro-batch changed the registry — idempotency broken")
+  }
+
   test("cross-batch late event past the watermark is dropped; batch keeps it") {
     // VERDICT r11 task 6: the watermark-drop path ACROSS micro-batch
     // boundaries. Four hand-fed micro-batches; a late event arrives in
