@@ -656,7 +656,79 @@ object CurationQueries {
           |      PARTITION BY lang, n_chars // 200
           |      ORDER BY md5(text), doc_id) AS BIGINT) AS rk
           |  FROM documents)
-          |WHERE rk <= 5 ORDER BY lang, len_bucket, rk""".stripMargin))
+          |WHERE rk <= 5 ORDER BY lang, len_bucket, rk""".stripMargin)),
+
+    Q("c14_cluster_representative",
+      "Quality-ranked cluster representative selection — the " +
+        "RefinedWeb/FineWeb-style 'keep the BEST copy' policy: for " +
+        "every near-dup cluster (d7's simhash hamming<=3 connected " +
+        "components, read from the shared per-corpus label memo), the " +
+        "kept representative is the member with the HIGHEST t13 " +
+        "quality score (ties -> lower doc_id) instead of d10's " +
+        "min-doc_id convention — the policy choice a production " +
+        "pipeline actually tunes, since near-dup clusters often mix a " +
+        "clean original with boilerplate-wrapped copies. Emits one " +
+        "row per cluster: member census, doc_id-sum witness, the " +
+        "chosen representative and its score. All-integer arithmetic " +
+        "(t13's x1000 weight sum), so the oracle reproduces the " +
+        "choice exactly. At 100 TB: quality is a map-only scan " +
+        "(hashed weights live in the expression); the join to labels " +
+        "is id-keyed (labels are pair-participant cardinality, far " +
+        "below corpus mass); the representative is a min(struct) " +
+        "aggregate at cluster cardinality — map-side combinable, " +
+        "skew-proof (the d15 tie-break discipline), never a " +
+        "count-over-window; doc text never moves.",
+      (s, d) => {
+        val wsum = expr(
+          "aggregate(transform(tk, tok -> " +
+            "pmod(graft_strhash(tok), 2001) - 1000L), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)")
+        val q = t(s, d, "documents")
+          .withColumn("tk", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), wsum.as("wsum"))
+        val labels = DedupQueries.ccLabelsSimhash(s, d)
+        labels.join(q, labels("v") === q("doc_id"))
+          .groupBy(col("l").as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("doc_id")).as("member_docid_sum"),
+            min(struct((-col("wsum")).as("nw"), col("doc_id").as("id")))
+              .as("best"))
+          .select(col("cluster"), col("n_members"),
+            col("member_docid_sum"), col("best.id").as("rep_doc_id"),
+            (-col("best.nw")).as("rep_wsum"))
+          .orderBy("cluster")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |${DedupQueries.SimhashDocsSql},
+           |${DedupQueries.SimhashClosureSql},
+           |scored AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split_regex(trim(text), '\\s+'),
+           |        tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(regexp_extract_all(tok, '(?s).'),
+           |            ch -> CAST(ascii(ch) AS BIGINT))),
+           |          (a2, c2) -> (a2 * 31 + c2) % 1000000007) % 2001
+           |          - 1000)),
+           |      (acc, x) -> acc + x) AS wsum
+           |  FROM documents),
+           |m AS (
+           |  SELECT comp.cluster, comp.v AS doc_id, s.wsum
+           |  FROM comp JOIN scored s ON comp.v = s.doc_id),
+           |agg AS (
+           |  SELECT cluster, COUNT(*) AS n_members,
+           |    CAST(SUM(doc_id) AS BIGINT) AS member_docid_sum
+           |  FROM m GROUP BY 1),
+           |rep AS (
+           |  SELECT cluster, doc_id AS rep_doc_id, wsum AS rep_wsum,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster
+           |      ORDER BY wsum DESC, doc_id) AS rn
+           |  FROM m)
+           |SELECT a.cluster, a.n_members, a.member_docid_sum,
+           |  r.rep_doc_id, r.rep_wsum
+           |FROM agg a JOIN rep r ON a.cluster = r.cluster AND r.rn = 1
+           |ORDER BY a.cluster""".stripMargin))
   )
 
   /** Chunk window length / stride in whitespace tokens — stride <
