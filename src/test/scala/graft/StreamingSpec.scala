@@ -350,6 +350,11 @@ class StreamingSpec extends SparkTestBase {
     assert(commits.length >= 4,
       s"expected >= 4 committed micro-batches, got ${commits.length}")
     assert(commits.last.delete(), "could not delete last commit marker")
+    // the local FS keeps a .N.crc checksum sidecar next to each commit
+    // marker; leaving it behind makes the replay's rename-based commit
+    // write fail with FileAlreadyExists instead of re-running the batch
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      .delete(): Unit
     val q2 = graft.streaming.SegmentRegistryStream.maintain(cat, stage, ckpt)
     try assert(q2.awaitTermination(120000), "restart did not terminate")
     finally q2.stop()
