@@ -69,7 +69,7 @@ object Bench {
         () => graft.queries.DedupQueries.corpusWinnowPruned(spark, sfDir): Unit),
       ("eval_gram_index_build",
         Set("d14_eval_ngram_overlap", "c11_split_repair",
-          "pipe_corpus_release"),
+          "pipe_corpus_release", "d16_bloom_decontam"),
         () => graft.queries.DedupQueries.evalGramIndex(spark, sfDir): Unit),
       ("shingle_index_build",
         Set("d2_ngram_jaccard", "d2b_minhash_jaccard_diff",

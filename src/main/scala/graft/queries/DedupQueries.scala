@@ -1167,6 +1167,147 @@ object DedupQueries {
       },
       Some(SegRewriteOracleSql)),
 
+    Q("d16_bloom_decontam",
+      "Bloom-prefiltered decontamination — the MEASURED form of the " +
+        "100 TB claim d14's prose makes ('the eval digest set " +
+        "broadcasts into the train scan'): the eval side's 13-gram " +
+        "digests are compressed into an x14-style exact-twin Bloom " +
+        "filter (k=3 integer hash functions over the gram's poly " +
+        "digest — pure BIGINT arithmetic, so the DuckDB oracle " +
+        "reproduces the EXACT bit set), the train scan drops " +
+        "non-passing grams MAP-SIDE against the broadcast bits, and " +
+        "only bloom survivors reach the exact literal-confirm join. " +
+        "The filter is SIZED FROM THE DATA by an integer ladder " +
+        "(smallest power of two >= 32x the eval digest census, " +
+        "clamped to [2^16, 2^26]) — the a5c/a8c follow-the-volume " +
+        "discipline, and the oracle reproduces the choice from its " +
+        "own census, so a sizing drift is a hash mismatch. Output is " +
+        "the differential contract (x12c/x14 convention): train-doc " +
+        "census, chosen m, bloom-passing docs, exact-dirty docs " +
+        "(digest-join + literal confirm — the d12 discipline), false " +
+        "positives, the dirty-doc witness sum, observed doc-level fp " +
+        "rate. Structural guarantee: every exact-dirty doc passes the " +
+        "bloom (shared digest => all 3 bits set), so the prefilter " +
+        "can never lose a contamination hit. At 100 TB the bit set " +
+        "is 3x|eval grams| bits regardless of train mass, and the " +
+        "train side is touched map-side only.",
+      (s, d) => {
+        val grams = evalGramIndex(s, d)
+        val ev = grams.filter(col("split") =!= "train")
+        val trn = grams.filter(col("split") === "train")
+        // adaptive sizing: the eval digest census is a bounded driver
+        // scalar (one count), the a5c pattern
+        val nEval = ev.select(col("h")).distinct().count()
+        val p = (16 to 26).find(q => (1L << q) >= 32L * nEval).getOrElse(26)
+        val m = 1L << p
+        val P = 1000000007L
+        val as = Seq(1000003L, 2000003L, 3000019L)
+        val bs = Seq(12345L, 67890L, 424242L)
+        def hj(j: Int, c: org.apache.spark.sql.Column) =
+          ((c * as(j) + bs(j)) % P) % m
+        val bits = ev.select(col("h")).distinct()
+          .select(explode(array(
+            (0 until 3).map(j => hj(j, col("h"))): _*)).as("bit"))
+          .distinct()
+        val thg = trn.select(col("doc_id"), col("h")).distinct()
+        val need = thg.select(col("doc_id"), col("h"),
+          array_distinct(array(
+            (0 until 3).map(j => hj(j, col("h"))): _*)).as("bs"))
+        val gramPass = need
+          .select(col("doc_id"), col("h"), size(col("bs")).as("nb"),
+            explode(col("bs")).as("bit"))
+          .join(broadcast(bits), Seq("bit"))
+          .groupBy(col("doc_id"), col("h"), col("nb"))
+          .agg(count(lit(1)).as("nhit"))
+          .filter(col("nhit") === col("nb"))
+        val bloomDocs = gramPass.select(col("doc_id")).distinct()
+        // exact dirty train docs: digest intersection first, literal
+        // grams compared only for digests on BOTH sides
+        val candH = trn.select("h").distinct()
+          .join(ev.select("h").distinct(), Seq("h"))
+        val evG = ev.join(candH, Seq("h"))
+          .select(col("h"), col("gram")).distinct()
+        val dirty = trn.join(candH, Seq("h")).join(evG, Seq("h", "gram"))
+          .select(col("doc_id")).distinct()
+        val flagged = trn.select(col("doc_id")).distinct()
+          .join(bloomDocs.withColumn("bp", lit(1L)), Seq("doc_id"), "left")
+          .join(dirty.withColumn("dx", lit(1L)), Seq("doc_id"), "left")
+        flagged.agg(
+            count(lit(1)).as("n_train_docs"),
+            coalesce(sum(col("bp")), lit(0L)).as("n_bloom_pass"),
+            coalesce(sum(col("dx")), lit(0L)).as("n_dirty_exact"),
+            coalesce(sum(when(col("dx").isNotNull, col("doc_id"))),
+              lit(0L)).as("dirty_docid_sum"))
+          .select(col("n_train_docs"), lit(m).as("m_bits"),
+            col("n_bloom_pass"), col("n_dirty_exact"),
+            (col("n_bloom_pass") - col("n_dirty_exact")).as("n_false_pos"),
+            col("dirty_docid_sum"),
+            when(col("n_train_docs") === col("n_dirty_exact"), lit(0.0))
+              .otherwise((col("n_bloom_pass") - col("n_dirty_exact"))
+                .cast("double") /
+                (col("n_train_docs") - col("n_dirty_exact")).cast("double"))
+              .as("fp_rate"))
+      },
+      Some {
+        val fold =
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            "list_transform(regexp_extract_all(g.gram, '(?s).'), " +
+            "c -> CAST(ascii(c) AS BIGINT))), " +
+            "(acc, c) -> (acc * 31 + c) % 1000000007)"
+        val ladder = (16 to 26)
+          .map(q => s"WHEN 32 * n <= ${1L << q} THEN CAST(${1L << q} AS BIGINT)")
+          .mkString(" ")
+        def bitj(a: Long, b: Long) =
+          s"((h * $a + $b) % 1000000007) % (SELECT m FROM mp)"
+        s"""WITH ${Splits.SpCteSql},
+           |toks AS (SELECT doc_id,
+           |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+           |grams AS (
+           |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
+           |  FROM toks t,
+           |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
+           |g2 AS (SELECT g.doc_id, s.split, g.gram, $fold AS h
+           |       FROM grams g JOIN sp s USING (doc_id)),
+           |nev AS (SELECT COUNT(DISTINCT h) AS n FROM g2
+           |        WHERE split != 'train'),
+           |mp AS (SELECT CASE $ladder
+           |         ELSE CAST(${1L << 26} AS BIGINT) END AS m FROM nev),
+           |evh AS (SELECT DISTINCT h FROM g2 WHERE split != 'train'),
+           |bits AS (
+           |  SELECT DISTINCT ${bitj(1000003L, 12345L)} AS bit FROM evh
+           |  UNION SELECT ${bitj(2000003L, 67890L)} FROM evh
+           |  UNION SELECT ${bitj(3000019L, 424242L)} FROM evh),
+           |thg AS (SELECT DISTINCT doc_id, h FROM g2 WHERE split = 'train'),
+           |need AS (SELECT doc_id, h, list_distinct([
+           |    ${bitj(1000003L, 12345L)},
+           |    ${bitj(2000003L, 67890L)},
+           |    ${bitj(3000019L, 424242L)}]) AS bs FROM thg),
+           |expl AS (SELECT doc_id, h, len(bs) AS nb, UNNEST(bs) AS bit
+           |         FROM need),
+           |gp AS (SELECT e.doc_id, e.h, e.nb, COUNT(*) AS nhit
+           |       FROM expl e JOIN bits USING (bit) GROUP BY 1, 2, 3),
+           |bloomdocs AS (SELECT DISTINCT doc_id FROM gp WHERE nhit = nb),
+           |evg AS (SELECT DISTINCT gram FROM g2 WHERE split != 'train'),
+           |dirty AS (SELECT DISTINCT doc_id FROM g2
+           |          WHERE split = 'train'
+           |            AND gram IN (SELECT gram FROM evg)),
+           |td AS (SELECT DISTINCT doc_id FROM g2 WHERE split = 'train'),
+           |c AS (SELECT
+           |    (SELECT COUNT(*) FROM td) AS n_train_docs,
+           |    (SELECT m FROM mp) AS m_bits,
+           |    (SELECT COUNT(*) FROM bloomdocs) AS n_bloom_pass,
+           |    (SELECT COUNT(*) FROM dirty) AS n_dirty_exact,
+           |    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM dirty)
+           |      AS dirty_docid_sum)
+           |SELECT n_train_docs, m_bits, n_bloom_pass, n_dirty_exact,
+           |  n_bloom_pass - n_dirty_exact AS n_false_pos, dirty_docid_sum,
+           |  CASE WHEN n_train_docs = n_dirty_exact
+           |    THEN CAST(0.0 AS DOUBLE)
+           |    ELSE CAST(n_bloom_pass - n_dirty_exact AS DOUBLE)
+           |      / (n_train_docs - n_dirty_exact) END AS fp_rate
+           |FROM c""".stripMargin
+      }),
+
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
         "a~b and b~c must collapse to ONE surviving doc even when a!~c. " +

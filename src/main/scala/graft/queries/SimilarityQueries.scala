@@ -552,6 +552,147 @@ object SimilarityQueries {
       },
       Some(IvfOracleSql)),
 
+    Q("a12_ivf_probe_sweep",
+      "The IVF recall/cost DIAL as one oracle row — per nprobe in " +
+        "{1, 2, 4, 8}: candidates scanned and recall@5 against the " +
+        "exact cosine arm, i.e. the curve a production deployment " +
+        "reads to pick its probe count (a3 is the nprobe=2 point; " +
+        "this row measures the whole dial, and nprobe=k must land at " +
+        "recall 1.0 — the built-in sanity anchor, since probing every " +
+        "cell IS the exact scan over a partitioned layout). The " +
+        "centroid ranking per query is computed ONCE (one window " +
+        "over 8 broadcast centroids) and the sweep fans out by a " +
+        "4-value explode — candidates for nprobe=n are reached by " +
+        "the same cell hash join as a3, so at 100 TB each rung reads " +
+        "exactly n of k cell partitions and the row's n_candidates " +
+        "column IS the I/O model. Exact arm is the a7-harness " +
+        "deliberate full scan (ground truth requires it). All " +
+        "rankings deterministic, so every cell of the curve carries " +
+        "an exact DuckDB oracle; recall = n_hit/25.0 is one IEEE " +
+        "division of small integers, bit-identical cross-engine.",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .withColumn("norm", sqrt(dot("embedding", "embedding")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+            col("norm").as("cnorm"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("csim",
+            dot("embedding", "ce") / (col("norm") * col("cnorm")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            col("cent_id"))
+        val rankedq = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", dot("eq", "ce") / (col("norm_q") * col("cnorm")))
+          .withColumn("crank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("csim").desc, col("cent_id"))))
+        val probes = rankedq
+          .withColumn("nprobe", explode(array(
+            Seq(1L, 2L, 4L, 8L).map(lit): _*)))
+          .filter(col("crank") <= col("nprobe"))
+          .select(col("nprobe"), col("query_id"), col("eq"),
+            col("norm_q"), col("cent_id").as("probe_cell"))
+        val scored = assigned.join(broadcast(probes),
+            col("cent_id") === col("probe_cell") &&
+              col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+        val ivf5 = scored
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("nprobe"), col("query_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("nprobe"), col("query_id"), col("vec_id"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+            col("norm").as("norm_q"))
+        val exact5 = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            dot("eq", "embedding") / (col("norm_q") * col("norm")))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id"))
+        val cand = scored.groupBy(col("nprobe"))
+          .agg(count(lit(1)).as("n_candidates"))
+        val hits = ivf5.join(exact5, Seq("query_id", "vec_id"))
+          .groupBy(col("nprobe")).agg(count(lit(1)).as("nh"))
+        cand.join(hits, Seq("nprobe"), "left")
+          .select(col("nprobe"), col("n_candidates"),
+            coalesce(col("nh"), lit(0L)).as("n_hit"),
+            (coalesce(col("nh"), lit(0L)).cast("double") / 25.0)
+              .as("recall"))
+          .orderBy("nprobe")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${dotSql("embedding", "embedding")}) AS norm
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce,
+           |          norm AS cnorm FROM e WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, embedding, norm, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dotSql("e.embedding", "c.ce")} / (e.norm * c.cnorm)
+           |          DESC, c.cent_id) AS crank
+           |    FROM e CROSS JOIN cents c) t WHERE crank = 1),
+           |rankedq AS (
+           |  SELECT a.vec_id AS query_id, a.embedding AS eq,
+           |    a.norm AS norm_q, c.cent_id AS probe_cell,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${dotSql("a.embedding", "c.ce")} / (a.norm * c.cnorm)
+           |        DESC, c.cent_id) AS crank
+           |  FROM assigned a CROSS JOIN cents c WHERE a.vec_id < 5),
+           |np AS (SELECT CAST(UNNEST([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+           |probes AS (
+           |  SELECT n.nprobe, r.query_id, r.eq, r.norm_q, r.probe_cell
+           |  FROM rankedq r CROSS JOIN np n WHERE r.crank <= n.nprobe),
+           |scored AS (
+           |  SELECT p.nprobe, p.query_id, a.vec_id,
+           |    ${dotSql("p.eq", "a.embedding")} / (p.norm_q * a.norm)
+           |      AS cosine
+           |  FROM assigned a JOIN probes p ON a.cent_id = p.probe_cell
+           |    AND a.vec_id != p.query_id),
+           |ivf5 AS (
+           |  SELECT nprobe, query_id, vec_id FROM (
+           |    SELECT nprobe, query_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+           |        ORDER BY cosine DESC, vec_id) AS rank
+           |    FROM scored) t WHERE rank <= 5),
+           |qf AS (SELECT vec_id AS query_id, embedding AS eq,
+           |       norm AS norm_q FROM e WHERE vec_id < 5),
+           |ex AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dotSql("q.eq", "e.embedding")} / (q.norm_q * e.norm)
+           |          DESC, e.vec_id) AS rank
+           |    FROM e CROSS JOIN qf q WHERE e.vec_id != q.query_id) t
+           |  WHERE rank <= 5),
+           |cand AS (SELECT nprobe, COUNT(*) AS n_candidates
+           |         FROM scored GROUP BY 1),
+           |hits AS (SELECT i.nprobe, COUNT(*) AS nh FROM ivf5 i
+           |         JOIN ex USING (query_id, vec_id) GROUP BY 1)
+           |SELECT c.nprobe, c.n_candidates,
+           |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit,
+           |  CAST(COALESCE(h.nh, 0) AS DOUBLE) / 25.0 AS recall
+           |FROM cand c LEFT JOIN hits h ON c.nprobe = h.nprobe
+           |ORDER BY c.nprobe""".stripMargin)),
+
     Q("a4_ivf_train",
       "IVF centroid TRAINING — one exact Lloyd step with a bit-exact " +
         "cross-engine oracle, which k-means normally can't have " +

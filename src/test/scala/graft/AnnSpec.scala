@@ -165,6 +165,25 @@ class AnnSpec extends SparkTestBase {
     assert(r >= 0.2, f"indexed-fused recall $r%.3f below the a2 floor")
   }
 
+  test("a12 probe sweep: candidates and recall are monotone in nprobe, " +
+      "and probing every cell reaches recall 1.0") {
+    val rows = Registry.all.find(_.name == "a12_ivf_probe_sweep").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 > lo._2,
+        s"candidates did not grow: nprobe ${lo._1}->${hi._1}")
+      assert(hi._4 >= lo._4,
+        s"recall decreased: nprobe ${lo._1}->${hi._1}")
+      case _ => ()
+    }
+    // nprobe = k probes every cell = the exact scan over a partitioned
+    // layout; anything below 1.0 here is a correctness bug, not recall
+    assert(rows.last._4 === 1.0, s"full probe recall ${rows.last._4} != 1")
+  }
+
   test("a9d residual-codebook training descends the k-means objective") {
     // Lloyd's theorem — assign-then-recenter never increases total
     // encode distortion — applied where a9d applies it: per-subspace

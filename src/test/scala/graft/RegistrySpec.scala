@@ -64,6 +64,8 @@ class RegistrySpec extends SparkTestBase {
     // into the scored corpus scan; the corpus side never nest-loops.
     "a1_ann_bruteforce" -> "probe vector (1 row) x corpus scan",
     "a3_ann_ivf" -> "probe vector (1 row) x cell-pruned corpus",
+    "a12_ivf_probe_sweep" ->
+      "centroid frame (k rows) x corpus assignment + a7-harness exact arm",
     "a6_ann_quantized" -> "probe + codebook frames x corpus codes",
     "a7_ann_recall" -> "probe vector x corpus (brute + indexed arms)",
     "a7b_ivf_recall" -> "probe vector x corpus (brute + IVF arms)",
