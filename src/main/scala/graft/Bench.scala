@@ -63,13 +63,23 @@ object Bench {
       // 4.0 s, ~all of it this drive).
       ("o6_ingest_drive", Set("o6_incremental_neardup"),
         () => graft.queries.PipelineQueries.o6Warehouse(spark, sfDir): Unit),
+      // o11's three-fold MinMergeStats demonstration drive (including
+      // the deliberate redelivery): ingest-shaped work, same split —
+      // the o11 row measures the registry probe + rewrite read path.
+      // NOTE (r15 reclassification): r14 and earlier billed this drive
+      // to the o11 row (3.25 s in-suite), so round-over-round o11 and
+      // suite-total comparisons across r14->r15 are a measurement-
+      // boundary change, not a speedup of the read path.
+      ("o11_registry_drive", Set("o11_incremental_segments"),
+        () => graft.queries.PipelineQueries.o11Warehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),
         () => graft.queries.DedupQueries.corpusWinnowPruned(spark, sfDir): Unit),
       ("eval_gram_index_build",
         Set("d14_eval_ngram_overlap", "c11_split_repair",
-          "pipe_corpus_release", "d16_bloom_decontam"),
+          "pipe_corpus_release", "d16_bloom_decontam",
+          "d16s_decontam_stream"),
         () => graft.queries.DedupQueries.evalGramIndex(spark, sfDir): Unit),
       ("shingle_index_build",
         Set("d2_ngram_jaccard", "d2b_minhash_jaccard_diff",

@@ -140,6 +140,25 @@ object CorpusRelease {
       .select(col("doc_id")).distinct()
   }
 
+  /** Sqrt-flattened per-source mixture rates over a `(source, n_total)`
+    * census: `rate_1e5 = floor(sqrt(n_total / n_max) * 1e5)`.
+    *
+    * MAX-SOURCE BOUNDARY CONTRACT: the largest source gets
+    * floor(sqrt(1) * 1e5) = 100000 exactly, and the keep test is
+    * `mh < rate_1e5` over mh in [0, 99999] — so the largest source is
+    * kept at exactly 100%, never sampled. Flattening only downsamples
+    * sources SMALLER than the head; pinned by MixtureSpec so a future
+    * rate tweak (a <=, a different scale constant, a rounding change)
+    * cannot silently shift the boundary semantics.
+    */
+  private[graft] def mixtureRates(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("n_max", max(col("n_total")).over(Window.partitionBy()))
+      .withColumn("rate_1e5",
+        floor(sqrt(col("n_total").cast("double") /
+          col("n_max").cast("double")) * 100000.0).cast("long"))
+      .select(col("source"), col("rate_1e5"))
+
   /** Per-doc cumulative keep flags k1..k6 (quality, exact, neardup,
     * train, decontam, mixture) over (doc_id, lang, source, ws_tokens)
     * — the one frame both the funnel census and the release read.
@@ -180,12 +199,7 @@ object CorpusRelease {
     // back (domain cardinality, never doc mass).
     val counts = pre.filter(col("k5"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_total"))
-    val rates = counts
-      .withColumn("n_max", max(col("n_total")).over(Window.partitionBy()))
-      .withColumn("rate_1e5",
-        floor(sqrt(col("n_total").cast("double") /
-          col("n_max").cast("double")) * 100000.0).cast("long"))
-      .select(col("source"), col("rate_1e5"))
+    val rates = mixtureRates(counts)
     pre.join(broadcast(rates), Seq("source"), "left")
       .withColumn("mh",
         expr("pmod(graft_strhash(concat(cast(doc_id as string), ':', " +

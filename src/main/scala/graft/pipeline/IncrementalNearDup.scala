@@ -149,6 +149,14 @@ object IncrementalNearDup {
   def corpus(cat: Catalog, table: String): DataFrame =
     cat.spark.read.parquet(s"${cat.warehouse}/$table").drop("__batch_id")
 
+  /** [[corpus]] with the `__batch_id` partition column exposed — the
+    * accessor per-batch consumers (o6's census) read through, so the
+    * on-disk layout (sibling `_sigs` dir, `__batch_id=` partitioning)
+    * stays encapsulated here rather than hand-built at call sites.
+    */
+  def corpusWithBatchId(cat: Catalog, table: String): DataFrame =
+    cat.spark.read.parquet(s"${cat.warehouse}/$table")
+
   /** Ingest `batch` (must carry `doc_id` and `text`): returns the
     * surviving (novel) rows after appending them and their signatures.
     * Pass the upstream's stable `batchId` for replay idempotency; an

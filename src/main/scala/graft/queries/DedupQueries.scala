@@ -213,6 +213,100 @@ object DedupQueries {
         .withColumn("h", expr("graft_strhash(gram)")))
   }
 
+  /** The d16/d16s exact-twin Bloom filter, shared by the batch row and
+    * its streaming twin so the two engines compute the IDENTICAL bit
+    * set: k=3 integer hash functions over the gram's poly digest (pure
+    * BIGINT arithmetic — DuckDB reproduces the bits exactly), sized
+    * from the eval digest census by an integer power-of-two ladder.
+    */
+  private[graft] object Bloom {
+    val P = 1000000007L
+    val As = Seq(1000003L, 2000003L, 3000019L)
+    val Bs = Seq(12345L, 67890L, 424242L)
+
+    /** Smallest power of two >= 32x the eval digest census, clamped to
+      * [2^16, 2^26] — the a5c/a8c follow-the-volume discipline.
+      */
+    def sizeM(nEval: Long): Long =
+      1L << (16 to 26).find(q => (1L << q) >= 32L * nEval).getOrElse(26)
+
+    /** Bit index j in [0, m) of digest column `c`. */
+    def hj(j: Int, c: org.apache.spark.sql.Column,
+           m: Long): org.apache.spark.sql.Column =
+      ((c * As(j) + Bs(j)) % P) % m
+
+    /** The set-bit table of a distinct digest frame `(h)`. */
+    def bitsOf(evH: DataFrame, m: Long): DataFrame =
+      evH.select(explode(array(
+          (0 until 3).map(j => hj(j, col("h"), m)): _*)).as("bit"))
+        .distinct()
+  }
+
+  /** Shared oracle of d16 (batch) and d16s (stream): the full
+    * Bloom-prefiltered decontamination differential as one DuckDB CTE
+    * chain — both engines' outputs must hash-match it, which is what
+    * pins the stream twin to the batch semantics.
+    */
+  private[graft] val BloomDecontamOracleSql: String = {
+    val fold =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_extract_all(g.gram, '(?s).'), " +
+        "c -> CAST(ascii(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007)"
+    val ladder = (16 to 26)
+      .map(q => s"WHEN 32 * n <= ${1L << q} THEN CAST(${1L << q} AS BIGINT)")
+      .mkString(" ")
+    def bitj(a: Long, b: Long) =
+      s"((h * $a + $b) % 1000000007) % (SELECT m FROM mp)"
+    s"""WITH ${Splits.SpCteSql},
+       |toks AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
+       |  FROM toks t,
+       |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
+       |g2 AS (SELECT g.doc_id, s.split, g.gram, $fold AS h
+       |       FROM grams g JOIN sp s USING (doc_id)),
+       |nev AS (SELECT COUNT(DISTINCT h) AS n FROM g2
+       |        WHERE split != 'train'),
+       |mp AS (SELECT CASE $ladder
+       |         ELSE CAST(${1L << 26} AS BIGINT) END AS m FROM nev),
+       |evh AS (SELECT DISTINCT h FROM g2 WHERE split != 'train'),
+       |bits AS (
+       |  SELECT DISTINCT ${bitj(1000003L, 12345L)} AS bit FROM evh
+       |  UNION SELECT ${bitj(2000003L, 67890L)} FROM evh
+       |  UNION SELECT ${bitj(3000019L, 424242L)} FROM evh),
+       |thg AS (SELECT DISTINCT doc_id, h FROM g2 WHERE split = 'train'),
+       |need AS (SELECT doc_id, h, list_distinct([
+       |    ${bitj(1000003L, 12345L)},
+       |    ${bitj(2000003L, 67890L)},
+       |    ${bitj(3000019L, 424242L)}]) AS bs FROM thg),
+       |expl AS (SELECT doc_id, h, len(bs) AS nb, UNNEST(bs) AS bit
+       |         FROM need),
+       |gp AS (SELECT e.doc_id, e.h, e.nb, COUNT(*) AS nhit
+       |       FROM expl e JOIN bits USING (bit) GROUP BY 1, 2, 3),
+       |bloomdocs AS (SELECT DISTINCT doc_id FROM gp WHERE nhit = nb),
+       |evg AS (SELECT DISTINCT gram FROM g2 WHERE split != 'train'),
+       |dirty AS (SELECT DISTINCT doc_id FROM g2
+       |          WHERE split = 'train'
+       |            AND gram IN (SELECT gram FROM evg)),
+       |td AS (SELECT DISTINCT doc_id FROM g2 WHERE split = 'train'),
+       |c AS (SELECT
+       |    (SELECT COUNT(*) FROM td) AS n_train_docs,
+       |    (SELECT m FROM mp) AS m_bits,
+       |    (SELECT COUNT(*) FROM bloomdocs) AS n_bloom_pass,
+       |    (SELECT COUNT(*) FROM dirty) AS n_dirty_exact,
+       |    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM dirty)
+       |      AS dirty_docid_sum)
+       |SELECT n_train_docs, m_bits, n_bloom_pass, n_dirty_exact,
+       |  n_bloom_pass - n_dirty_exact AS n_false_pos, dirty_docid_sum,
+       |  CASE WHEN n_train_docs = n_dirty_exact
+       |    THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(n_bloom_pass - n_dirty_exact AS DOUBLE)
+       |      / (n_train_docs - n_dirty_exact) END AS fp_rate
+       |FROM c""".stripMargin
+  }
+
   private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {
     val grams = evalGramIndex(s, d)
     val candH = grams.filter(col("split") === "train")
@@ -1198,17 +1292,9 @@ object DedupQueries {
         // adaptive sizing: the eval digest census is a bounded driver
         // scalar (one count), the a5c pattern
         val nEval = ev.select(col("h")).distinct().count()
-        val p = (16 to 26).find(q => (1L << q) >= 32L * nEval).getOrElse(26)
-        val m = 1L << p
-        val P = 1000000007L
-        val as = Seq(1000003L, 2000003L, 3000019L)
-        val bs = Seq(12345L, 67890L, 424242L)
-        def hj(j: Int, c: org.apache.spark.sql.Column) =
-          ((c * as(j) + bs(j)) % P) % m
-        val bits = ev.select(col("h")).distinct()
-          .select(explode(array(
-            (0 until 3).map(j => hj(j, col("h"))): _*)).as("bit"))
-          .distinct()
+        val m = Bloom.sizeM(nEval)
+        def hj(j: Int, c: org.apache.spark.sql.Column) = Bloom.hj(j, c, m)
+        val bits = Bloom.bitsOf(ev.select(col("h")).distinct(), m)
         val thg = trn.select(col("doc_id"), col("h")).distinct()
         val need = thg.select(col("doc_id"), col("h"),
           array_distinct(array(
@@ -1248,65 +1334,27 @@ object DedupQueries {
                 (col("n_train_docs") - col("n_dirty_exact")).cast("double"))
               .as("fp_rate"))
       },
-      Some {
-        val fold =
-          "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-            "list_transform(regexp_extract_all(g.gram, '(?s).'), " +
-            "c -> CAST(ascii(c) AS BIGINT))), " +
-            "(acc, c) -> (acc * 31 + c) % 1000000007)"
-        val ladder = (16 to 26)
-          .map(q => s"WHEN 32 * n <= ${1L << q} THEN CAST(${1L << q} AS BIGINT)")
-          .mkString(" ")
-        def bitj(a: Long, b: Long) =
-          s"((h * $a + $b) % 1000000007) % (SELECT m FROM mp)"
-        s"""WITH ${Splits.SpCteSql},
-           |toks AS (SELECT doc_id,
-           |    string_split_regex(trim(text), '\\s+') AS w FROM documents),
-           |grams AS (
-           |  SELECT t.doc_id, array_to_string(t.w[g.i:g.i+12], ' ') AS gram
-           |  FROM toks t,
-           |    LATERAL UNNEST(range(1, greatest(len(t.w) - 12, 0) + 1)) g(i)),
-           |g2 AS (SELECT g.doc_id, s.split, g.gram, $fold AS h
-           |       FROM grams g JOIN sp s USING (doc_id)),
-           |nev AS (SELECT COUNT(DISTINCT h) AS n FROM g2
-           |        WHERE split != 'train'),
-           |mp AS (SELECT CASE $ladder
-           |         ELSE CAST(${1L << 26} AS BIGINT) END AS m FROM nev),
-           |evh AS (SELECT DISTINCT h FROM g2 WHERE split != 'train'),
-           |bits AS (
-           |  SELECT DISTINCT ${bitj(1000003L, 12345L)} AS bit FROM evh
-           |  UNION SELECT ${bitj(2000003L, 67890L)} FROM evh
-           |  UNION SELECT ${bitj(3000019L, 424242L)} FROM evh),
-           |thg AS (SELECT DISTINCT doc_id, h FROM g2 WHERE split = 'train'),
-           |need AS (SELECT doc_id, h, list_distinct([
-           |    ${bitj(1000003L, 12345L)},
-           |    ${bitj(2000003L, 67890L)},
-           |    ${bitj(3000019L, 424242L)}]) AS bs FROM thg),
-           |expl AS (SELECT doc_id, h, len(bs) AS nb, UNNEST(bs) AS bit
-           |         FROM need),
-           |gp AS (SELECT e.doc_id, e.h, e.nb, COUNT(*) AS nhit
-           |       FROM expl e JOIN bits USING (bit) GROUP BY 1, 2, 3),
-           |bloomdocs AS (SELECT DISTINCT doc_id FROM gp WHERE nhit = nb),
-           |evg AS (SELECT DISTINCT gram FROM g2 WHERE split != 'train'),
-           |dirty AS (SELECT DISTINCT doc_id FROM g2
-           |          WHERE split = 'train'
-           |            AND gram IN (SELECT gram FROM evg)),
-           |td AS (SELECT DISTINCT doc_id FROM g2 WHERE split = 'train'),
-           |c AS (SELECT
-           |    (SELECT COUNT(*) FROM td) AS n_train_docs,
-           |    (SELECT m FROM mp) AS m_bits,
-           |    (SELECT COUNT(*) FROM bloomdocs) AS n_bloom_pass,
-           |    (SELECT COUNT(*) FROM dirty) AS n_dirty_exact,
-           |    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM dirty)
-           |      AS dirty_docid_sum)
-           |SELECT n_train_docs, m_bits, n_bloom_pass, n_dirty_exact,
-           |  n_bloom_pass - n_dirty_exact AS n_false_pos, dirty_docid_sum,
-           |  CASE WHEN n_train_docs = n_dirty_exact
-           |    THEN CAST(0.0 AS DOUBLE)
-           |    ELSE CAST(n_bloom_pass - n_dirty_exact AS DOUBLE)
-           |      / (n_train_docs - n_dirty_exact) END AS fp_rate
-           |FROM c""".stripMargin
-      }),
+      Some(BloomDecontamOracleSql)),
+
+    Q("d16s_decontam_stream",
+      "§2.12 driver-visible streaming row #9 — d16's Bloom-prefiltered " +
+        "decontamination executed BY THE STREAMING ENGINE as a " +
+        "foreachBatch-FREE stateless stream filter (the c1s shape): " +
+        "the eval side's bit set and literal-gram table are " +
+        "broadcast-sized STATIC artifacts built once per corpus, and " +
+        "each arriving train micro-batch explodes its own 13-grams, " +
+        "drops non-passing grams through THREE stream-static semi-" +
+        "joins against the bits (all-3-bits membership without any " +
+        "per-gram aggregation — no state, no watermark), literal-" +
+        "confirms survivors against the eval grams, and appends " +
+        "per-doc verdicts to a parquet file sink. The differential " +
+        "report over the union of batches must hash-match d16's " +
+        "batch computation exactly (same oracle verbatim) — the " +
+        "measured form of the decontam family's 100 TB story: " +
+        "contamination is dropped at INGEST time, map-side, not at " +
+        "release time.",
+      (s, d) => graft.streaming.DecontamStream.decontamOneShot(s, d),
+      Some(BloomDecontamOracleSql)),
 
     Q("d7_dedup_clusters",
       "Near-dup cluster formation — pair lists are not enough to dedup: " +
@@ -1660,6 +1708,37 @@ object DedupQueries {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** The INCREMENTAL twin of [[simhashNearPairsOver]]: banded
+    * hamming<=3 edges with at least one endpoint in `batch` — batch
+    * signatures probe the union of batch + `seen` signatures, so the
+    * union over an arrival sequence of batches reproduces the full
+    * pair set exactly (a pair is emitted when its LATER endpoint
+    * arrives). Canonical `(a, b)` with a < b, distinct. At 100 TB the
+    * `seen` side is the partitioned signature index
+    * (pipeline/IncrementalNearDup's (k, sb) layout — the probe prunes
+    * to the batch's band buckets); the drive slices the memoized
+    * corpus signature index, the same access pattern.
+    */
+  private[graft] def simhashEdgesVs(batch: DataFrame,
+                                    seen: DataFrame): DataFrame = {
+    def bandedOf(sh: DataFrame): DataFrame =
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("k", "band")))
+    val pb = bandedOf(batch).select(col("doc_id").as("doc_p"),
+      col("simhash").as("sim_p"), col("k"), col("band"))
+    val pa = bandedOf(batch.unionByName(seen)).select(
+      col("doc_id").as("doc_q"), col("simhash").as("sim_q"),
+      col("k").as("k_q"), col("band").as("band_q"))
+    pb.join(pa, col("k") === col("k_q") && col("band") === col("band_q") &&
+        col("doc_p") =!= col("doc_q"))
+      .filter(bit_count(col("sim_p").bitwiseXOR(col("sim_q"))) <= 3)
+      .select(least(col("doc_p"), col("doc_q")).as("a"),
+        greatest(col("doc_p"), col("doc_q")).as("b"))
       .distinct()
   }
 

