@@ -51,22 +51,27 @@ import org.apache.spark.sql.functions._
   *    fixed retention).
   *  - everything else (dims, region/nation/...): copied verbatim.
   *
-  * Usage: runMain graft.CensusData [srcDir] [outDir] [copies]
+  * Usage: runMain graft.CensusData [srcDir] [outDir] [copies] [tables]
+  * `tables` (optional, comma-separated) restricts the build — a
+  * sixth-decade spot for one family doesn't need 1000× lineitem.
   */
 object CensusData {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_census_sf1")
     val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val spark = graft.engine.Graft.session("graft-census", defaultCpus = "32")
-    try build(spark, src, out, copies) finally spark.stop()
+    try build(spark, src, out, copies, tables) finally spark.stop()
   }
 
-  def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def build(spark: SparkSession, src: String, out: String, copies: Int,
+            only: Option[Set[String]] = None): Unit = {
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (only.forall(_.contains(name)))
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
     def replicated(df: DataFrame): DataFrame =
       df.withColumn("cp", explode(sequence(lit(0), lit(copies - 1))))
 
