@@ -104,19 +104,26 @@ object CorpusRelease {
       .withColumn("split", Splits.splitCol)
       .withColumn("fp", md5(col("norm")))
 
-  /** Connected-component labels (v, l) — the SHARED per-corpus memo
-    * the d7/d10 dedup job builds (DedupQueries.ccLabelsSimhash): a
-    * release consumes the dedup job's published verdicts, it does not
-    * re-cluster per run. The shared artifact hashes RAW text while
-    * this chain's contract is post-NFC — the reuse is ORACLE-GATED,
-    * not assumed: t15's green row proves the corpus is NFC-canonical
-    * (n_raw_unnormalized = 0, so raw and normalized digests coincide),
-    * and this row's own oracle computes the closure over
-    * nfc_normalize(text), so any corpus where the two artifacts
-    * diverged would fail the funnel hash, loudly.
+  /** Connected-component labels (v, l) — read from the MAINTAINED
+    * o12 label table (pipeline/IncrementalCc's per-batch fold, the
+    * production shape: a release consumes the ingest job's published,
+    * incrementally-maintained verdicts — it does not re-cluster per
+    * run). DedupSpec proves the maintained table equals the
+    * from-scratch ccLabelsSimhash memo bit for bit, and this row's
+    * oracle (the full recursive-CTE closure) gates the
+    * interchangeability end-to-end on every run. The maintained
+    * artifact hashes RAW text while this chain's contract is post-NFC
+    * — the reuse is ORACLE-GATED, not assumed: t15's green row proves
+    * the corpus is NFC-canonical (n_raw_unnormalized = 0, so raw and
+    * normalized digests coincide), and this row's own oracle computes
+    * the closure over nfc_normalize(text), so any corpus where the
+    * two artifacts diverged would fail the funnel hash, loudly.
     */
-  private def relCcLabels(s: SparkSession, d: String): DataFrame =
-    DedupQueries.ccLabelsSimhash(s, d)
+  private def relCcLabels(s: SparkSession, d: String): DataFrame = {
+    val cat = graft.queries.PipelineQueries.o12Warehouse(s, d)
+    MinMergeStats.view(cat, "cc_labels",
+      IncrementalCc.Keys, IncrementalCc.Ord)
+  }
 
   /** Train doc_ids sharing a verbatim 13-gram with any val/test doc —
     * digest-first (the only corpus-mass shuffles move 8-byte longs),

@@ -25,10 +25,11 @@ import graft.engine.Catalog
   *     redelivery / no-new-information case) and run the standard CC
   *     loop on the contracted graph — its size is O(new edges +
   *     touched components), NEVER corpus mass;
-  *  3. apply the resulting relabel map (old label -> merged label,
-  *     changed rows only — bounded by the components the batch
-  *     touched) back onto the full table as one broadcast-sized join,
-  *     and append the batch's new vertices.
+  *  3. emit the delta: the batch's new vertices with their final
+  *     labels, plus (v, new_l) for every existing row whose component
+  *     merged — found by one scan of the table filtered through the
+  *     relabel map (old label -> merged label, changed entries only —
+  *     bounded by the components the batch touched).
   *
   * Exactness: an old label IS the min vertex of its old component, so
   * the contracted CC's min over {old labels, new vertex ids} is the
@@ -36,36 +37,58 @@ import graft.engine.Catalog
   * recompute over the union of all edges folded so far (the o12
   * oracle: the full-corpus recursive-CTE closure, bit for bit).
   * Idempotency: refolding a delivered batch contracts every edge to a
-  * self-loop, the contracted graph is empty, and the table is
-  * unchanged — at-least-once redelivery is absorbed by the algebra,
-  * no batch-id bookkeeping (the o11/o11s argument). Takedowns follow
-  * the min-merge rule: labels are not invertible (removing the min
-  * vertex needs the runner-up, and a vertex removal can SPLIT a
-  * component), so retire = rebuild the affected components from
-  * surviving edges, the [[MinMergeStats.rebuild]] pattern.
+  * self-loop, the contracted graph is empty, and the fold appends
+  * NOTHING — at-least-once redelivery is absorbed by the algebra with
+  * zero batch-id bookkeeping (the o11/o11s argument), and since round
+  * 16 it is a physical no-op too. Takedowns follow the min-merge
+  * rule: labels are not invertible (removing the min vertex needs the
+  * runner-up, and a vertex removal can SPLIT a component), so retire =
+  * rebuild the affected components from surviving edges, the
+  * [[MinMergeStats.rebuild]] pattern.
   *
-  * Consistency contract shared with the other algebras: the merge is
-  * read-modify-overwrite of the label table, atomic per batch via
-  * Catalog.save's directory overwrite; every frame that lazily reads
-  * the table's current files is materialized to durable scratch
-  * BEFORE the overwrite.
+  * STORAGE (since round 16): merges only ever LOWER a vertex's label
+  * (the merged label is the min of the old ones), so the current label
+  * of v is exactly `min(l)` over every (v, l) row ever appended — the
+  * label table IS a min-merge registry with keys=(v), ord=(l), and the
+  * fold delegates storage to [[MinMergeStats.fold]]'s append-only
+  * delta log. The r15 census flagged this fold's predecessor
+  * above-linear precisely because it re-saved the whole corpus-sized
+  * label table per batch (IncrementalCc.fold's final `cat.save`, the
+  * o11s term); the delta write is O(touched components + new
+  * vertices), and the one remaining table-mass term per fold is a
+  * columnar READ (the changed-row scan and the endpoint-label lookup),
+  * never a write or a dictionary shuffle. Compaction (amortized, see
+  * [[MinMergeStats.compact]]) keeps consumer reads on the plain
+  * single-delta scan.
+  *
+  * No broadcast hint on the relabel joins (the r15 advisor's note: a
+  * FIRST fold's relabel map is batch-sized — day-scale ingest mass at
+  * 100 TB — and a forced broadcast would OOM the driver before AQE
+  * could demote it). The relabel map is materialized to parquet
+  * scratch, so the planner sees its true size and picks the broadcast
+  * itself exactly when the map is small — the steady state, where it
+  * is bounded by the components the batch touched.
   */
 object IncrementalCc {
 
+  private[pipeline] val Keys = Seq("v")
+  private[pipeline] val Ord = Seq("l")
+
   /** Fold a canonical edge batch `(a, b)` (a < b, no self-loops
     * required — they are ignored) into label table `table` (columns
-    * `(v, l)`), creating it on first use. Returns the saved table.
+    * `(v, l)`), creating it on first use. Returns the table's merged
+    * reading.
     */
   def fold(cat: Catalog, table: String, edges: DataFrame): DataFrame = {
     val s = cat.spark
-    val exists = cat.exists(table)
-    val cur = if (exists) cat.table(table) else null
+    val exists = MinMergeStats.exists(cat, table)
+    val cur =
+      if (exists) MinMergeStats.view(cat, table, Keys, Ord) else null
     val verts = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v"))).distinct()
     // current labels of the batch's endpoints; unseen vertices label
     // themselves. Materialized: read by the contraction (twice) and by
-    // the new-vertex append, and its lineage includes the table files
-    // the final save overwrites.
+    // the new-vertex append.
     val vl = graft.queries.Scratch.materialize(s, s"cc_vl_$table",
       if (exists)
         verts.join(cur, Seq("v"), "left")
@@ -82,28 +105,31 @@ object IncrementalCc {
         greatest(col("la"), col("lb")).as("b"))
       .distinct()
     // CC over the contracted graph only — O(new edges + touched
-    // components). Changed-label rows only: the relabel map is bounded
-    // by the components this batch touched, hence broadcast-sized on
-    // the steady-state path (first fold: batch-sized, i.e. day-scale
-    // ingest mass, still never corpus mass).
-    val relab = graft.queries.DedupQueries.connectedComponents(s, contracted)
-      .select(col("v").as("old_l"), col("l").as("new_l"))
-      .filter(col("old_l") =!= col("new_l"))
+    // components). Changed-label rows only, materialized so the
+    // planner knows it is (steady-state) broadcast-small.
+    val relab = graft.queries.Scratch.materialize(s, s"cc_relab_$table",
+      graft.queries.DedupQueries.connectedComponents(s, contracted)
+        .select(col("v").as("old_l"), col("l").as("new_l"))
+        .filter(col("old_l") =!= col("new_l")))
     val newRows =
       (if (exists) vl.join(cur.select(col("v")), Seq("v"), "left_anti")
        else vl)
-        .join(broadcast(relab), col("l0") === col("old_l"), "left")
+        .join(relab, col("l0") === col("old_l"), "left")
         .select(col("v"), coalesce(col("new_l"), col("l0")).as("l"))
-    val merged =
-      if (exists) {
-        // one broadcast join re-labels the full table map-side; rows in
-        // untouched components pass through unchanged
-        val updated = cur.join(broadcast(relab),
-            cur("l") === col("old_l"), "left")
-          .select(cur("v"), coalesce(col("new_l"), cur("l")).as("l"))
-        graft.queries.Scratch.materialize(s, s"cc_merge_$table",
-          updated.unionByName(newRows))
-      } else newRows
-    cat.save(table, merged)
+    // existing rows whose component merged: one map-side-filterable
+    // scan of the table against the bounded relabel map
+    val changed =
+      if (exists)
+        cur.join(relab, cur("l") === col("old_l"))
+          .select(cur("v"), col("new_l").as("l"))
+      else newRows.limit(0)
+    MinMergeStats.fold(cat, table, newRows.unionByName(changed), Keys, Ord)
   }
+
+  /** Merge the label table's delta log into one delta (see
+    * [[MinMergeStats.compact]]) — call after an ingest drive so
+    * query-time label consumers read the plain single-delta scan.
+    */
+  def compact(cat: Catalog, table: String): DataFrame =
+    MinMergeStats.compact(cat, table, Keys, Ord)
 }

@@ -663,11 +663,15 @@ object PipelineQueries {
         "full-corpus recompute, with no upstream dedup contract. The " +
         "tradeoff vs addition: min is not invertible, so takedowns " +
         "rebuild affected keys from the surviving corpus instead of " +
-        "retiring by negation (documented in MinMergeStats). The " +
-        "registry is the deduplicated segment DICTIONARY (one row per " +
-        "distinct literal), so its merge shuffles at dictionary " +
-        "cardinality, not corpus mass; the rewrite then probes it by " +
-        "(digest, literal) and keeps exactly the registered owners. " +
+        "retiring by negation (documented in MinMergeStats). Since " +
+        "round 16 each fold APPENDS its batch's reduced candidate " +
+        "owners as a delta (O(batch) write — idempotent min absorbs " +
+        "over-append, so folds never read or rewrite the dictionary; " +
+        "the r15 census measured the old per-fold dictionary rewrite " +
+        "above-linear at the sixth decade) and the drive compacts " +
+        "once at the end, so this row's probe reads the plain merged " +
+        "scan. The rewrite probes the registry by (digest, literal) " +
+        "and keeps exactly the registered owners. " +
         "The DRIVE is an ingest-time artifact (memoized per corpus, " +
         "reported as ingest_artifacts.o11_registry_drive in the bench " +
         "— the o6/j6b split): production pays the fold once per " +
@@ -764,7 +768,15 @@ object PipelineQueries {
         "absorbed by min-merge itself, and StreamingSpec proves it by " +
         "deleting a committed batch's commit marker mid-checkpoint " +
         "and restarting (the replay must leave the registry " +
-        "bit-identical). The staged file split is arbitrary on " +
+        "bit-identical). Since round 16 each micro-batch fold is an " +
+        "APPEND-ONLY delta write — O(batch), never reading the " +
+        "registry — killing the r15 sixth-decade finding (11.9x per " +
+        "10x: every micro-batch rewrote the whole literal-carrying " +
+        "dictionary); the probe merges the delta log on the fly " +
+        "(one dictionary-cardinality groupBy, what ONE old fold " +
+        "paid), with amortized bucket-scoped compaction bounding " +
+        "read amplification for long-running streams. The staged " +
+        "file split is arbitrary on " +
         "purpose: min over a total order is batching-invariant. " +
         "Oracle: d15's full-corpus rewrite SQL verbatim — " +
         "stream-maintained registry semantics must equal the batch " +
@@ -813,8 +825,14 @@ object PipelineQueries {
         "over the table. min-label over a total order is idempotent, " +
         "so this drive refolds batch 2's edges as a deliberate " +
         "at-least-once redelivery — the contraction turns every " +
-        "refolded edge into a self-loop and the fold is a structural " +
-        "no-op. The DRIVE is an ingest-time artifact (memoized per " +
+        "refolded edge into a self-loop and the fold is a PHYSICAL " +
+        "no-op (since round 16 folds append label deltas through " +
+        "MinMergeStats' log — labels only ever decrease under merges, " +
+        "so min(l) per v over appended rows IS the current label; an " +
+        "empty delta is dropped, and the per-fold write is O(touched " +
+        "components + new vertices), never the corpus-sized label " +
+        "table the r15 verdict flagged). The DRIVE is an ingest-time " +
+        "artifact (memoized per " +
         "corpus, reported as ingest_artifacts.o12_cc_drive in the " +
         "bench — the o6/o11 split: production pays the fold once per " +
         "arriving batch); this row measures what a consumer then " +
@@ -828,6 +846,48 @@ object PipelineQueries {
         "and batching invariance).",
       (s, d) => {
         val cat = o12Warehouse(s, d)
+        val docs = Graft.table(s, d, "documents").select(col("doc_id"))
+        val labels = cat.table("cc_labels")
+        docs.join(labels, docs("doc_id") === labels("v"), "left")
+          .select(col("doc_id"),
+            col("l").as("cluster"),
+            (col("l").isNull || col("doc_id") === col("l")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(DedupQueries.CcVerdictOracleSql)),
+
+    Q("o12s_cc_label_stream",
+      "§2.12 driver-visible streaming row #10: the near-dup CC label " +
+        "table maintained BY THE STREAMING ENGINE — o12's fold driven " +
+        "from a checkpointed AvailableNow file stream " +
+        "(streaming/CcLabelStream), one micro-batch of arriving " +
+        "document signatures per staged file. Per batch: banded " +
+        "hamming<=3 edges vs the signatures seen so far " +
+        "(simhashEdgesVs — the union over arrivals reproduces the " +
+        "full pair set exactly), IncrementalCc's contracted fold " +
+        "appends the label delta, and the batch's signatures join " +
+        "the seen set through a second min-merge fold. TWO idempotent " +
+        "algebras, ZERO batch-id bookkeeping: a crash replay refolds " +
+        "edges into self-loops (structural no-op) and re-appends " +
+        "signatures a min absorbs, in any interleaving — " +
+        "StreamingSpec proves it by deleting the last commit marker " +
+        "and restarting (labels must come out bit-identical). The " +
+        "file split is arbitrary on purpose: DedupSpec proves label " +
+        "batching-invariance. Oracle: d10's full-corpus " +
+        "recursive-CTE closure SQL VERBATIM — the third row on the " +
+        "one closure oracle (d10 recompute, o12 batch-maintained, " +
+        "this stream-maintained), the interchangeability proof for " +
+        "every label consumer.",
+      (s, d) => {
+        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12s_wh"))
+        // stage the corpus signatures as 3 files -> 3 micro-batches
+        // (hash split; any split must yield the same labels)
+        val stage = Scratch.fresh(s, "o12s_stage")
+        DedupQueries.simhashSigs(s, d)
+          .repartition(3).write.mode("overwrite").parquet(stage)
+        val q = graft.streaming.CcLabelStream.maintain(
+          cat, stage, Scratch.fresh(s, "o12s_ckpt"))
+        try q.awaitTermination() finally q.stop()
         val docs = Graft.table(s, d, "documents").select(col("doc_id"))
         val labels = cat.table("cc_labels")
         docs.join(labels, docs("doc_id") === labels("v"), "left")
@@ -1565,8 +1625,12 @@ object PipelineQueries {
       "End-to-end LLM corpus-release pipeline as ONE oracle row — the " +
         "documents-side analog of pipe_monthly_summary: NFC (t15) -> " +
         "quality floor (t13's integer scorer) -> exact dedup (d1's md5 " +
-        "canonical) -> near-dup verdicts (d10 semantics over the " +
-        "normalized corpus) -> train split (t5) -> decontamination " +
+        "canonical) -> near-dup verdicts (d10 semantics; labels read " +
+        "from the o12 MAINTAINED cc_labels table — the production " +
+        "shape: a release consumes the ingest job's incrementally-" +
+        "maintained verdicts, never re-clusters, and this row's " +
+        "closure oracle gates the interchangeability end-to-end) -> " +
+        "train split (t5) -> decontamination " +
         "(train docs leaking val/test 13-grams dropped, the c11 " +
         "mirror) -> temperature mixture (c7, rates from the " +
         "decontaminated census; the LARGEST source gets rate " +
@@ -1819,6 +1883,10 @@ object PipelineQueries {
       // deliberate redelivery: the second even fold must be a no-op
       graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
         segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+      // drive-end compaction: merge the delta log once at ingest so
+      // every query-time consumer reads the single-delta plain scan
+      graft.pipeline.MinMergeStats.compact(cat, "seg_registry",
+        SegRegistryKeys, SegRegistryOrd)
       Option(o11Memo.putIfAbsent(key, cat)) match {
         case Some(winner) => cat.close(); winner
         case None => cat
@@ -1859,6 +1927,9 @@ object PipelineQueries {
         DedupQueries.simhashEdgesVs(b2, b1))
       graft.pipeline.IncrementalCc.fold(cat, "cc_labels",
         DedupQueries.simhashEdgesVs(b3, b1.unionByName(b2)))
+      // drive-end compaction (the amortized rewrite): label consumers
+      // read the single-delta plain scan, exactly the pre-LSM shape
+      graft.pipeline.IncrementalCc.compact(cat, "cc_labels")
       Option(o12Memo.putIfAbsent(key, cat)) match {
         case Some(winner) => cat.close(); winner
         case None => cat

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.engine.Catalog
+import graft.pipeline.{IncrementalCc, MinMergeStats}
+import graft.queries.DedupQueries
+
+/** Continuous maintenance of the near-dup CC label table — the
+  * streaming twin of the o12 batch drive, and the second payoff of the
+  * min-merge family's idempotence (after [[SegmentRegistryStream]]):
+  * the [[IncrementalCc]] fold absorbs a redelivered edge batch as a
+  * structural no-op (contraction turns refolded edges into
+  * self-loops), so this sink, too, carries NO batch-id bookkeeping —
+  * the algebra is the exactly-once mechanism, proven by
+  * StreamingSpec's commit-marker-deletion replay.
+  *
+  * Per micro-batch of arriving document signatures:
+  *
+  *  1. banded hamming<=3 edges with >=1 endpoint in the batch, probed
+  *     against the signatures seen so far
+  *     ([[DedupQueries.simhashEdgesVs]] — the union over arrivals
+  *     reproduces the full pair set exactly, each pair emitted when
+  *     its later endpoint lands);
+  *  2. [[IncrementalCc.fold]] contracts, runs CC on the contracted
+  *     graph only, and appends the label delta (O(touched components
+  *     + new vertices) write);
+  *  3. the batch's signatures join the seen set through
+  *     [[MinMergeStats.fold]] (keys = doc_id — a redelivered batch's
+  *     re-append is absorbed by the same algebra, so step 1's probe
+  *     side needs no dedup contract either).
+  *
+  * Crash anywhere between the steps replays the whole micro-batch:
+  * step 2 refolds to a no-op and step 3 refolds idempotently, in any
+  * interleaving — state lives entirely in the two warehouse tables,
+  * never in executor memory.
+  */
+object CcLabelStream {
+
+  val SigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("simhash", LongType)))
+
+  private val SigKeys = Seq("doc_id")
+  private val SigOrd = Seq("simhash")
+
+  /** Start folding every staged signature file into label table
+    * `table` (signature state in `sigTable`), one micro-batch per file
+    * (Trigger.AvailableNow + maxFilesPerTrigger=1); callers
+    * `awaitTermination()`. The file split is arbitrary on purpose —
+    * the o12 DedupSpec proves label batching-invariance.
+    */
+  def maintain(cat: Catalog, stagedDir: String, checkpoint: String,
+               table: String = "cc_labels",
+               sigTable: String = "cc_sigs"): StreamingQuery =
+    cat.spark.readStream
+      .schema(SigSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seen =
+          if (MinMergeStats.exists(cat, sigTable))
+            MinMergeStats.view(cat, sigTable, SigKeys, SigOrd)
+          else batch.limit(0)
+        IncrementalCc.fold(cat, table,
+          DedupQueries.simhashEdgesVs(batch, seen)): Unit
+        MinMergeStats.fold(cat, sigTable,
+          batch.select(col("doc_id"), col("simhash")),
+          SigKeys, SigOrd): Unit
+      }
+      .start()
+}

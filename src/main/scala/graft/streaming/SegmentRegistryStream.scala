@@ -25,9 +25,16 @@ import graft.queries.DedupQueries
   * State lives entirely in the warehouse registry table (dictionary
   * cardinality — one row per distinct segment literal), never in
   * executor memory: a restart resumes from files + checkpoint with
-  * nothing to rebuild, and each micro-batch's fold shuffles the
-  * batch's own distinct (digest, literal) owners plus the registry,
-  * regardless of corpus history length.
+  * nothing to rebuild. Since round 16 the fold is APPEND-ONLY
+  * (MinMergeStats' delta log): each micro-batch shuffles and writes
+  * only its own distinct (digest, literal) owners — O(batch),
+  * independent of corpus history length — and never reads the
+  * registry at all; readers merge on the fly and the amortized
+  * bucket-scoped compaction bounds their delta count. The r15 census
+  * measured the previous read-modify-overwrite design above-linear at
+  * the sixth decade (11.9x per 10x: every micro-batch rewrote the
+  * whole literal-carrying dictionary); the delta fold's write mass is
+  * batch-linear at every decade.
   */
 object SegmentRegistryStream {
 

@@ -104,6 +104,65 @@ class DedupSpec extends SparkTestBase {
     assert(redelivered === ab, "redelivery must be a no-op")
   }
 
+  test("min-merge delta log: compaction is content-invariant and " +
+      "collapses to one delta; a crashed (SUCCESS-less) delta is purged") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.MinMergeStats
+    import graft.queries.{DedupQueries, Scratch}
+    val segs = DedupQueries.docSegments(DedupQueries.segTokens(spark, sfDir))
+    val owners = DedupQueries.segmentOwners _
+    val keys = DedupQueries.SegRegistryKeys
+    val ord = DedupQueries.SegRegistryOrd
+    val wh = Scratch.fresh(spark, "mm_lsm")
+    val cat = new graft.engine.Catalog(spark, wh)
+    def deltas = Option(new java.io.File(s"$wh/reg").listFiles())
+      .toSeq.flatten.filter(f =>
+        f.isDirectory && f.getName.startsWith("__delta=")).sortBy(_.getName)
+    MinMergeStats.fold(cat, "reg",
+      owners(segs.filter(col("doc_id") % 2 === 0)), keys, ord)
+    MinMergeStats.fold(cat, "reg",
+      owners(segs.filter(col("doc_id") % 2 =!= 0)), keys, ord)
+    assert(deltas.size === 2, "each fold appends one delta")
+    val before = cat.table("reg").orderBy("h", "seg").collect().toSeq
+    // a crashed fold's partial delta (no _SUCCESS) must be purged, not
+    // read: plant one with garbage inside
+    val partial = new java.io.File(s"$wh/reg/__delta=99/__bucket=0")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(partial, "part-junk.parquet").toPath,
+      "not parquet".getBytes)
+    MinMergeStats.compact(cat, "reg", keys, ord)
+    assert(deltas.size === 1, s"compaction must leave one delta: $deltas")
+    val after = cat.table("reg").orderBy("h", "seg").collect().toSeq
+    assert(after === before, "compaction changed the registry contents")
+    // single-delta reads are the plain scan — no merge aggregate
+    assert(!cat.table("reg").queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("aggregate"),
+      "compacted single-delta view must read without a merge aggregate")
+  }
+
+  test("o12 redelivered edge batch appends no delta — the idempotent " +
+      "no-op is physical, not just logical") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IncrementalCc
+    import graft.queries.{DedupQueries, Scratch}
+    val sigs = DedupQueries.simhashSigs(spark, sfDir)
+    val b1 = sigs.filter(col("doc_id") % 2 === 0)
+    val b2 = sigs.filter(col("doc_id") % 2 =!= 0)
+    val wh = Scratch.fresh(spark, "cc_noop")
+    val cat = new graft.engine.Catalog(spark, wh)
+    IncrementalCc.fold(cat, "cc", DedupQueries.simhashEdgesVs(b1, b1.limit(0)))
+    IncrementalCc.fold(cat, "cc", DedupQueries.simhashEdgesVs(b2, b1))
+    def files = Option(new java.io.File(s"$wh/cc").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("__delta=")).sorted
+    val beforeDirs = files
+    val before = cat.table("cc").orderBy("v").collect().toSeq
+    IncrementalCc.fold(cat, "cc", DedupQueries.simhashEdgesVs(b2, b1))
+    assert(files === beforeDirs,
+      "redelivery must not write a delta (empty append is dropped)")
+    assert(cat.table("cc").orderBy("v").collect().toSeq === before)
+  }
+
   test("o11b takedown: rebuild(retire odd) restores the even-only " +
       "registry exactly — recompute equivalence at the registry level") {
     import org.apache.spark.sql.functions._
@@ -139,12 +198,12 @@ class DedupSpec extends SparkTestBase {
     import graft.pipeline.IncrementalCc
     import graft.queries.{DedupQueries, Scratch}
     val sigs = DedupQueries.simhashSigs(spark, sfDir)
-    def labels(name: String, batches: Seq[Long => Boolean]): Seq[(Long, Long)] = {
+    def labels(name: String, n: Int): Seq[(Long, Long)] = {
       val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, name))
       var seen = sigs.limit(0)
       // fold batch i's new edges (vs everything seen so far)
-      batches.zipWithIndex.foreach { case (_, i) =>
-        val b = sigs.filter(col("doc_id") % batches.size === i)
+      (0 until n).foreach { i =>
+        val b = sigs.filter(col("doc_id") % n === i)
         IncrementalCc.fold(cat, "cc",
           DedupQueries.simhashEdgesVs(b, seen))
         seen = seen.unionByName(b)
@@ -152,8 +211,8 @@ class DedupSpec extends SparkTestBase {
       cat.table("cc").orderBy("v").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
-    val three = labels("cc3", Seq.fill(3)(_ => true))
-    val two = labels("cc2", Seq.fill(2)(_ => true))
+    val three = labels("cc3", 3)
+    val two = labels("cc2", 2)
     assert(three === two, "batching must not change the labels")
     // interchangeability with every existing consumer: the maintained
     // table must equal the shared per-corpus memo exactly

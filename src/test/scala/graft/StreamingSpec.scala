@@ -378,6 +378,48 @@ class StreamingSpec extends SparkTestBase {
       "replayed micro-batch changed the registry — idempotency broken")
   }
 
+  test("o12s mid-stream restart replaying a committed batch leaves the " +
+      "label table bit-identical (two idempotent algebras, no " +
+      "batch-id bookkeeping)") {
+    import org.apache.spark.sql.functions._
+    val cat = new graft.engine.Catalog(spark,
+      Files.createTempDirectory("graft-o12s-wh").toString)
+    val stage = Files.createTempDirectory("graft-o12s-stage").toString
+    graft.queries.DedupQueries.simhashSigs(spark, sfDir)
+      .repartition(3).write.mode("overwrite").parquet(stage)
+    val ckpt = Files.createTempDirectory("graft-o12s-ckpt").toString
+    val q = graft.streaming.CcLabelStream.maintain(cat, stage, ckpt)
+    try assert(q.awaitTermination(120000), "stream did not terminate")
+    finally q.stop()
+    val before = cat.table("cc_labels")
+      .collect().map(_.toString).sorted.toSeq
+    // the stream-maintained labels must equal the from-scratch shared
+    // memo — the interchangeability contract o12's DedupSpec pins for
+    // the batch fold, here for the stream twin
+    val memo = graft.queries.DedupQueries.ccLabelsSimhash(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before === memo,
+      "stream-maintained labels must equal the from-scratch memo")
+    // crash window: offsets committed, commit marker lost -> the batch
+    // replays through foreachBatch; both folds must absorb it
+    val commitFiles = new java.io.File(s"$ckpt/commits").listFiles()
+    assert(commitFiles != null, s"no commits dir under $ckpt")
+    val commits = commitFiles
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 3,
+      s"expected >= 3 committed micro-batches, got ${commits.length}")
+    assert(commits.last.delete(), "could not delete last commit marker")
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      .delete(): Unit
+    val q2 = graft.streaming.CcLabelStream.maintain(cat, stage, ckpt)
+    try assert(q2.awaitTermination(120000), "restart did not terminate")
+    finally q2.stop()
+    val after = cat.table("cc_labels")
+      .collect().map(_.toString).sorted.toSeq
+    assert(before === after,
+      "replayed micro-batch changed the labels — idempotency broken")
+  }
+
   test("cross-batch late event past the watermark is dropped; batch keeps it") {
     // VERDICT r11 task 6: the watermark-drop path ACROSS micro-batch
     // boundaries. Four hand-fed micro-batches; a late event arrives in

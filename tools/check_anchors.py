@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
-"""DEV-ONLY bench window qualification (r14 verdict #1).
+"""DEV-ONLY bench window qualification (r14 verdict #1, recalibrated r16).
 
 The bench host swings up to 4x on identical code (SCALE.md's weather
 log), so a full-suite record drawn in a degraded window misreads as a
 regression. This check gates record-taking on a pinned ANCHOR set of
-compute-bound queries that reproduce within ~8% across weather
-(identified in SCALE.md r13/r14): a window qualifies when every anchor's
-median lands within TOLERANCE of its pinned reference (the mean of the
-committed r13/r14 full-suite medians — two independent calm-ish windows).
+compute-bound queries that reproduce within ~10% across calm windows:
+a window qualifies when every anchor's median lands within TOLERANCE
+of its pinned reference, and above LOWER_BOUND of it (an anomalously
+FAST anchor — wrong sf dir, partial run — is just as unrepresentative
+for record-taking as a slow one; r15 advisor note).
 
 Usage:
     tools/qualify_window.sh [sfDir]      # runs Bench on the anchor set,
@@ -29,19 +30,27 @@ cheap pre-check and qualify the record itself post-hoc.
 import json
 import sys
 
-# Pinned reference: mean of BENCH_r13_full.json / BENCH_r14_full.json
-# per-query medians (sf0.1, local[32]). Do not retune these to "make a
-# window pass" — they change only when the anchor queries themselves
-# change, with the old/new values recorded in SCALE.md.
+# Pinned reference, r16 recalibration (r15 verdict #2): the r13/r14
+# pins were the mean of TWO unusually-calm full-suite windows, and no
+# r15 window passed against them (best: 2/6 anchors at 1.20-1.22x) —
+# a gate that never qualifies anything qualifies nothing. New basis:
+# the cross-window MEDIAN of each anchor over ALL TEN committed full
+# records (BENCH_r13_full, BENCH_r14_full, BENCH_r15_w1..w8) — the
+# median is robust to the degraded outlier windows (w1 read 2-5x) the
+# gate exists to catch. Recomputed by tools/recalc_anchors.py; old ->
+# new values recorded in SCALE.md. Do not retune to "make a window
+# pass" outside a documented recalibration against the committed
+# window archive.
 ANCHORS = {
-    "a9_pq_adc": 1.793,
-    "a9c_ivfadc": 1.781,
-    "a9b_pq_trained": 2.844,
-    "a4b_ivf_train_iters": 2.537,
-    "c10_weighted_sample": 0.327,
-    "a6_ann_quantized": 1.400,
+    "a9_pq_adc": 2.051,
+    "a9c_ivfadc": 2.245,
+    "a9b_pq_trained": 3.675,
+    "a4b_ivf_train_iters": 2.952,
+    "c10_weighted_sample": 0.382,
+    "a6_ann_quantized": 1.456,
 }
-TOLERANCE = 1.15  # each anchor must land within +15% of its pin
+TOLERANCE = 1.15     # each anchor must land within +15% of its pin
+LOWER_BOUND = 0.70   # and not suspiciously below it (r15 advisor note)
 
 
 def main(path):
@@ -56,9 +65,13 @@ def main(path):
             ok = False
             continue
         ratio = got / pin
-        flag = "" if ratio <= TOLERANCE else "  <-- over"
-        print(f"{name:28s} {pin:8.3f} {got:8.3f} {ratio:6.2f}x{flag}")
+        flag = ""
         if ratio > TOLERANCE:
+            flag = "  <-- over"
+        elif ratio < LOWER_BOUND:
+            flag = "  <-- suspiciously fast"
+        print(f"{name:28s} {pin:8.3f} {got:8.3f} {ratio:6.2f}x{flag}")
+        if ratio > TOLERANCE or ratio < LOWER_BOUND:
             ok = False
     print("WINDOW QUALIFIED" if ok else "WINDOW DEGRADED - do not record")
     return 0 if ok else 1
