@@ -64,7 +64,14 @@ object Plans {
     // streaming decontam twin's read-side differential is one scan of
     // the sink into a 1-row aggregate (the stream itself is the plan's
     // precondition, not its body)
-    "o12_incremental_cc", "d16s_decontam_stream")
+    "o12_incremental_cc", "d16s_decontam_stream",
+    // round 16: both registry consumers must read the COMPACTED
+    // delta log as a plain pruned scan (no merge aggregate — the
+    // single-delta view), o11s/o12s read-side merges must group at
+    // dictionary cardinality over the delta union, and the release's
+    // label scan must hit the o12 warehouse table (the maintained
+    // artifact, not the from-scratch memo)
+    "o11_incremental_segments", "o12s_cc_label_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
