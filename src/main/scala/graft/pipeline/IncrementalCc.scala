@@ -89,11 +89,16 @@ object IncrementalCc {
     // current labels of the batch's endpoints; unseen vertices label
     // themselves. Materialized: read by the contraction (twice) and by
     // the new-vertex append.
+    // `seen` rides along so the new-vertex set comes from THIS frame —
+    // a second anti-join against the (merge-on-read) table would
+    // recompute the delta-union aggregate in another subtree
     val vl = graft.queries.Scratch.materialize(s, s"cc_vl_$table",
       if (exists)
         verts.join(cur, Seq("v"), "left")
-          .select(col("v"), coalesce(col("l"), col("v")).as("l0"))
-      else verts.select(col("v"), col("v").as("l0")))
+          .select(col("v"), coalesce(col("l"), col("v")).as("l0"),
+            col("l").isNotNull.as("seen"))
+      else verts.select(col("v"), col("v").as("l0"),
+        lit(false).as("seen")))
     // contraction: every existing component becomes one super-node;
     // self-loops (endpoints already merged — the redelivery case)
     // vanish here, which is what makes the fold idempotent
@@ -111,19 +116,23 @@ object IncrementalCc {
       graft.queries.DedupQueries.connectedComponents(s, contracted)
         .select(col("v").as("old_l"), col("l").as("new_l"))
         .filter(col("old_l") =!= col("new_l")))
-    val newRows =
-      (if (exists) vl.join(cur.select(col("v")), Seq("v"), "left_anti")
-       else vl)
-        .join(relab, col("l0") === col("old_l"), "left")
-        .select(col("v"), coalesce(col("new_l"), col("l0")).as("l"))
+    val newRows = vl.filter(!col("seen"))
+      .join(relab, col("l0") === col("old_l"), "left")
+      .select(col("v"), coalesce(col("new_l"), col("l0")).as("l"))
     // existing rows whose component merged: one map-side-filterable
-    // scan of the table against the bounded relabel map
+    // scan of the table against the bounded relabel map — the single
+    // table-mass READ a fold pays (it must use CURRENT labels: a stale
+    // delta row whose old label collides with another component's
+    // current label would otherwise relabel across components)
     val changed =
       if (exists)
         cur.join(relab, cur("l") === col("old_l"))
           .select(cur("v"), col("new_l").as("l"))
       else newRows.limit(0)
-    MinMergeStats.fold(cat, table, newRows.unionByName(changed), Keys, Ord)
+    // new and changed are disjoint (unseen vs existing vertices), each
+    // one row per v — the delta is pre-reduced
+    MinMergeStats.fold(cat, table, newRows.unionByName(changed),
+      Keys, Ord, batchReduced = true)
   }
 
   /** Merge the label table's delta log into one delta (see

@@ -202,13 +202,23 @@ object MinMergeStats {
     * redelivery whose candidates are all already-known is absorbed by
     * the read-time min without this call ever comparing them: the
     * fold is append-only, O(batch) write, no table read).
+    *
+    * `batchReduced = true` skips the per-key reduce: for a caller
+    * whose batch is already one row per key (segmentOwners' groupBy,
+    * IncrementalCc's disjoint new∪changed rows) the reduce is a
+    * redundant second shuffle of the batch dictionary — with literals,
+    * the dominant fold cost. The caller then OWNS the key-uniqueness
+    * invariant the single-delta plain-scan view relies on (pinned by
+    * the o11/o12 oracles and PropertySpec's random-batching property).
     */
   def fold(cat: Catalog, table: String, batch: DataFrame,
            keys: Seq[String], ord: Seq[String],
-           nBuckets: Int = DefaultBuckets): DataFrame = {
+           nBuckets: Int = DefaultBuckets,
+           batchReduced: Boolean = false): DataFrame = {
     heal(cat, table)
     val n = nBucketsOf(cat, table, nBuckets)
-    val delta = reduced(batch, keys, ord)
+    val delta = (if (batchReduced) batch.select((keys ++ ord).map(col): _*)
+                 else reduced(batch, keys, ord))
       .withColumn("__bucket", bucketCol(keys, n))
     val existing = deltaDirs(cat, table)
     val id = existing.map(deltaId).foldLeft(-1L)(math.max) + 1
@@ -320,7 +330,12 @@ object MinMergeStats {
     require(exists(cat, table),
       s"rebuild: registry table '$table' does not exist")
     val n = nBucketsOf(cat, table, DefaultBuckets)
-    val reg = view(cat, table, keys, ord)
+    // materialize the merged reading ONCE: reg feeds three subtrees of
+    // the rewrite plan (affected, keep, and the semi-join's right
+    // side) — left lazy, a multi-delta merge aggregate would recompute
+    // per subtree inside one job
+    val reg = graft.queries.Scratch.materialize(cat.spark,
+      s"minmerge_rebuild_$table", view(cat, table, keys, ord))
     // NULL-evaluating predicates would otherwise drop a row from BOTH
     // sides (filter(p) and filter(!p) each exclude NULL) — a live key
     // silently deleted on takedown. Treat NULL as not-retired.

@@ -729,9 +729,11 @@ object PipelineQueries {
         val even = segs.filter(col("doc_id") % 2 === 0)
         val odd = segs.filter(col("doc_id") % 2 =!= 0)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+          segmentOwners(even), SegRegistryKeys, SegRegistryOrd,
+          batchReduced = true)
         graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-          segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
+          segmentOwners(odd), SegRegistryKeys, SegRegistryOrd,
+          batchReduced = true)
         // takedown: retire the odd batch — rebuild keys owned by odd
         // docs from the surviving (even) corpus only
         graft.pipeline.MinMergeStats.rebuild(cat, "seg_registry",
@@ -1877,12 +1879,15 @@ object PipelineQueries {
       val even = segs.filter(col("doc_id") % 2 === 0)
       val odd = segs.filter(col("doc_id") % 2 =!= 0)
       graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-        segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+        segmentOwners(even), SegRegistryKeys, SegRegistryOrd,
+        batchReduced = true)
       graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-        segmentOwners(odd), SegRegistryKeys, SegRegistryOrd)
+        segmentOwners(odd), SegRegistryKeys, SegRegistryOrd,
+        batchReduced = true)
       // deliberate redelivery: the second even fold must be a no-op
       graft.pipeline.MinMergeStats.fold(cat, "seg_registry",
-        segmentOwners(even), SegRegistryKeys, SegRegistryOrd)
+        segmentOwners(even), SegRegistryKeys, SegRegistryOrd,
+        batchReduced = true)
       // drive-end compaction: merge the delta log once at ingest so
       // every query-time consumer reads the single-delta plain scan
       graft.pipeline.MinMergeStats.compact(cat, "seg_registry",

@@ -65,7 +65,8 @@ object SegmentRegistryStream {
           split(trim(col("text")), "\\s+").as("tk"))
         MinMergeStats.fold(cat, table,
           DedupQueries.segmentOwners(DedupQueries.docSegments(toks)),
-          DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd): Unit
+          DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd,
+          batchReduced = true): Unit
       }
       .start()
 }
