@@ -77,6 +77,11 @@ object Bench {
       // measures the maintained-table read (the d10 consumer shape).
       ("o12_cc_drive", Set("o12_incremental_cc"),
         () => graft.queries.PipelineQueries.o12Warehouse(spark, sfDir): Unit),
+      // o12s's 3-micro-batch CcLabelStream drive: ingest-shaped label
+      // maintenance by the streaming engine — the row measures the
+      // maintained-table consumer read (the d10 shape).
+      ("o12s_stream_drive", Set("o12s_cc_label_stream"),
+        () => graft.queries.PipelineQueries.o12sWarehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),

