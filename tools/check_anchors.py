@@ -30,24 +30,27 @@ cheap pre-check and qualify the record itself post-hoc.
 import json
 import sys
 
-# Pinned reference, r16 recalibration (r15 verdict #2): the r13/r14
-# pins were the mean of TWO unusually-calm full-suite windows, and no
-# r15 window passed against them (best: 2/6 anchors at 1.20-1.22x) —
-# a gate that never qualifies anything qualifies nothing. New basis:
-# the cross-window MEDIAN of each anchor over ALL TEN committed full
-# records (BENCH_r13_full, BENCH_r14_full, BENCH_r15_w1..w8) — the
-# median is robust to the degraded outlier windows (w1 read 2-5x) the
-# gate exists to catch. Recomputed by tools/recalc_anchors.py; old ->
-# new values recorded in SCALE.md. Do not retune to "make a window
-# pass" outside a documented recalibration against the committed
-# window archive.
+# Pinned reference, r17 recalibration (r16 advisor): the r16 basis —
+# plain median over ALL committed windows — included the degraded
+# windows the gate exists to reject (r15 w1 read anchors at 2-5x),
+# biasing every pin upward 10-30%; with the 1.15 tolerance a window
+# 22% slower than the standing record could read QUALIFIED. New basis:
+# per-anchor median of the FASTEST HALF of all sixteen committed full
+# records (r13, r14, r15 w1-w8, r16 w1-w6) — degradation only ever
+# slows an anchor, so the fast half approximates the calm population.
+# The two genuinely-calm r16 windows (w3/w5, which reproduced each
+# other within 0.3 s) still qualify against these pins; the r16 w1/w2
+# degraded windows do not. Recomputed by tools/recalc_anchors.py;
+# old -> new values recorded in SCALE.md. Do not retune to "make a
+# window pass" outside a documented recalibration against the
+# committed window archive.
 ANCHORS = {
-    "a9_pq_adc": 2.051,
-    "a9c_ivfadc": 2.245,
-    "a9b_pq_trained": 3.675,
-    "a4b_ivf_train_iters": 2.952,
-    "c10_weighted_sample": 0.382,
-    "a6_ann_quantized": 1.456,
+    "a9_pq_adc": 1.927,
+    "a9c_ivfadc": 2.116,
+    "a9b_pq_trained": 3.422,
+    "a4b_ivf_train_iters": 2.632,
+    "c10_weighted_sample": 0.327,
+    "a6_ann_quantized": 1.352,
 }
 TOLERANCE = 1.15     # each anchor must land within +15% of its pin
 LOWER_BOUND = 0.70   # and not suspiciously below it (r15 advisor note)
