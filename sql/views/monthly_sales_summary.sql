@@ -11,8 +11,11 @@
 -- Dialect adjustments: TEMPORARY VIEW (Spark session catalog),
 -- TRUNC(date, 'MONTH') for DATE_TRUNC-to-DATE, exact DECIMAL(38,6)
 -- accumulation for the double sums (partitioning-independent totals),
--- HAVING for the post-aggregate revenue filter, and no ORDER BY in the
--- view body (Spark views don't guarantee order; consumers sort).
+-- and no ORDER BY in the view body (Spark views don't guarantee
+-- order; consumers sort). The revenue filter sits PRE-aggregation
+-- (WHERE net_revenue > 0), the reference's placement
+-- (monthly_sales_summary.sql:31): return-only days are excluded from
+-- monthly totals AND from trading_days.
 CREATE OR REPLACE TEMPORARY VIEW v_monthly_sales_summary AS
 SELECT
     CAST(EXTRACT(YEAR FROM date) AS BIGINT)  AS year,
@@ -31,5 +34,5 @@ SELECT
     ROUND(CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE)
           / NULLIF(SUM(orders), 0), 2)       AS avg_order_value
 FROM agg_country_day
+WHERE net_revenue > 0  -- exclude days with only returns/cancellations
 GROUP BY year, month, month_start_date, country
-HAVING total_revenue > 0

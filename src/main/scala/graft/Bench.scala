@@ -82,6 +82,10 @@ object Bench {
       // maintained-table consumer read (the d10 shape).
       ("o12s_stream_drive", Set("o12s_cc_label_stream"),
         () => graft.queries.PipelineQueries.o12sWarehouse(spark, sfDir): Unit),
+      // o12b's fold+compact+retire drive: the takedown is ingest-shaped
+      // work too — the row measures the post-takedown consumer read.
+      ("o12b_retire_drive", Set("o12b_cc_retire"),
+        () => graft.queries.PipelineQueries.o12bWarehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),

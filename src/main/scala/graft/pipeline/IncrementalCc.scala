@@ -43,8 +43,8 @@ import graft.engine.Catalog
   * 16 it is a physical no-op too. Takedowns follow the min-merge
   * rule: labels are not invertible (removing the min vertex needs the
   * runner-up, and a vertex removal can SPLIT a component), so retire =
-  * rebuild the affected components from surviving edges, the
-  * [[MinMergeStats.rebuild]] pattern.
+  * rebuild the affected components from surviving edges — [[retire]],
+  * driven by the o12b row against the closure oracle over survivors.
   *
   * STORAGE (since round 16): merges only ever LOWER a vertex's label
   * (the merged label is the min of the old ones), so the current label
@@ -141,6 +141,67 @@ object IncrementalCc {
     */
   def compact(cat: Catalog, table: String): DataFrame =
     MinMergeStats.compact(cat, table, Keys, Ord)
+
+  /** Takedown — retire the `retired` vertices (one column `v`) from
+    * label table `table`. Strictly harder than [[MinMergeStats.rebuild]]'s
+    * key-owner case: a vertex removal can SPLIT a component (the
+    * retired doc may be the only bridge between two sub-clusters), so
+    * affected components must be rebuilt from the surviving EDGES, not
+    * from surviving occurrences of the same keys. The work is bounded
+    * by the retired batch, never corpus mass:
+    *
+    *  - affected components = labels with >= 1 retired member (one
+    *    semi-join against the batch);
+    *  - rows of UNaffected components keep their labels verbatim — all
+    *    their members survive, so each label is still the component's
+    *    min vertex;
+    *  - the surviving members of affected components are re-clustered
+    *    over `edgesAmong(survivors)` — the caller supplies the edge
+    *    recompute (e.g. the banded simhash pair join over exactly
+    *    those members' signatures), and a defensive semi-join on both
+    *    endpoints keeps the CC scoped even if the caller over-emits.
+    *    A survivor left EDGE-LESS by the removal leaves the table:
+    *    the label-table contract (set by fold, whose vertex set comes
+    *    from edges) is one row per vertex with >= 1 near-dup edge —
+    *    exactly what a from-scratch recompute over the survivors
+    *    yields — and consumers left-join, reading absence as
+    *    singleton/kept;
+    *  - retired vertices appear in neither branch and drop out.
+    *
+    * The rewrite itself rides [[MinMergeStats.replaceAll]]'s staged
+    * `_REBUILD` protocol: crash rolls back to the intact old table or
+    * forward to the completed sweep. Exactness oracle: the o12b row's
+    * closure SQL over the surviving docs alone — retire-then-read must
+    * be bit-identical to a from-scratch recompute without the retired
+    * batch.
+    */
+  def retire(cat: Catalog, table: String, retired: DataFrame,
+             edgesAmong: DataFrame => DataFrame): DataFrame = {
+    val s = cat.spark
+    // materialized once: feeds the affected-label scan, the keep
+    // filter, and the member expansion (three subtrees)
+    val cur = graft.queries.Scratch.materialize(s, s"cc_retire_$table",
+      MinMergeStats.view(cat, table, Keys, Ord))
+    val ret = graft.queries.Scratch.materialize(s, s"cc_retired_$table",
+      retired.select(col("v")).distinct())
+    val affLabels = cur.join(ret, Seq("v"), "left_semi")
+      .select(col("l")).distinct()
+    val keep = cur.join(affLabels, Seq("l"), "left_anti")
+    val survAff = graft.queries.Scratch.materialize(s,
+      s"cc_survaff_$table",
+      cur.join(affLabels, Seq("l"), "left_semi")
+        .join(ret, Seq("v"), "left_anti")
+        .select(col("v")))
+    val edges = edgesAmong(survAff)
+      .join(survAff.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(survAff.select(col("v").as("b")), Seq("b"), "left_semi")
+    // vertices with >= 1 surviving edge only — edge-less survivors of
+    // a split component drop out of the table (see contract above)
+    val rebuilt =
+      graft.queries.DedupQueries.connectedComponents(s, edges)
+    MinMergeStats.replaceAll(cat, table, keep.unionByName(rebuilt),
+      Keys, Ord)
+  }
 
   /** The maintained label table's merged reading, bound to `cat`'s own
     * files. Consumers must read THIS frame rather than the session

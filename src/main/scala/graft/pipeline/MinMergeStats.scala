@@ -42,10 +42,10 @@ import graft.engine.Catalog
   *
   * Reads merge on the fly: [[view]] (registered as the table's temp
   * view after every write) is `groupBy(keys).min(struct(ord))` over
-  * all delta files — exactly the old merge, paid by readers instead
-  * of per fold, and skipped entirely when a single delta remains
-  * (every delta is key-unique by construction, so one delta IS the
-  * merged registry and the view is a plain pruned scan).
+  * the effective delta set — exactly the old merge, paid by readers
+  * instead of per fold, and skipped entirely when a single delta
+  * remains (every delta is key-unique by construction, so one delta
+  * IS the merged registry and the view is a plain pruned scan).
   *
   * [[compact]] bounds read amplification: it merges the chosen
   * buckets into one new delta and drops their older per-bucket
@@ -62,16 +62,30 @@ import graft.engine.Catalog
   * (LSM-tree structure: O'Neil et al. 1996; the single-level +
   * idempotent-merge specialization is what min-merge affords.)
   *
-  * Crash contract, per entry point: a delta directory without
-  * `_SUCCESS` is a crashed write — purged on the next call (the
-  * [[IncrementalIngest.purgePartialBatches]] pattern; requires the
-  * Catalog's single-writer lock, same as every incremental writer).
-  * [[rebuild]] (takedown) is the one operation that must REMOVE rows,
-  * which append-only storage cannot express — it writes the
-  * rebuilt table as one fresh delta, then sweeps all older deltas
-  * under a `_REBUILD` marker that the next entry rolls forward (new
-  * delta committed: finish the sweep) or back (not committed: drop
-  * the partial delta, old state intact).
+  * Crash contract (reader/writer split, round 17 — r16 advisor):
+  * READERS ([[view]]/[[exists]]) apply the contract LOGICALLY through
+  * [[effectiveDeltas]] — uncommitted deltas excluded, an unresolved
+  * `_REBUILD` marker applied as a roll-forward or roll-back READING,
+  * bucket-less shells skipped — and delete nothing, so a reader
+  * racing an in-process writer's in-flight fold can never sweep the
+  * writer's partial output. WRITERS ([[fold]]/[[compact]]/
+  * [[rebuild]]/[[replaceAll]]) run [[repair]] at entry — physically
+  * resolving the marker and purging `_SUCCESS`-less or bucket-less
+  * delta directories (the [[IncrementalIngest.purgePartialBatches]]
+  * pattern) — under the Catalog's single-writer contract, same as
+  * every incremental writer. [[rebuild]] (takedown) is the one
+  * operation that must REMOVE rows, which append-only storage cannot
+  * express — it writes the rebuilt table as one fresh delta, then
+  * sweeps all older deltas under the `_REBUILD` marker that the next
+  * entry rolls forward (new delta committed: finish the sweep) or
+  * back (not committed: drop the partial delta, old state intact).
+  *
+  * 100 TB port seam (SCALE.md r17): this driver-side protocol runs on
+  * `java.io.File` for the sandbox's local warehouse; the object-store
+  * deployment ports it to the Hadoop `FileSystem` API one-for-one
+  * (listStatus / delete(recursive) / single-shot PUT for the small
+  * files). The protocol is deliberately RENAME-FREE — the one
+  * primitive that is neither atomic nor cheap on S3-class stores.
   */
 object MinMergeStats {
 
@@ -94,11 +108,35 @@ object MinMergeStats {
   private def root(cat: Catalog, table: String) =
     new java.io.File(s"${cat.warehouse}/$table")
 
+  /** Atomic small-file write (temp sibling + ATOMIC_MOVE — the
+    * saveVersioned pattern): a reader can never observe an empty or
+    * torn `_REBUILD`/`_NBUCKETS`/`_SCHEMA` file, so a parse either
+    * sees the complete content or no file. (On an object store this
+    * becomes a single-shot PUT, itself atomic at object granularity.)
+    */
+  private def writeAtomic(f: java.io.File, s: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      f.getParentFile.toPath, f.getName, ".tmp")
+    java.nio.file.Files.write(tmp,
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.move(tmp, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def readSmall(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+
   private def bucketCol(keys: Seq[String], n: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int")
 
   private def committed(dir: java.io.File): Boolean =
     new java.io.File(dir, "_SUCCESS").exists()
+
+  private def hasBuckets(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).toSeq.flatten
+      .exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
 
   private def deltaDirs(cat: Catalog, table: String): Seq[java.io.File] =
     Option(root(cat, table).listFiles()).toSeq.flatten
@@ -115,18 +153,63 @@ object MinMergeStats {
   private def rebuildMarker(cat: Catalog, table: String) =
     new java.io.File(root(cat, table), "_REBUILD")
 
-  /** Crash repair, run at every entry point (driver-side LISTs only):
-    * finish or roll back an interrupted [[rebuild]] sweep, then purge
+  private def schemaFile(cat: Catalog, table: String) =
+    new java.io.File(root(cat, table), "_SCHEMA")
+
+  /** The `_REBUILD` marker's target delta id, if a marker is present.
+    * Markers are written atomically ([[writeAtomic]]), so an
+    * unparseable one is external corruption, not a crash window —
+    * guessing an id could roll forward against the WRONG delta and
+    * delete live data, so both readers and writers REFUSE loudly.
+    */
+  private def markerId(cat: Catalog, table: String): Option[Long] = {
+    val marker = rebuildMarker(cat, table)
+    if (!marker.exists()) None
+    else {
+      val raw = readSmall(marker)
+      Some(raw.toLongOption.getOrElse(throw new IllegalStateException(
+        s"$table: _REBUILD marker holds '$raw', not a delta id — " +
+          s"markers are written atomically so this is external " +
+          s"corruption; inspect ${marker.getPath} against the newest " +
+          s"__delta= directory before removing the marker by hand")))
+    }
+  }
+
+  /** The delta set a READER should see — the crash contract applied
+    * logically, deleting nothing: uncommitted (`_SUCCESS`-less) deltas
+    * and bucket-less shells are skipped, and an unresolved `_REBUILD`
+    * marker is applied as a reading (target delta committed → the
+    * roll-forward view, pre-rebuild deltas excluded, since reading
+    * them alongside the rebuilt delta would resurrect retired keys
+    * through the min; target not committed → the roll-back view, the
+    * old state, with the partial target already excluded as
+    * uncommitted).
+    */
+  private def effectiveDeltas(cat: Catalog,
+                              table: String): Seq[java.io.File] = {
+    val dirs = deltaDirs(cat, table)
+      .filter(d => committed(d) && hasBuckets(d))
+    markerId(cat, table) match {
+      case Some(j) if dirs.exists(deltaId(_) == j) =>
+        dirs.filter(deltaId(_) >= j)
+      case _ => dirs
+    }
+  }
+
+  /** WRITER-ONLY crash repair (driver-side LISTs + deletes): finish or
+    * roll back an interrupted [[rebuild]] sweep, then purge
     * `_SUCCESS`-less delta directories (crashed fold/compact writes —
     * safe to drop because the writing call never returned, so an
     * at-least-once upstream redelivers, and a dropped compact output
-    * only defers the merge).
+    * only defers the merge) and committed bucket-less shells (a
+    * crashed empty-fold cleanup or a fully-swept compaction source —
+    * they carry no rows). Runs only from [[fold]]/[[compact]]/
+    * [[rebuild]]/[[replaceAll]], which hold the Catalog's
+    * single-writer contract; readers never repair (r16 advisor — a
+    * reader racing an in-flight writer must not sweep its output).
     */
-  private def heal(cat: Catalog, table: String): Unit = {
-    val marker = rebuildMarker(cat, table)
-    if (marker.exists()) {
-      val j = new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  private def repair(cat: Catalog, table: String): Unit = {
+    markerId(cat, table).foreach { j =>
       val dirs = deltaDirs(cat, table)
       val target = dirs.find(deltaId(_) == j)
       if (target.exists(committed))
@@ -135,29 +218,24 @@ object MinMergeStats {
       else
         // roll back: rebuild crashed mid-write; old state is intact
         target.foreach(rmDir)
-      marker.delete(): Unit
+      rebuildMarker(cat, table).delete(): Unit
     }
-    deltaDirs(cat, table).filterNot(committed).foreach(rmDir)
+    deltaDirs(cat, table)
+      .filter(d => !committed(d) || !hasBuckets(d)).foreach(rmDir)
   }
 
-  /** Whether `table` holds at least one committed delta. (The public
-    * existence test — [[Catalog.exists]] sees the directory, which a
-    * purged lone partial can leave empty.)
+  /** Whether `table` holds at least one effective delta. Pure read —
+    * no repair, no deletion (see [[effectiveDeltas]]).
     */
-  def exists(cat: Catalog, table: String): Boolean = {
-    heal(cat, table)
-    deltaDirs(cat, table).nonEmpty
-  }
+  def exists(cat: Catalog, table: String): Boolean =
+    effectiveDeltas(cat, table).nonEmpty
 
   private def nBucketsOf(cat: Catalog, table: String, requested: Int): Int = {
     val f = new java.io.File(root(cat, table), "_NBUCKETS")
-    if (f.exists())
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    if (f.exists()) readSmall(f).toInt
     else {
       root(cat, table).mkdirs(): Unit
-      java.nio.file.Files.write(f.toPath, requested.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      writeAtomic(f, requested.toString)
       requested
     }
   }
@@ -174,25 +252,52 @@ object MinMergeStats {
       .select((keys ++ extra).map(col) ++
         ord.map(c => col(s"__owner.$c").as(c)): _*)
 
-  /** The merged registry over the current delta set, registered as the
-    * table's session temp view (so `cat.table(name)` reads merged
-    * semantics). A single delta is key-unique by construction — every
-    * writer reduces before writing — so the single-delta (i.e. freshly
-    * compacted) view is a plain scan with no merge shuffle: consumers
-    * of a compacted registry pay exactly what the old snapshot readers
-    * paid.
+  /** The merged registry over the effective delta set. A single delta
+    * is key-unique by construction — every writer reduces before
+    * writing — so the single-delta (i.e. freshly compacted) view is a
+    * plain scan with no merge shuffle: consumers of a compacted
+    * registry pay exactly what the old snapshot readers paid. A table
+    * whose every fold appended nothing (a duplicate-free corpus) is
+    * SERVABLE: the first fold persisted its batch schema (`_SCHEMA`),
+    * and the zero-delta view is that schema's empty frame.
+    *
+    * Pure read — the crash contract is applied logically
+    * ([[effectiveDeltas]]), nothing is deleted. Returns the
+    * locally-built frame (bound to this catalog's own files); the
+    * session temp view of the same name is registered as a courtesy
+    * for `cat.table`/SQL access only, because several catalogs in one
+    * session share table names (o12/o12s drives, test catalogs) and a
+    * register-then-resolve would race a concurrent re-registration
+    * into another warehouse's files.
     */
   def view(cat: Catalog, table: String, keys: Seq[String],
            ord: Seq[String]): DataFrame = {
-    heal(cat, table)
-    val dirs = deltaDirs(cat, table)
-    require(dirs.nonEmpty, s"$table: no committed deltas to read")
-    val back = cat.spark.read.parquet(root(cat, table).getPath)
+    val dirs = effectiveDeltas(cat, table)
     val v =
-      if (dirs.size == 1) back.select((keys ++ ord).map(col): _*)
-      else reduced(back, keys, ord).select((keys ++ ord).map(col): _*)
+      if (dirs.isEmpty) {
+        // every fold of this table carried an empty batch (legitimate
+        // on a duplicate-free corpus) — serve the empty registry in
+        // the schema the first fold persisted, instead of throwing
+        val sf = schemaFile(cat, table)
+        require(sf.exists(), s"$table: no committed deltas to read")
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(readSmall(sf))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        cat.spark.createDataFrame(
+          cat.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema).select((keys ++ ord).map(col): _*)
+      } else {
+        // basePath: the delta paths themselves look like partition
+        // directories (__delta=N), so a multi-root read must anchor
+        // partition inference at the table root
+        val back = cat.spark.read
+          .option("basePath", root(cat, table).getPath)
+          .parquet(dirs.map(_.getPath): _*)
+        if (dirs.size == 1) back.select((keys ++ ord).map(col): _*)
+        else reduced(back, keys, ord).select((keys ++ ord).map(col): _*)
+      }
     v.createOrReplaceTempView(table)
-    cat.spark.table(table)
+    v
   }
 
   /** Fold `batch` into `table`: per `keys` group the table's merged
@@ -215,41 +320,37 @@ object MinMergeStats {
            keys: Seq[String], ord: Seq[String],
            nBuckets: Int = DefaultBuckets,
            batchReduced: Boolean = false): DataFrame = {
-    heal(cat, table)
+    repair(cat, table)
     val n = nBucketsOf(cat, table, nBuckets)
-    val delta = (if (batchReduced) batch.select((keys ++ ord).map(col): _*)
-                 else reduced(batch, keys, ord))
-      .withColumn("__bucket", bucketCol(keys, n))
+    val base =
+      if (batchReduced) batch.select((keys ++ ord).map(col): _*)
+      else reduced(batch, keys, ord)
+    // first fold persists the batch schema so a table whose every fold
+    // appends nothing (duplicate-free corpus) stays servable by view
+    val sf = schemaFile(cat, table)
+    if (!sf.exists()) writeAtomic(sf, base.schema.json)
+    val delta = base.withColumn("__bucket", bucketCol(keys, n))
     val existing = deltaDirs(cat, table)
     val id = existing.map(deltaId).foldLeft(-1L)(math.max) + 1
     val dir = new java.io.File(root(cat, table), s"__delta=$id")
     delta.write.mode("overwrite").partitionBy("__bucket")
       .parquet(dir.getPath)
     // an empty batch writes no bucket directories — drop the empty
-    // delta so a no-op fold is a physical no-op (and a first fold of
-    // an empty batch leaves the table nonexistent, with an empty view
-    // registered so consumers still read the right schema)
-    val wrote = Option(dir.listFiles()).toSeq.flatten
-      .exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
-    if (!wrote) {
-      rmDir(dir)
-      if (existing.isEmpty) {
-        val empty = delta.drop("__bucket").limit(0)
-        empty.createOrReplaceTempView(table)
-        return cat.spark.table(table)
-      }
-    } else {
+    // delta so a no-op fold is a physical no-op (view then serves the
+    // merged survivors, or the _SCHEMA empty frame if nothing exists)
+    if (!hasBuckets(dir)) rmDir(dir)
+    else {
       val hot = bucketsOver(cat, table, AutoCompactDeltas)
       if (hot.nonEmpty) compactBuckets(cat, table, hot, keys, ord)
     }
     view(cat, table, keys, ord)
   }
 
-  /** Buckets present in more than `limit` committed deltas. */
+  /** Buckets present in more than `limit` effective deltas. */
   private def bucketsOver(cat: Catalog, table: String,
                           limit: Int): Seq[Int] = {
     val counts = scala.collection.mutable.Map.empty[Int, Int]
-    deltaDirs(cat, table).filter(committed).foreach { d =>
+    effectiveDeltas(cat, table).foreach { d =>
       Option(d.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
         .foreach { b =>
@@ -262,10 +363,12 @@ object MinMergeStats {
 
   /** Merge every delta into one — call after an ingest drive so
     * query-time consumers read the single-delta plain-scan view.
+    * Tolerates a zero-delta table (every fold was empty): the view's
+    * `_SCHEMA` empty frame is returned, nothing is written.
     */
   def compact(cat: Catalog, table: String, keys: Seq[String],
               ord: Seq[String]): DataFrame = {
-    heal(cat, table)
+    repair(cat, table)
     if (deltaDirs(cat, table).size > 1)
       compactBuckets(cat, table, bucketsOver(cat, table, 0), keys, ord)
     view(cat, table, keys, ord)
@@ -276,6 +379,8 @@ object MinMergeStats {
     * Crash-safe WITHOUT a swap: the merged delta commits first, and
     * any old rows a crashed sweep leaves behind are duplicates the
     * read-time min absorbs until the next compaction sweeps them.
+    * Writer-only (callers ran [[repair]], so every on-disk delta is
+    * committed and the marker is resolved).
     */
   private def compactBuckets(cat: Catalog, table: String,
                              buckets: Seq[Int], keys: Seq[String],
@@ -286,7 +391,9 @@ object MinMergeStats {
     val id = before.map(deltaId).max + 1
     val dir = new java.io.File(root(cat, table), s"__delta=$id")
     // partition-pruned read of exactly the chosen buckets
-    val src = cat.spark.read.parquet(root(cat, table).getPath)
+    val src = cat.spark.read
+      .option("basePath", root(cat, table).getPath)
+      .parquet(before.map(_.getPath): _*)
       .filter(col("__bucket").isInCollection(buckets))
     reduced(src, keys, ord, Seq("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
@@ -297,9 +404,7 @@ object MinMergeStats {
         if (b.exists()) rmDir(b)
       }
       // a delta whose buckets are all swept carries no rows — drop it
-      if (!Option(d.listFiles()).toSeq.flatten
-          .exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
-        rmDir(d)
+      if (!hasBuckets(d)) rmDir(d)
     }
   }
 
@@ -320,16 +425,14 @@ object MinMergeStats {
     *
     * Removal cannot ride the append-only log (a min never rises), so
     * this is the one full-table rewrite left in the algebra — rare by
-    * contract (takedowns), and staged write-then-sweep under the
-    * `_REBUILD` marker so a crash either rolls back to the intact old
-    * state or rolls forward to the completed sweep on the next call.
+    * contract (takedowns), staged through [[replaceAll]].
     */
   def rebuild(cat: Catalog, table: String, survivors: DataFrame,
               retiredOwner: org.apache.spark.sql.Column,
               keys: Seq[String], ord: Seq[String]): DataFrame = {
+    repair(cat, table)
     require(exists(cat, table),
       s"rebuild: registry table '$table' does not exist")
-    val n = nBucketsOf(cat, table, DefaultBuckets)
     // materialize the merged reading ONCE: reg feeds three subtrees of
     // the rewrite plan (affected, keep, and the semi-join's right
     // side) — left lazy, a multi-delta merge aggregate would recompute
@@ -345,15 +448,33 @@ object MinMergeStats {
     val rebuilt = reduced(
       survivors.join(affected.select(keys.map(col): _*), keys, "left_semi"),
       keys, ord)
-    val next = keep.unionByName(rebuilt)
+    replaceAll(cat, table, keep.unionByName(rebuilt), keys, ord)
+  }
+
+  /** Stage-write `next` as the table's new single delta under the
+    * `_REBUILD` marker protocol — the one full-table rewrite in the
+    * algebra, shared by [[rebuild]] (key-owner takedown) and
+    * [[IncrementalCc.retire]] (graph takedown, where a vertex removal
+    * can SPLIT a component and the caller computes the rebuilt labels
+    * itself). `next` must be key-unique (the single-delta plain-scan
+    * view's invariant). Crash contract: the marker is written
+    * atomically BEFORE the delta — a crash anywhere in the window
+    * leaves it, and readers apply it logically while the next writer
+    * rolls forward (new delta committed: finish the sweep) or back
+    * (drop the partial delta, old state intact).
+    */
+  private[pipeline] def replaceAll(cat: Catalog, table: String,
+                                   next: DataFrame, keys: Seq[String],
+                                   ord: Seq[String]): DataFrame = {
+    repair(cat, table)
+    require(exists(cat, table),
+      s"replaceAll: registry table '$table' does not exist")
+    val n = nBucketsOf(cat, table, DefaultBuckets)
+    val withB = next.select((keys ++ ord).map(col): _*)
       .withColumn("__bucket", bucketCol(keys, n))
     val id = deltaDirs(cat, table).map(deltaId).max + 1
-    // marker BEFORE the write: a crash anywhere in the window leaves
-    // it, and heal() decides roll-forward vs roll-back by whether the
-    // rebuilt delta committed
-    java.nio.file.Files.write(rebuildMarker(cat, table).toPath,
-      id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    next.write.mode("overwrite").partitionBy("__bucket")
+    writeAtomic(rebuildMarker(cat, table), id.toString)
+    withB.write.mode("overwrite").partitionBy("__bucket")
       .parquet(new java.io.File(root(cat, table), s"__delta=$id").getPath)
     deltaDirs(cat, table).filter(deltaId(_) < id).foreach(rmDir)
     rebuildMarker(cat, table).delete(): Unit

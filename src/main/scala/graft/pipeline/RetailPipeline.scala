@@ -191,6 +191,11 @@ object RetailPipeline {
                              agg: DataFrame): DataFrame = {
     import spark.implicits._
     agg
+      // PRE-aggregation revenue filter, the reference's placement
+      // (monthly_sales_summary.sql:31): return-only days leave the
+      // monthly totals AND the trading_days count (RawRetailPipeline's
+      // golden path has always filtered here; the two forms now agree)
+      .filter($"net_revenue" > 0)
       .groupBy($"year", $"month", $"country")
       .agg(countDistinct($"date").as("trading_days"),
         sum($"orders").as("total_orders"),
@@ -198,7 +203,6 @@ object RetailPipeline {
         Functions.dsum($"net_qty").as("total_quantity"),
         Functions.dsum($"net_revenue").as("total_revenue"),
         Functions.dsum($"net_revenue_eur").as("total_revenue_eur"))
-      .filter($"total_revenue" > 0)
       .withColumn("month_start_date",
         make_date($"year".cast("int"), $"month".cast("int"), lit(1)))
       .withColumn("avg_daily_revenue", $"total_revenue" / $"trading_days")

@@ -99,6 +99,11 @@ object CoreQueries {
     import spark.implicits._
     val daily = dailyCountryRollupShared(spark, dir)
     daily
+      // PRE-aggregation revenue filter — the reference's placement
+      // (monthly_sales_summary.sql:31 `WHERE net_revenue_gbp > 0`):
+      // return-only days are excluded from the monthly totals AND from
+      // trading_days, not merely zero-revenue months from the output
+      .filter($"net_revenue" > 0)
       .groupBy(
         year($"date").cast("long").as("year"),
         month($"date").cast("long").as("month"),
@@ -110,7 +115,6 @@ object CoreQueries {
         sum($"items").as("total_items"),
         Functions.dsum($"net_qty").as("total_quantity"),
         Functions.dsum($"net_revenue").as("total_revenue"))
-      .filter($"total_revenue" > 0)
       .withColumn("avg_daily_revenue",
         round($"total_revenue" / $"trading_days", 2))
       .withColumn("avg_daily_orders",
@@ -133,11 +137,11 @@ object CoreQueries {
        |    CAST(SUM(items) AS BIGINT) AS total_items,
        |    CAST(SUM(CAST(net_qty AS DECIMAL(38,6))) AS DOUBLE) AS total_quantity,
        |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
-       |  FROM daily GROUP BY 1, 2, 3, 4)
+       |  FROM daily WHERE net_revenue > 0 GROUP BY 1, 2, 3, 4)
        |SELECT *, ROUND(total_revenue / trading_days, 2) AS avg_daily_revenue,
        |  ROUND(total_orders / trading_days, 2) AS avg_daily_orders,
        |  ROUND(total_revenue / NULLIF(total_orders, 0), 2) AS avg_order_value
-       |FROM monthly WHERE total_revenue > 0
+       |FROM monthly
        |ORDER BY year, month, country""".stripMargin
 
   def all: Seq[Q] = Seq(
@@ -499,12 +503,11 @@ object CoreQueries {
            |  SELECT EXTRACT(year FROM date) AS year, EXTRACT(month FROM date) AS month,
            |    country,
            |    CAST(SUM(CAST(net_revenue AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
-           |  FROM daily GROUP BY 1, 2, 3),
-           |flt AS (SELECT * FROM monthly WHERE total_revenue > 0),
+           |  FROM daily WHERE net_revenue > 0 GROUP BY 1, 2, 3),
            |lagged AS (
            |  SELECT year, month, country, total_revenue,
            |    LAG(total_revenue) OVER (PARTITION BY country ORDER BY year, month) AS prev_revenue
-           |  FROM flt)
+           |  FROM monthly)
            |SELECT year, month, country, total_revenue, prev_revenue,
            |  (total_revenue - prev_revenue) / prev_revenue * 100 AS growth_pct
            |FROM lagged WHERE prev_revenue IS NOT NULL

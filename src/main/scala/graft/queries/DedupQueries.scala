@@ -314,28 +314,26 @@ object DedupQueries {
     * interchangeability proof at the driver gate — the maintained
     * table must serve every consumer exactly as the memo does.
     */
-  // lazy: interpolates SimhashDocsSql, declared LATER in this object —
-  // a strict val here would capture null at object init
+  // lazy: interpolates CTE blocks declared LATER in this object — a
+  // strict val here would capture null at object init. Defined through
+  // the parameterized form so the d10/o12/o12s oracle and o12b's
+  // survivors-only takedown oracle can never drift.
   private[graft] lazy val CcVerdictOracleSql: String =
-    s"""WITH RECURSIVE $SimhashDocsSql,
-       |banded AS (
-       |  SELECT doc_id, simhash, g.k,
-       |    (simhash >> (16 * g.k)) & 65535 AS band
-       |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS k) g),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM banded a JOIN banded b
-       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-       |bidir AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-       |reach(v, u) AS (
-       |  SELECT a AS v, a AS u FROM bidir
-       |  UNION
-       |  SELECT r.v, e.b AS u FROM reach r JOIN bidir e ON r.u = e.a),
-       |comp AS (SELECT v, MIN(u) AS cluster FROM reach GROUP BY v)
+    ccVerdictOracleSqlOver("documents")
+
+  /** [[CcVerdictOracleSql]] parameterized over the document relation —
+    * the o12b takedown oracle: after retiring a batch, the maintained
+    * labels projected onto the survivors must be bit-identical to this
+    * from-scratch closure over the surviving docs alone (the o11b
+    * oracle pattern lifted to graphs, where a retired bridge doc can
+    * SPLIT a component).
+    */
+  private[graft] def ccVerdictOracleSqlOver(rel: String): String =
+    s"""WITH RECURSIVE ${simhashDocsSqlOver(rel, "d.text")},
+       |$SimhashClosureSql
        |SELECT d.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
        |  (c.cluster IS NULL OR d.doc_id = c.cluster) AS kept
-       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+       |FROM $rel d LEFT JOIN comp c ON d.doc_id = c.v
        |ORDER BY d.doc_id""".stripMargin
 
   private[queries] def evalNgramHits(s: SparkSession, d: String): DataFrame = {

@@ -43,8 +43,8 @@ object CcLabelStream {
     StructField("doc_id", LongType),
     StructField("simhash", LongType)))
 
-  private val SigKeys = Seq("doc_id")
-  private val SigOrd = Seq("simhash")
+  val SigKeys: Seq[String] = Seq("doc_id")
+  val SigOrd: Seq[String] = Seq("simhash")
 
   /** Start folding every staged signature file into label table
     * `table` (signature state in `sigTable`), one micro-batch per file

@@ -141,6 +141,83 @@ class DedupSpec extends SparkTestBase {
       "compacted single-delta view must read without a merge aggregate")
   }
 
+  test("min-merge readers never repair: a planted partial delta is " +
+      "read-around and left on disk; the next WRITER purges it; a " +
+      "corrupt _REBUILD marker refuses without deleting anything") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.MinMergeStats
+    import graft.queries.{DedupQueries, Scratch}
+    val segs = DedupQueries.docSegments(DedupQueries.segTokens(spark, sfDir))
+    val owners = DedupQueries.segmentOwners _
+    val keys = DedupQueries.SegRegistryKeys
+    val ord = DedupQueries.SegRegistryOrd
+    val wh = Scratch.fresh(spark, "mm_rdr")
+    val cat = new graft.engine.Catalog(spark, wh)
+    def deltaNames = Option(new java.io.File(s"$wh/reg").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("__delta=")).sorted
+    MinMergeStats.fold(cat, "reg",
+      owners(segs.filter(col("doc_id") % 2 === 0)), keys, ord)
+    val before = cat.table("reg").orderBy("h", "seg").collect().toSeq
+    // plant a concurrent writer's in-flight (SUCCESS-less) delta
+    val partial = new java.io.File(s"$wh/reg/__delta=7/__bucket=0")
+    partial.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(partial, "part-junk.parquet").toPath,
+      "not parquet".getBytes)
+    // READERS: exists + view must read around it AND leave it on disk
+    assert(MinMergeStats.exists(cat, "reg"))
+    val viewed = MinMergeStats.view(cat, "reg", keys, ord)
+      .orderBy("h", "seg").collect().toSeq
+    assert(viewed === before, "reader must skip the uncommitted delta")
+    assert(deltaNames.contains("__delta=7"),
+      "a READER deleted the in-flight delta — writer output swept")
+    // a corrupt marker (external damage) must refuse, deleting nothing
+    val marker = new java.io.File(s"$wh/reg/_REBUILD")
+    java.nio.file.Files.write(marker.toPath, "garbage".getBytes)
+    val dirsBefore = deltaNames
+    intercept[IllegalStateException] {
+      MinMergeStats.view(cat, "reg", keys, ord)
+    }
+    assert(deltaNames === dirsBefore,
+      "corrupt-marker refusal must not delete any delta directory")
+    marker.delete()
+    // the next WRITER purges the planted partial
+    MinMergeStats.fold(cat, "reg",
+      owners(segs.filter(col("doc_id") % 2 =!= 0)), keys, ord)
+    assert(!deltaNames.contains("__delta=7"),
+      "writer entry must purge the crashed partial delta")
+  }
+
+  test("min-merge zero-delta table is servable: a drive whose every " +
+      "fold is empty serves an empty frame of the persisted schema " +
+      "through view and compact, and IncrementalCc tolerates a " +
+      "duplicate-free corpus") {
+    import graft.pipeline.{IncrementalCc, MinMergeStats}
+    import graft.queries.Scratch
+    import spark.implicits._
+    val keys = Seq("k")
+    val ord = Seq("o1", "o2")
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "mm_mt"))
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "o1", "o2")
+    MinMergeStats.fold(cat, "mt", empty, keys, ord)
+    MinMergeStats.fold(cat, "mt", empty, keys, ord)
+    assert(!MinMergeStats.exists(cat, "mt"),
+      "empty folds must not commit a delta")
+    val v = MinMergeStats.view(cat, "mt", keys, ord)
+    assert(v.columns.toSeq === Seq("k", "o1", "o2"))
+    assert(v.count() === 0L)
+    val c = MinMergeStats.compact(cat, "mt", keys, ord)
+    assert(c.count() === 0L, "compact must tolerate the zero-delta table")
+    // the o12 shape: a corpus with ZERO near-dup edges still flows
+    // through fold + compact + labels, keeping every doc
+    val cat2 = new graft.engine.Catalog(spark, Scratch.fresh(spark, "cc_mt"))
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    IncrementalCc.fold(cat2, "cc_labels", noEdges)
+    IncrementalCc.compact(cat2, "cc_labels")
+    assert(IncrementalCc.labels(cat2).count() === 0L,
+      "a duplicate-free corpus yields an empty, servable label table")
+  }
+
   test("o12 redelivered edge batch appends no delta — the idempotent " +
       "no-op is physical, not just logical") {
     import org.apache.spark.sql.functions._
@@ -190,6 +267,48 @@ class DedupSpec extends SparkTestBase {
     val fresh = cat2.table("reg").orderBy("h", "seg").collect().toSeq
     assert(after === fresh,
       "post-takedown registry must equal the survivors-only recompute")
+  }
+
+  test("o12b takedown: retiring a bridge doc SPLITS its component — " +
+      "survivors re-cluster, edge-less survivors drop out, untouched " +
+      "components keep labels, and the result equals the survivors-only " +
+      "recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IncrementalCc
+    import graft.queries.{DedupQueries, Scratch}
+    import spark.implicits._
+    // hamming<=3 chain 1-2-3-4-5 (adjacent only), doc 6 attached to the
+    // chain ONLY through bridge 3, and a far component {10, 11}
+    val sigs = Seq(
+      (1L, 0L), (2L, 1L), (3L, 15L), (4L, 127L), (5L, 255L),
+      (6L, 15L ^ (7L << 8)),
+      (10L, 0xFFL << 56), (11L, (0xFFL << 56) | 1L))
+      .toDF("doc_id", "simhash")
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "cc_rtr"))
+    IncrementalCc.fold(cat, "cc",
+      DedupQueries.simhashEdgesVs(sigs, sigs.limit(0)))
+    def rows(c: graft.engine.Catalog) = c.table("cc").orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(cat) === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 1L), (6L, 1L), (10L, 10L), (11L, 10L)),
+      "fixture: one 6-doc chain component + one far pair")
+    IncrementalCc.retire(cat, "cc", Seq(3L).toDF("v"),
+      vs => DedupQueries.simhashEdgesVs(
+        sigs.join(vs.select(col("v").as("doc_id")), Seq("doc_id"),
+          "left_semi"),
+        sigs.limit(0)))
+    // bridge removal splits {1..6}: {1,2} and {4,5} re-form, 6 lost its
+    // only edge and leaves the table, {10,11} is untouched
+    assert(rows(cat) === Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L),
+      (10L, 10L), (11L, 10L)),
+      "retire must split the component and drop the edge-less survivor")
+    // recompute equivalence: a fresh fold over the survivors alone
+    val survivors = sigs.filter(col("doc_id") =!= 3L)
+    val cat2 = new graft.engine.Catalog(spark, Scratch.fresh(spark, "cc_rtf"))
+    IncrementalCc.fold(cat2, "cc",
+      DedupQueries.simhashEdgesVs(survivors, survivors.limit(0)))
+    assert(rows(cat) === rows(cat2),
+      "post-takedown labels must equal the survivors-only recompute")
   }
 
   test("o12 maintained CC label table equals the shared ccLabelsSimhash " +
