@@ -86,6 +86,16 @@ object Bench {
       // work too — the row measures the post-takedown consumer read.
       ("o12b_retire_drive", Set("o12b_cc_retire"),
         () => graft.queries.PipelineQueries.o12bWarehouse(spark, sfDir): Unit),
+      // o11s's 4-micro-batch SegmentRegistryStream drive (+ drive-end
+      // compaction): the row measures the registry probe + rewrite.
+      // r17: the in-row drive variant was measured and REJECTED — the
+      // drive-end compaction writes the whole dictionary, costing
+      // in-row what the r16 merge-on-read probe cost (SCALE.md r17).
+      ("o11s_stream_drive", Set("o11s_segment_stream"),
+        () => graft.queries.PipelineQueries.o11sWarehouse(spark, sfDir): Unit),
+      // o11b's fold+compact+rebuild takedown drive, same boundary.
+      ("o11b_retire_drive", Set("o11b_segment_retire"),
+        () => graft.queries.PipelineQueries.o11bWarehouse(spark, sfDir): Unit),
       ("winnow_fp_index_build",
         Set("d6_winnowing_decontam", "d8_split_decontam",
           "d13_source_overlap"),
