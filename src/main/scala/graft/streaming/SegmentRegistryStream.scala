@@ -61,7 +61,13 @@ object SegmentRegistryStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toks = batch.select(col("doc_id"),
+        // Break lineage from the streaming source before the fold —
+        // jobs planned over a streaming-sourced frame run AQE-less
+        // (see CcLabelStream for the measured fifth-decade cost); the
+        // materialize is one micro-batch-sized write.
+        val b = graft.queries.Scratch.materialize(cat.spark,
+          "o11s_batch", batch)
+        val toks = b.select(col("doc_id"),
           split(trim(col("text")), "\\s+").as("tk"))
         MinMergeStats.fold(cat, table,
           DedupQueries.segmentOwners(DedupQueries.docSegments(toks)),
