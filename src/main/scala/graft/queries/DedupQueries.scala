@@ -1381,7 +1381,13 @@ object DedupQueries {
         "batch computation exactly (same oracle verbatim) — the " +
         "measured form of the decontam family's 100 TB story: " +
         "contamination is dropped at INGEST time, map-side, not at " +
-        "release time.",
+        "release time. Micro-batch sizing (r16 verdict #5): the " +
+        "source sets no maxFilesPerTrigger, so AvailableNow packs all " +
+        "staged files into ONE maximal batch — the right end of the " +
+        "dial for a stateless filter, whose per-batch fixed costs " +
+        "(static-side re-reads, sink commits) amortize over batch " +
+        "mass; SCALE.md r17 measures both ends on the 10x census " +
+        "corpus via the SPARK_GRAFT_D16S_MAX_FILES instrument.",
       (s, d) => graft.streaming.DecontamStream.decontamOneShot(s, d),
       Some(BloomDecontamOracleSql)),
 

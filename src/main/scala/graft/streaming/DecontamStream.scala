@@ -53,8 +53,12 @@ object DecontamStream {
       ev.select(col("h"), col("gram")).distinct())
     // STREAM side: train docs with >= N tokens (the docs d16's gram
     // index gives rows to — the split and the token floor are pure
-    // per-row functions)
-    val docs = CorpusStream.source(spark, dir)
+    // per-row functions). Micro-batch sizing: default = one maximal
+    // AvailableNow batch (see CorpusStream.source); the env dial is
+    // the census instrument for measuring the other end.
+    val mft = sys.env.get("SPARK_GRAFT_D16S_MAX_FILES")
+      .flatMap(_.toIntOption)
+    val docs = CorpusStream.source(spark, dir, mft)
       .filter(Splits.splitCol === "train")
       .withColumn("w", split(trim(col("text")), "\\s+"))
       .filter(size(col("w")) >= N)
