@@ -68,24 +68,30 @@ import graft.engine.Catalog
   * `_REBUILD` marker applied as a roll-forward or roll-back READING,
   * bucket-less shells skipped — and delete nothing, so a reader
   * racing an in-process writer's in-flight fold can never sweep the
-  * writer's partial output. WRITERS ([[fold]]/[[compact]]/
-  * [[rebuild]]/[[replaceAll]]) run [[repair]] at entry — physically
-  * resolving the marker and purging `_SUCCESS`-less or bucket-less
-  * delta directories (the [[IncrementalIngest.purgePartialBatches]]
-  * pattern) — under the Catalog's single-writer contract, same as
-  * every incremental writer. [[rebuild]] (takedown) is the one
-  * operation that must REMOVE rows, which append-only storage cannot
-  * express — it writes the rebuilt table as one fresh delta, then
-  * sweeps all older deltas under the `_REBUILD` marker that the next
-  * entry rolls forward (new delta committed: finish the sweep) or
-  * back (not committed: drop the partial delta, old state intact).
+  * writer's partial output. The marker reading is decided by whether
+  * the TARGET delta directory is COMMITTED, over the raw listing
+  * rather than the bucket-filtered one (round 18 — r17 advisor): a
+  * rebuild whose replacement is EMPTY (a takedown retiring every
+  * remaining row) commits a bucket-less target, and readers must
+  * roll FORWARD to the empty `_SCHEMA` frame exactly as the writer's
+  * [[repair]] will, not roll back and resurrect retired rows.
+  * WRITERS ([[fold]]/[[compact]]/[[rebuild]]/[[replaceAll]]) run
+  * [[repair]] at entry — physically resolving the marker and purging
+  * `_SUCCESS`-less or bucket-less delta directories (the
+  * [[IncrementalIngest.purgePartialBatches]] pattern) — under the
+  * Catalog's single-writer contract, same as every incremental
+  * writer. [[rebuild]] (takedown) is the one operation that must
+  * REMOVE rows, which append-only storage cannot express — it writes
+  * the rebuilt table as one fresh delta, then sweeps all older
+  * deltas under the `_REBUILD` marker that the next entry rolls
+  * forward (new delta committed: finish the sweep) or back (not
+  * committed: drop the partial delta, old state intact).
   *
-  * 100 TB port seam (SCALE.md r17): this driver-side protocol runs on
-  * `java.io.File` for the sandbox's local warehouse; the object-store
-  * deployment ports it to the Hadoop `FileSystem` API one-for-one
-  * (listStatus / delete(recursive) / single-shot PUT for the small
-  * files). The protocol is deliberately RENAME-FREE — the one
-  * primitive that is neither atomic nor cheap on S3-class stores.
+  * 100 TB port seam: every filesystem touch goes through
+  * [[DeltaStore]] (six primitives, Hadoop-`FileSystem`-shaped,
+  * deliberately rename-free — see its scaladoc); the sandbox binds
+  * [[LocalDeltaStore]], the object-store deployment slots a Hadoop
+  * implementation behind the same trait.
   */
 object MinMergeStats {
 
@@ -105,72 +111,50 @@ object MinMergeStats {
     */
   val AutoCompactDeltas = 12
 
-  private def root(cat: Catalog, table: String) =
-    new java.io.File(s"${cat.warehouse}/$table")
+  private val store: DeltaStore = LocalDeltaStore
 
-  /** Atomic small-file write (temp sibling + ATOMIC_MOVE — the
-    * saveVersioned pattern): a reader can never observe an empty or
-    * torn `_REBUILD`/`_NBUCKETS`/`_SCHEMA` file, so a parse either
-    * sees the complete content or no file. (On an object store this
-    * becomes a single-shot PUT, itself atomic at object granularity.)
-    */
-  private def writeAtomic(f: java.io.File, s: String): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      f.getParentFile.toPath, f.getName, ".tmp")
-    java.nio.file.Files.write(tmp,
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    java.nio.file.Files.move(tmp, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
-
-  private def readSmall(f: java.io.File): String =
-    new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim
+  private def root(cat: Catalog, table: String): String =
+    s"${cat.warehouse}/$table"
 
   private def bucketCol(keys: Seq[String], n: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(n.toLong)).cast("int")
 
-  private def committed(dir: java.io.File): Boolean =
-    new java.io.File(dir, "_SUCCESS").exists()
+  private def committed(dir: String): Boolean =
+    store.exists(s"$dir/_SUCCESS")
 
-  private def hasBuckets(dir: java.io.File): Boolean =
-    Option(dir.listFiles()).toSeq.flatten
-      .exists(f => f.isDirectory && f.getName.startsWith("__bucket="))
+  private def hasBuckets(dir: String): Boolean =
+    store.listDirs(dir).exists(_.startsWith("__bucket="))
 
-  private def deltaDirs(cat: Catalog, table: String): Seq[java.io.File] =
-    Option(root(cat, table).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("__delta="))
-
-  private def deltaId(f: java.io.File): Long =
-    f.getName.stripPrefix("__delta=").toLong
-
-  private def rmDir(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmDir)
-    f.delete(): Unit
+  /** Paths of the table's `__delta=N` directories (any state). */
+  private def deltaDirs(cat: Catalog, table: String): Seq[String] = {
+    val r = root(cat, table)
+    store.listDirs(r).filter(_.startsWith("__delta=")).map(n => s"$r/$n")
   }
 
-  private def rebuildMarker(cat: Catalog, table: String) =
-    new java.io.File(root(cat, table), "_REBUILD")
+  private def deltaId(path: String): Long =
+    path.substring(path.lastIndexOf('/') + 1).stripPrefix("__delta=").toLong
 
-  private def schemaFile(cat: Catalog, table: String) =
-    new java.io.File(root(cat, table), "_SCHEMA")
+  private def rebuildMarker(cat: Catalog, table: String): String =
+    s"${root(cat, table)}/_REBUILD"
+
+  private def schemaFile(cat: Catalog, table: String): String =
+    s"${root(cat, table)}/_SCHEMA"
 
   /** The `_REBUILD` marker's target delta id, if a marker is present.
-    * Markers are written atomically ([[writeAtomic]]), so an
+    * Markers are written atomically ([[DeltaStore.putAtomic]]), so an
     * unparseable one is external corruption, not a crash window —
     * guessing an id could roll forward against the WRONG delta and
     * delete live data, so both readers and writers REFUSE loudly.
     */
   private def markerId(cat: Catalog, table: String): Option[Long] = {
     val marker = rebuildMarker(cat, table)
-    if (!marker.exists()) None
+    if (!store.exists(marker)) None
     else {
-      val raw = readSmall(marker)
+      val raw = store.read(marker)
       Some(raw.toLongOption.getOrElse(throw new IllegalStateException(
         s"$table: _REBUILD marker holds '$raw', not a delta id — " +
           s"markers are written atomically so this is external " +
-          s"corruption; inspect ${marker.getPath} against the newest " +
+          s"corruption; inspect $marker against the newest " +
           s"__delta= directory before removing the marker by hand")))
     }
   }
@@ -178,19 +162,24 @@ object MinMergeStats {
   /** The delta set a READER should see — the crash contract applied
     * logically, deleting nothing: uncommitted (`_SUCCESS`-less) deltas
     * and bucket-less shells are skipped, and an unresolved `_REBUILD`
-    * marker is applied as a reading (target delta committed → the
-    * roll-forward view, pre-rebuild deltas excluded, since reading
-    * them alongside the rebuilt delta would resurrect retired keys
-    * through the min; target not committed → the roll-back view, the
-    * old state, with the partial target already excluded as
-    * uncommitted).
+    * marker is applied as a reading. The roll-forward/roll-back choice
+    * is decided by whether the TARGET delta is COMMITTED — checked
+    * over the raw directory listing, NOT the bucket-filtered list,
+    * because a rebuild to an EMPTY table (takedown of every remaining
+    * row) commits a bucket-less target: committed target → the
+    * roll-forward view (pre-rebuild deltas excluded — reading them
+    * would resurrect retired keys through the min; an all-swept empty
+    * target serves the `_SCHEMA` frame); target not committed → the
+    * roll-back view, the old state, with the partial target already
+    * excluded as uncommitted. This matches [[repair]]'s physical
+    * resolution bit for bit — the reader/writer agreement the r17
+    * advisor found broken for empty rebuild targets.
     */
-  private def effectiveDeltas(cat: Catalog,
-                              table: String): Seq[java.io.File] = {
-    val dirs = deltaDirs(cat, table)
-      .filter(d => committed(d) && hasBuckets(d))
+  private def effectiveDeltas(cat: Catalog, table: String): Seq[String] = {
+    val raw = deltaDirs(cat, table)
+    val dirs = raw.filter(d => committed(d) && hasBuckets(d))
     markerId(cat, table) match {
-      case Some(j) if dirs.exists(deltaId(_) == j) =>
+      case Some(j) if raw.exists(d => deltaId(d) == j && committed(d)) =>
         dirs.filter(deltaId(_) >= j)
       case _ => dirs
     }
@@ -202,11 +191,12 @@ object MinMergeStats {
     * safe to drop because the writing call never returned, so an
     * at-least-once upstream redelivers, and a dropped compact output
     * only defers the merge) and committed bucket-less shells (a
-    * crashed empty-fold cleanup or a fully-swept compaction source —
-    * they carry no rows). Runs only from [[fold]]/[[compact]]/
-    * [[rebuild]]/[[replaceAll]], which hold the Catalog's
-    * single-writer contract; readers never repair (r16 advisor — a
-    * reader racing an in-flight writer must not sweep its output).
+    * crashed empty-fold cleanup, a fully-swept compaction source, or
+    * a rolled-forward EMPTY rebuild target — they carry no rows).
+    * Runs only from [[fold]]/[[compact]]/[[rebuild]]/[[replaceAll]],
+    * which hold the Catalog's single-writer contract; readers never
+    * repair (r16 advisor — a reader racing an in-flight writer must
+    * not sweep its output).
     */
   private def repair(cat: Catalog, table: String): Unit = {
     markerId(cat, table).foreach { j =>
@@ -214,14 +204,14 @@ object MinMergeStats {
       val target = dirs.find(deltaId(_) == j)
       if (target.exists(committed))
         // roll forward: the rebuilt table committed; finish the sweep
-        dirs.filter(deltaId(_) < j).foreach(rmDir)
+        dirs.filter(deltaId(_) < j).foreach(store.delete)
       else
         // roll back: rebuild crashed mid-write; old state is intact
-        target.foreach(rmDir)
-      rebuildMarker(cat, table).delete(): Unit
+        target.foreach(store.delete)
+      store.delete(rebuildMarker(cat, table))
     }
     deltaDirs(cat, table)
-      .filter(d => !committed(d) || !hasBuckets(d)).foreach(rmDir)
+      .filter(d => !committed(d) || !hasBuckets(d)).foreach(store.delete)
   }
 
   /** Whether `table` holds at least one effective delta. Pure read —
@@ -230,12 +220,22 @@ object MinMergeStats {
   def exists(cat: Catalog, table: String): Boolean =
     effectiveDeltas(cat, table).nonEmpty
 
+  /** Whether `table` is SERVABLE by [[view]]: it holds effective
+    * deltas, or a persisted `_SCHEMA` lets the zero-delta empty frame
+    * serve (a duplicate-free corpus, or a takedown that retired every
+    * row). Writer entry points gate on this rather than [[exists]] so
+    * a retire arriving at an all-empty table no-ops instead of
+    * throwing (r17 advisor).
+    */
+  private def servable(cat: Catalog, table: String): Boolean =
+    exists(cat, table) || store.exists(schemaFile(cat, table))
+
   private def nBucketsOf(cat: Catalog, table: String, requested: Int): Int = {
-    val f = new java.io.File(root(cat, table), "_NBUCKETS")
-    if (f.exists()) readSmall(f).toInt
+    val f = s"${root(cat, table)}/_NBUCKETS"
+    if (store.exists(f)) store.read(f).toInt
     else {
-      root(cat, table).mkdirs(): Unit
-      writeAtomic(f, requested.toString)
+      store.mkdirs(root(cat, table))
+      store.putAtomic(f, requested.toString)
       requested
     }
   }
@@ -279,9 +279,9 @@ object MinMergeStats {
         // on a duplicate-free corpus) — serve the empty registry in
         // the schema the first fold persisted, instead of throwing
         val sf = schemaFile(cat, table)
-        require(sf.exists(), s"$table: no committed deltas to read")
+        require(store.exists(sf), s"$table: no committed deltas to read")
         val schema = org.apache.spark.sql.types.DataType
-          .fromJson(readSmall(sf))
+          .fromJson(store.read(sf))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         cat.spark.createDataFrame(
           cat.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -291,8 +291,8 @@ object MinMergeStats {
         // directories (__delta=N), so a multi-root read must anchor
         // partition inference at the table root
         val back = cat.spark.read
-          .option("basePath", root(cat, table).getPath)
-          .parquet(dirs.map(_.getPath): _*)
+          .option("basePath", root(cat, table))
+          .parquet(dirs: _*)
         if (dirs.size == 1) back.select((keys ++ ord).map(col): _*)
         else reduced(back, keys, ord).select((keys ++ ord).map(col): _*)
       }
@@ -328,17 +328,16 @@ object MinMergeStats {
     // first fold persists the batch schema so a table whose every fold
     // appends nothing (duplicate-free corpus) stays servable by view
     val sf = schemaFile(cat, table)
-    if (!sf.exists()) writeAtomic(sf, base.schema.json)
+    if (!store.exists(sf)) store.putAtomic(sf, base.schema.json)
     val delta = base.withColumn("__bucket", bucketCol(keys, n))
     val existing = deltaDirs(cat, table)
     val id = existing.map(deltaId).foldLeft(-1L)(math.max) + 1
-    val dir = new java.io.File(root(cat, table), s"__delta=$id")
-    delta.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(dir.getPath)
+    val dir = s"${root(cat, table)}/__delta=$id"
+    delta.write.mode("overwrite").partitionBy("__bucket").parquet(dir)
     // an empty batch writes no bucket directories — drop the empty
     // delta so a no-op fold is a physical no-op (view then serves the
     // merged survivors, or the _SCHEMA empty frame if nothing exists)
-    if (!hasBuckets(dir)) rmDir(dir)
+    if (!hasBuckets(dir)) store.delete(dir)
     else {
       val hot = bucketsOver(cat, table, AutoCompactDeltas)
       if (hot.nonEmpty) compactBuckets(cat, table, hot, keys, ord)
@@ -351,12 +350,10 @@ object MinMergeStats {
                           limit: Int): Seq[Int] = {
     val counts = scala.collection.mutable.Map.empty[Int, Int]
     effectiveDeltas(cat, table).foreach { d =>
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-        .foreach { b =>
-          val k = b.getName.stripPrefix("__bucket=").toInt
-          counts(k) = counts.getOrElse(k, 0) + 1
-        }
+      store.listDirs(d).filter(_.startsWith("__bucket=")).foreach { b =>
+        val k = b.stripPrefix("__bucket=").toInt
+        counts(k) = counts.getOrElse(k, 0) + 1
+      }
     }
     counts.filter(_._2 > limit).keys.toSeq.sorted
   }
@@ -389,22 +386,21 @@ object MinMergeStats {
     val before = deltaDirs(cat, table).filter(committed)
     if (before.size <= 1) return
     val id = before.map(deltaId).max + 1
-    val dir = new java.io.File(root(cat, table), s"__delta=$id")
+    val dir = s"${root(cat, table)}/__delta=$id"
     // partition-pruned read of exactly the chosen buckets
     val src = cat.spark.read
-      .option("basePath", root(cat, table).getPath)
-      .parquet(before.map(_.getPath): _*)
+      .option("basePath", root(cat, table))
+      .parquet(before: _*)
       .filter(col("__bucket").isInCollection(buckets))
     reduced(src, keys, ord, Seq("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(dir.getPath)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
     before.foreach { d =>
       buckets.foreach { k =>
-        val b = new java.io.File(d, s"__bucket=$k")
-        if (b.exists()) rmDir(b)
+        val b = s"$d/__bucket=$k"
+        if (store.exists(b)) store.delete(b)
       }
       // a delta whose buckets are all swept carries no rows — drop it
-      if (!hasBuckets(d)) rmDir(d)
+      if (!hasBuckets(d)) store.delete(d)
     }
   }
 
@@ -431,7 +427,7 @@ object MinMergeStats {
               retiredOwner: org.apache.spark.sql.Column,
               keys: Seq[String], ord: Seq[String]): DataFrame = {
     repair(cat, table)
-    require(exists(cat, table),
+    require(servable(cat, table),
       s"rebuild: registry table '$table' does not exist")
     // materialize the merged reading ONCE: reg feeds three subtrees of
     // the rewrite plan (affected, keep, and the semi-join's right
@@ -457,27 +453,39 @@ object MinMergeStats {
     * [[IncrementalCc.retire]] (graph takedown, where a vertex removal
     * can SPLIT a component and the caller computes the rebuilt labels
     * itself). `next` must be key-unique (the single-delta plain-scan
-    * view's invariant). Crash contract: the marker is written
-    * atomically BEFORE the delta — a crash anywhere in the window
-    * leaves it, and readers apply it logically while the next writer
-    * rolls forward (new delta committed: finish the sweep) or back
-    * (drop the partial delta, old state intact).
+    * view's invariant), and MAY be empty — a takedown retiring every
+    * remaining row commits a bucket-less target delta that both
+    * [[effectiveDeltas]] (reader) and [[repair]] (writer) resolve
+    * forward to the `_SCHEMA` empty frame. Accepts a servable
+    * zero-delta table (all-empty ingest followed by a takedown is a
+    * consistent no-op-shaped rewrite, r17 advisor). Crash contract:
+    * the marker is written atomically BEFORE the delta — a crash
+    * anywhere in the window leaves it, and readers apply it logically
+    * while the next writer rolls forward (new delta committed: finish
+    * the sweep) or back (drop the partial delta, old state intact).
     */
   private[pipeline] def replaceAll(cat: Catalog, table: String,
                                    next: DataFrame, keys: Seq[String],
                                    ord: Seq[String]): DataFrame = {
     repair(cat, table)
-    require(exists(cat, table),
+    require(servable(cat, table),
       s"replaceAll: registry table '$table' does not exist")
     val n = nBucketsOf(cat, table, DefaultBuckets)
     val withB = next.select((keys ++ ord).map(col): _*)
       .withColumn("__bucket", bucketCol(keys, n))
-    val id = deltaDirs(cat, table).map(deltaId).max + 1
-    writeAtomic(rebuildMarker(cat, table), id.toString)
+    // an empty rewrite target leaves the table serving through the
+    // persisted schema — guarantee one exists even for a table whose
+    // life began before _SCHEMA persistence
+    val sf = schemaFile(cat, table)
+    if (!store.exists(sf))
+      store.putAtomic(sf,
+        next.select((keys ++ ord).map(col): _*).schema.json)
+    val id = deltaDirs(cat, table).map(deltaId).foldLeft(-1L)(math.max) + 1
+    store.putAtomic(rebuildMarker(cat, table), id.toString)
     withB.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(new java.io.File(root(cat, table), s"__delta=$id").getPath)
-    deltaDirs(cat, table).filter(deltaId(_) < id).foreach(rmDir)
-    rebuildMarker(cat, table).delete(): Unit
+      .parquet(s"${root(cat, table)}/__delta=$id")
+    deltaDirs(cat, table).filter(deltaId(_) < id).foreach(store.delete)
+    store.delete(rebuildMarker(cat, table))
     view(cat, table, keys, ord)
   }
 }

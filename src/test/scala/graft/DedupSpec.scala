@@ -342,6 +342,86 @@ class DedupSpec extends SparkTestBase {
       "maintained labels must equal the from-scratch shared memo")
   }
 
+  test("retire-everything: an EMPTY rebuild target rolls FORWARD for " +
+      "readers in the crash window (not back to resurrected rows), " +
+      "the completed takedown serves the empty _SCHEMA frame, and a " +
+      "second takedown on the emptied table no-ops instead of throwing") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IncrementalCc
+    import graft.queries.{DedupQueries, Scratch}
+    import spark.implicits._
+    val sigs = Seq((1L, 0L), (2L, 1L), (10L, 0xFFL << 56),
+      (11L, (0xFFL << 56) | 1L)).toDF("doc_id", "simhash")
+    def edgesAmong(vs: org.apache.spark.sql.DataFrame) =
+      DedupQueries.simhashEdgesVs(
+        sigs.join(vs.select(col("v").as("doc_id")), Seq("doc_id"),
+          "left_semi"),
+        sigs.limit(0))
+    val wh = Scratch.fresh(spark, "cc_all")
+    val cat = new graft.engine.Catalog(spark, wh)
+    IncrementalCc.fold(cat, "cc",
+      DedupQueries.simhashEdgesVs(sigs, sigs.limit(0)))
+    assert(cat.table("cc").count() === 4L, "fixture: two pair components")
+    // CRASH WINDOW simulation (r17 advisor): marker written + empty
+    // rebuild target COMMITTED (bucket-less — an empty write has no
+    // __bucket= children), sweep not yet run. Readers must take the
+    // roll-FORWARD reading (empty table), exactly what writer repair
+    // will produce — the old deltas carry retired rows.
+    val target = new java.io.File(s"$wh/cc/__delta=9000")
+    target.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(target, "_SUCCESS").toPath, Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(s"$wh/cc/_REBUILD").toPath, "9000".getBytes)
+    def deltaNames = Option(new java.io.File(s"$wh/cc").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("__delta=")).sorted
+    val preRead = deltaNames
+    assert(graft.pipeline.MinMergeStats
+      .view(cat, "cc", Seq("v"), Seq("l")).count() === 0L,
+      "reader must roll FORWARD to the empty target, not resurrect rows")
+    assert(!graft.pipeline.MinMergeStats.exists(cat, "cc"),
+      "exists must agree with the roll-forward reading")
+    assert(deltaNames === preRead, "readers must not delete anything")
+    // undo the simulated crash; run the REAL retire-everything path
+    new java.io.File(s"$wh/cc/_REBUILD").delete()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(target)
+    IncrementalCc.retire(cat, "cc", Seq(1L, 2L, 10L, 11L).toDF("v"),
+      edgesAmong)
+    assert(IncrementalCc.labels(cat, "cc").count() === 0L,
+      "retiring every vertex must leave the empty servable table")
+    // and AGAIN — a takedown on the already-empty table must no-op
+    IncrementalCc.retire(cat, "cc", Seq(1L).toDF("v"), edgesAmong)
+    assert(IncrementalCc.labels(cat, "cc").count() === 0L)
+    // the table is still foldable after the empty rewrite
+    IncrementalCc.fold(cat, "cc",
+      DedupQueries.simhashEdgesVs(sigs, sigs.limit(0)))
+    assert(cat.table("cc").count() === 4L,
+      "an emptied table must accept new folds")
+  }
+
+  test("takedown after an all-empty ingest: retire on a zero-delta " +
+      "servable table is a consistent no-op, not a crash") {
+    import graft.pipeline.IncrementalCc
+    import graft.queries.{DedupQueries, Scratch}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "cc_z"))
+    // duplicate-free corpus: every fold is empty, zero deltas on disk
+    IncrementalCc.fold(cat, "cc", Seq.empty[(Long, Long)].toDF("a", "b"))
+    val sigs = Seq((1L, 0L)).toDF("doc_id", "simhash")
+    IncrementalCc.retire(cat, "cc", Seq(1L).toDF("v"),
+      vs => DedupQueries.simhashEdgesVs(
+        sigs.join(vs.select(col("v").as("doc_id")), Seq("doc_id"),
+          "left_semi"),
+        sigs.limit(0)))
+    assert(IncrementalCc.labels(cat, "cc").count() === 0L,
+      "retire on the zero-delta table must serve the empty frame")
+  }
+
   test("d2 jaccard values are in (0.5, 1]") {
     val js = run("d2_ngram_jaccard").select("jaccard").collect().map(_.getDouble(0))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
