@@ -26,10 +26,18 @@ object Graft {
   def session(appName: String = "graft", defaultCpus: String = "32",
               extraConf: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    // Shuffle partitions default to the thread count, but are
+    // independently overridable: at 100 TB partitions scale with DATA
+    // (keep per-partition shuffle mass inside execution memory) while
+    // threads scale with hardware — the census legs exercise exactly
+    // this dial (SCALE.md r17: the frozen 32-partition regime is the
+    // named suspect for d12's above-linear sixth decade).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -37,12 +37,17 @@ object CorpusStream {
   // while matching only the literal name.
   /** `maxFilesPerTrigger` is the micro-batch SIZING dial (r16 verdict
     * #5): unset, Trigger.AvailableNow packs every available file into
-    * one maximal batch — the right default for the stateless decontam/
-    * curation filters, whose per-batch fixed costs (stream-static join
-    * re-reads, sink commits) amortize best over the largest batch.
-    * Setting it bounds per-batch file count for a deployment whose
-    * arrival unit is the file (SCALE.md r17 measures the two ends of
-    * the dial on the 10x census corpus).
+    * one maximal batch — the MEASURED right default for the stateless
+    * decontam/curation filters. The r17 paired legs on the 8-file 10x
+    * census staging (SCALE.md r17, "d16s micro-batch sizing dial")
+    * priced the two ends: 1 maximal batch = 12.3 s vs 8 per-file
+    * batches = 40.4 s, i.e. ~4.0 s FIXED cost per extra micro-batch
+    * (stream-static join static-side re-read, file-sink commit,
+    * per-batch planning — all amortized over batch mass, none over
+    * batch count), with no state-size or latency term pulling the
+    * other way for a stateless filter. Set it only to buy freshness
+    * under a latency SLO, at that ~4 s/batch price on this corpus
+    * shape.
     */
   def source(spark: SparkSession, dir: String,
              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
