@@ -308,6 +308,29 @@ object MinMergeStats {
     v
   }
 
+  /** The UNMERGED candidate rows over the effective delta set — every
+    * delta's rows unioned with NO per-key min. Strictly cheaper than
+    * [[view]] (no aggregate, no shuffle: a plain multi-root scan), and
+    * strictly weaker: a key may appear once per delta that ever
+    * offered a candidate for it, with non-minimal `ord` tuples
+    * included. Correct ONLY for consumers where (a) any candidate row
+    * is as good as the owner — e.g. `ord` is a pure function of the
+    * key, as in o12s's (doc_id → simhash) seen set — and (b)
+    * duplicate keys collapse downstream (the edge probe's contraction
+    * `distinct()`). The r18 o12s stage diff motivated it: the stream
+    * drive paid a corpus-mass merge aggregate per micro-batch to
+    * build a probe input that never needed the merge.
+    */
+  def rawCandidates(cat: Catalog, table: String, keys: Seq[String],
+                    ord: Seq[String]): DataFrame = {
+    val dirs = effectiveDeltas(cat, table)
+    if (dirs.isEmpty) view(cat, table, keys, ord)
+    else cat.spark.read
+      .option("basePath", root(cat, table))
+      .parquet(dirs: _*)
+      .select((keys ++ ord).map(col): _*)
+  }
+
   /** Fold `batch` into `table`: per `keys` group the table's merged
     * reading keeps the minimal `ord` tuple across all folds so far.
     * The batch may carry duplicate keys (the reduce collapses them)

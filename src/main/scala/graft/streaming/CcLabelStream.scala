@@ -65,17 +65,29 @@ object CcLabelStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Break lineage from the streaming source BEFORE the fold:
         // every job planned over a streaming-sourced frame runs with
-        // AQE disabled (ResolveWriteToStream), so the fold's banded
-        // edge probe loses the runtime right-sizing and skew-splitting
-        // the batch twin gets — measured 30.2x per 10x for this drive
-        // at the fifth decade vs the batch drive's 10.6x on the same
-        // corpus in the same window (SCALE.md r17). The materialize is
-        // one micro-batch-sized write; the fold's work is not.
+        // AQE disabled (ResolveWriteToStream) — the materialize is one
+        // micro-batch-sized write; the fold's work is not. Then
+        // REPARTITION the materialized batch to the session's shuffle
+        // parallelism: the scratch write lands as ONE file, and a
+        // one-file scan feeding the CPU-dense banded expansion runs as
+        // ONE task regardless of core count — the r18 stage diff
+        // against the batch twin showed two ~300 s single-task
+        // scan+expand stages per fold at the fifth decade, the largest
+        // single term in the 2.8x stream-vs-batch drive gap (byte-based
+        // split sizing cannot see the probe's per-byte CPU).
+        val n = cat.spark.sessionState.conf.numShufflePartitions
         val b = graft.queries.Scratch.materialize(cat.spark,
-          "o12s_batch", batch)
+          "o12s_batch", batch).repartition(n)
+        // Probe input, not a registry read: the raw candidate rows
+        // skip view()'s per-key merge aggregate — ord (simhash) is a
+        // pure function of the key (doc_id), so any candidate row
+        // equals the owner, and a redelivered doc's duplicate rows
+        // collapse in the contraction's distinct(). The merged view
+        // cost a corpus-mass SortAggregate per micro-batch (the
+        // second-largest term in the r18 stage diff).
         val seen =
           if (MinMergeStats.exists(cat, sigTable))
-            MinMergeStats.view(cat, sigTable, SigKeys, SigOrd)
+            MinMergeStats.rawCandidates(cat, sigTable, SigKeys, SigOrd)
           else b.limit(0)
         IncrementalCc.fold(cat, table,
           DedupQueries.simhashEdgesVs(b, seen)): Unit
