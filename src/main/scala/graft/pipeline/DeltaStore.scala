@@ -74,9 +74,15 @@ private[pipeline] object LocalDeltaStore extends DeltaStore {
   override def putAtomic(path: String, content: String): Unit = {
     val f = new File(path)
     val tmp = Files.createTempFile(f.getParentFile.toPath, f.getName, ".tmp")
-    Files.write(tmp, content.getBytes(UTF_8)): Unit
-    Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    // the temp sibling must not outlive a failed write/move (r18
+    // advisor): listDirs ignores files so a leaked .tmp is invisible
+    // to the protocol, but crashing writers would accumulate them in
+    // the table root forever
+    try {
+      Files.write(tmp, content.getBytes(UTF_8)): Unit
+      Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    } finally Files.deleteIfExists(tmp): Unit
   }
 
   override def read(path: String): String =

@@ -114,10 +114,22 @@ object MinMergeStats {
     * at most this many candidate rows per key in between.
     * Env-overridable (`SPARK_GRAFT_COMPACT_DELTAS`) so the census can
     * price the dial with paired sweeps instead of asserting the
-    * default (r16/r17 verdicts' carried item).
+    * default (12 — the measured sweet spot of the r18 50-fold soak:
+    * 4/12/32 → 116/98/160 s). Validated loudly (r18 advisor): 0 would
+    * make the hot rule and backstop fire on EVERY fold — the exact
+    * per-fold full-rewrite pathology the delta log exists to avoid —
+    * and a silently-defaulted typo would void a census sweep's
+    * pairing, so both non-positive and unparseable values throw.
     */
   val AutoCompactDeltas: Int = sys.env.get("SPARK_GRAFT_COMPACT_DELTAS")
-    .flatMap(_.toIntOption).getOrElse(12)
+    .map { raw =>
+      val v = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_COMPACT_DELTAS='$raw' is not an integer"))
+      require(v >= 1,
+        s"SPARK_GRAFT_COMPACT_DELTAS=$v: must be >= 1 (0 degenerates " +
+          "to a full table rewrite per fold)")
+      v
+    }.getOrElse(12)
 
   private val store: DeltaStore = LocalDeltaStore
 
@@ -320,6 +332,14 @@ object MinMergeStats {
     * `distinct()`). The r18 o12s stage diff motivated it: the stream
     * drive paid a corpus-mass merge aggregate per micro-batch to
     * build a probe input that never needed the merge.
+    *
+    * CALL-SITE INVENTORY (keep current — every new consumer must
+    * satisfy (a)+(b) above, and DedupSpec's rawCandidates-misuse test
+    * demonstrates what goes wrong when (a) fails):
+    *  - CcLabelStream.maintain (streaming/CcLabelStream.scala): seen-
+    *    side probe; (a) holds because simhash = f(doc_id) — pinned by
+    *    StreamingSpec's refold-divergence guard — and (b) by the
+    *    contraction's distinct().
     */
   def rawCandidates(cat: Catalog, table: String, keys: Seq[String],
                     ord: Seq[String]): DataFrame = {
@@ -384,7 +404,14 @@ object MinMergeStats {
       // fires (per-bucket count ≈ delta count, so the hot rule fires
       // first and subsumes it); in the sparse regime the merged mass
       // is small for the same reason the rule never fired — few keys.
-      if (effectiveDeltas(cat, table).size > AutoCompactDeltas)
+      // Checked only when the hot rule did NOT fire this fold (r18
+      // advisor): a mixed-regime fold tripping both rules would
+      // otherwise re-read and re-write the just-compacted hot delta
+      // in the same fold — double write amplification for nothing.
+      // The bound survives the skip: a fold that compacts hot buckets
+      // resets their heat, so the very next fold's hot rule is quiet
+      // and the backstop gets its check then.
+      else if (effectiveDeltas(cat, table).size > AutoCompactDeltas)
         compactBuckets(cat, table, bucketsOver(cat, table, 0), keys, ord)
     }
     view(cat, table, keys, ord)

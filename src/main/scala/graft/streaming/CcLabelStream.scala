@@ -44,6 +44,19 @@ object CcLabelStream {
     StructField("simhash", LongType)))
 
   val SigKeys: Seq[String] = Seq("doc_id")
+
+  /** CONTRACT (load-bearing for the rawCandidates probe below): the
+    * staged files must carry simhash as a pure function of doc_id — a
+    * doc_id re-staged with a DIFFERENT simhash would leave both
+    * signatures in the raw candidate scan, and the probe could emit
+    * edges the o12 batch twin (which reads the merged min) would not.
+    * Redelivery of the SAME (doc_id, simhash) rows is explicitly fine
+    * (the algebra absorbs it — StreamingSpec's replay test). The
+    * divergence-on-misuse is pinned by DedupSpec's
+    * "rawCandidates contract" test; the upstream simhasher satisfies
+    * the contract by construction (simhash is computed from the doc's
+    * immutable text).
+    */
   val SigOrd: Seq[String] = Seq("simhash")
 
   /** Start folding every staged signature file into label table

@@ -188,6 +188,55 @@ class DedupSpec extends SparkTestBase {
       "writer entry must purge the crashed partial delta")
   }
 
+  test("rawCandidates contract: with competing ords per key the raw " +
+      "scan DIVERGES from view (the documented misuse); with ord a " +
+      "pure function of the key — the o12s invariant — dedup restores " +
+      "exact view equivalence") {
+    import graft.pipeline.MinMergeStats
+    import graft.queries.Scratch
+    import spark.implicits._
+    val keys = Seq("k")
+    val ord = Seq("v")
+    // MISUSE: two folds offer genuinely competing ords for each key.
+    // view keeps the min; rawCandidates serves BOTH candidate rows,
+    // non-minimal ords included — a consumer that treats any candidate
+    // as the owner reads values the registry never held.
+    val cat = new graft.engine.Catalog(spark, Scratch.fresh(spark, "raw_mis"))
+    MinMergeStats.fold(cat, "reg", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      keys, ord)
+    MinMergeStats.fold(cat, "reg", Seq((1L, 5L), (2L, 30L)).toDF("k", "v"),
+      keys, ord)
+    val merged = MinMergeStats.view(cat, "reg", keys, ord)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === Map(1L -> 5L, 2L -> 20L), "view must keep the min")
+    val raw = MinMergeStats.rawCandidates(cat, "reg", keys, ord)
+      .as[(Long, Long)].collect().toSeq
+    assert(raw.size === 4, "raw scan serves one row per delta per key")
+    assert(raw.contains((1L, 10L)) && raw.contains((2L, 30L)),
+      "raw scan exposes non-minimal ords — the documented divergence; " +
+        "a consumer without the ord-is-f(key) invariant MUST use view")
+    // INVARIANT REGIME (the CcLabelStream call site): ord is a pure
+    // function of the key, so every candidate row IS the owner row and
+    // a downstream key-dedup (the contraction's distinct) restores
+    // exact equivalence — redeliveries included.
+    val cat2 = new graft.engine.Catalog(spark, Scratch.fresh(spark, "raw_ok"))
+    val f = (k: Long) => k * 7 + 3
+    val b1 = Seq(1L, 2L, 3L).map(k => (k, f(k))).toDF("k", "v")
+    val b2 = Seq(2L, 3L, 4L).map(k => (k, f(k))).toDF("k", "v")
+    Seq(b1, b2, b1).foreach(MinMergeStats.fold(cat2, "reg", _, keys, ord))
+    val viewRows = MinMergeStats.view(cat2, "reg", keys, ord)
+      .as[(Long, Long)].collect().toSet
+    val rawDedup = MinMergeStats.rawCandidates(cat2, "reg", keys, ord)
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(rawDedup === viewRows,
+      "under ord = f(key), deduped rawCandidates must equal view")
+    // and the raw read is the documented cheap path: no aggregate
+    assert(!MinMergeStats.rawCandidates(cat2, "reg", keys, ord)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("aggregate"),
+      "rawCandidates must stay a plain scan — no merge aggregate")
+  }
+
   test("min-merge zero-delta table is servable: a drive whose every " +
       "fold is empty serves an empty frame of the persisted schema " +
       "through view and compact, and IncrementalCc tolerates a " +
