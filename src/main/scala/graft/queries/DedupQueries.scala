@@ -1121,37 +1121,80 @@ object DedupQueries {
         "min(next_pos - pos, L)), all in exact integer arithmetic. " +
         "At 100 TB: the position table is O(corpus chars) rows but " +
         "carries only (doc_id, pos, 8-byte digest) — strings never " +
-        "ride the first two shuffles; the candidate re-join touches " +
-        "only docs containing a recurring digest (O(duplicated " +
-        "content) at real dup rates); the per-doc window partitions " +
-        "on doc_id. No suffix array, no all-pairs, no driver state.",
+        "ride the first shuffle; each recurrence filter moves the " +
+        "table ONCE (count-over-window — measured in r19 against the " +
+        "groupBy+semi-join form, which pays ~2x the persisted shuffle " +
+        "on near-unique digests and either re-sorts or OOMs on the " +
+        "join); doc text joins the candidate set ONCE PER DOC (grams " +
+        "derived in-doc from a collected position list — the r19 fix " +
+        "for the measured 30.6x-per-10x stage: the per-position join " +
+        "form copied the full text into every candidate output row, " +
+        "O(candidates x doc_len) write mass); the per-doc window " +
+        "partitions on doc_id. No suffix array, no all-pairs, no " +
+        "driver state.",
       (s, d) => {
         val L = 24
         val docs = t(s, d, "documents")
           .filter(length(col("text")) >= L)
           .select(col("doc_id"), col("text"))
-        val pos = docs.select(col("doc_id"),
-          posexplode(expr(s"graft_kgram_hashes(text, $L)"))
-            .as(Seq("pos", "h")))
         // n_windows = len - L + 1 by construction: pure arithmetic on
         // the doc scan, not a third full pass over the O(corpus chars)
         // exploded position table
         val nWin = docs.select(col("doc_id"),
           (length(col("text")) - L + 1).cast("long").as("n_windows"))
-        // hot-digest and dup-gram filters as COUNT-over-window on the
-        // same shuffle (the winnowPruned trick) instead of groupBy +
-        // self-join: the groupBy/join form computes the O(corpus
-        // chars) exploded position table TWICE (Catalyst has no CSE
-        // across the self-join) and shuffles it twice per filter; the
-        // window form explodes once and moves the table once per key
-        // (h, then doc_id for the gram re-derive, then gram).
+        // Recurrence filters as COUNT-over-window, one single-pass
+        // shuffle each — an r19 decision MEASURED against the
+        // groupBy.count + semi-join alternative at the sixth decade:
+        // the count aggregate's partial output is ~input-sized on
+        // near-unique digests (+17 GB persisted shuffle), the probe
+        // re-shuffles the O(corpus chars) table a second time
+        // (+21 GB), and a forced shuffle-hash semi-join OOMs the
+        // shared local[32] heap (32 concurrent ~200 MB key-distinct
+        // builds) while sort-merge re-pays the window's sort. The
+        // window moves the table ONCE per key, its per-GROUP buffer
+        // is the digest run (tiny at real dup rates, spill-backed at
+        // census replication rates), and the r19 stage census read
+        // the gram window at 5.6x per 10x — the windows were never
+        // the super-linear term (the candidate re-join was, 30.6x —
+        // fixed below).
+        val pos = docs.select(col("doc_id"),
+          posexplode(expr(s"graft_kgram_hashes(text, $L)"))
+            .as(Seq("pos", "h")))
         val wH = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h"))
-        val cand = pos.withColumn("nh", count(lit(1)).over(wH))
+        // The explicit doc_id repartition UNFUSES the window stage
+        // from the collect_list aggregate below (r19, measured): left
+        // fused, the list aggregate's PARTIAL side runs over
+        // h-partitioned rows, so every task accumulates partial
+        // position lists for ~every doc at once — 32 concurrent
+        // box-heavy maps that GC-thrashed the shared 8 g local[32]
+        // heap to death at the sixth decade. Partitioned by doc_id,
+        // the groupBy plans as ONE post-shuffle aggregate whose
+        // sort-based fallback holds a single doc's list at a time.
+        val candPos = pos.withColumn("nh", count(lit(1)).over(wH))
           .filter(col("nh") >= 2)
+          .select(col("doc_id"), col("pos"))
+          .repartition(col("doc_id"))
+        // Literal-gram re-derive with text shipped ONCE PER DOC (r19
+        // — the fix for the measured 30.6x-per-10x stage): candidate
+        // positions collapse to one row per doc (a position list
+        // bounded by the doc's own length), join the text at doc
+        // granularity, and slice every gram in a single transform()
+        // pass. The per-candidate-POSITION join it replaces copied
+        // the full doc text into every output row — O(candidates x
+        // doc_len) write mass that grows super-linearly as the
+        // corpus's duplicate fraction rises.
+        val cand = candPos.groupBy(col("doc_id"))
+          .agg(collect_list(col("pos")).as("ps"))
           .join(docs, Seq("doc_id"))
-          .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
-          .select(col("doc_id"), col("pos"), col("gram"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(ps, p -> named_struct(" +
+              s"'pos', p, 'gram', substring(text, p + 1, $L)))"))
+            .as("pg"))
+          .select(col("doc_id"), col("pg.pos").as("pos"),
+            col("pg.gram").as("gram"))
+        // Gram confirm (equal grams imply equal digests, so
+        // candidate-local counts equal corpus-wide counts).
         val wG = org.apache.spark.sql.expressions.Window
           .partitionBy(col("gram"))
         val dpos = cand.withColumn("ng", count(lit(1)).over(wG))
