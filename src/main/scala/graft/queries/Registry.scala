@@ -42,6 +42,37 @@ object Scratch {
     s.read.parquet(path)
   }
 
+  /** [[materialize]] for a CPU-DENSE consumer, with task count sized
+    * from the batch's actual on-disk bytes. Byte-based split sizing
+    * (`files.maxPartitionBytes`, default 128 MB) assumes IO-bound
+    * scans; a consumer burning ~100 s of CPU per scanned MB (the o12s
+    * banded probe — r18 stage diff: a ~300 s SINGLE-task scan+expand
+    * over a low-MB scratch file) needs tasks sized to its density, not
+    * to IO. The r18 fix pinned the repartition at session parallelism,
+    * which un-collapsed the census-scale stages but pays one 32-way
+    * exchange + up-to-32-way output fragmentation on EVERY micro-batch
+    * — including suite-scale batches of a few KB (r18 verdict #4).
+    * This sizes instead: n = ceil(onDiskBytes / targetBytes) capped at
+    * session parallelism, and SKIPS the exchange entirely when one
+    * task is right — a KB-scale micro-batch keeps the r17 single-file
+    * shape, a census-scale one fans out to full parallelism.
+    * `targetBytes` is the caller's measured density dial: bytes a
+    * single task should own, chosen so a task runs seconds, not
+    * minutes.
+    */
+  def materializeForCpu(s: SparkSession, name: String, df: DataFrame,
+                        targetBytes: Long): DataFrame = {
+    val path = fresh(s, name)
+    df.write.mode("overwrite").parquet(path)
+    val bytes = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).map(_.length).sum
+    val cap = s.sessionState.conf.numShufflePartitions.toLong
+    val n = math.min(cap, (bytes + targetBytes - 1) / targetBytes).toInt
+    val back = s.read.parquet(path)
+    if (n <= 1) back else back.repartition(n)
+  }
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

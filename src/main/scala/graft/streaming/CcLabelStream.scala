@@ -79,18 +79,19 @@ object CcLabelStream {
         // Break lineage from the streaming source BEFORE the fold:
         // every job planned over a streaming-sourced frame runs with
         // AQE disabled (ResolveWriteToStream) — the materialize is one
-        // micro-batch-sized write; the fold's work is not. Then
-        // REPARTITION the materialized batch to the session's shuffle
-        // parallelism: the scratch write lands as ONE file, and a
-        // one-file scan feeding the CPU-dense banded expansion runs as
-        // ONE task regardless of core count — the r18 stage diff
-        // against the batch twin showed two ~300 s single-task
-        // scan+expand stages per fold at the fifth decade, the largest
-        // single term in the 2.8x stream-vs-batch drive gap (byte-based
-        // split sizing cannot see the probe's per-byte CPU).
-        val n = cat.spark.sessionState.conf.numShufflePartitions
-        val b = graft.queries.Scratch.materialize(cat.spark,
-          "o12s_batch", batch).repartition(n)
+        // micro-batch-sized write; the fold's work is not. Then fan
+        // the materialized batch out for the CPU-dense banded
+        // expansion, sized from its on-disk bytes (r19; was pinned at
+        // session parallelism): the r18 stage diff against the batch
+        // twin showed a one-file scratch scan feeding the band expand
+        // ran as ONE ~300 s task on a low-MB signature batch — ~100+ s
+        // of CPU per scanned MB, a density byte-based split sizing
+        // cannot see. 64 KB per task ≈ ~10 s tasks at that measured
+        // density; a suite-scale KB batch stays one task with NO
+        // exchange (the r17 shape), a census-scale batch fans out to
+        // session parallelism (the cap).
+        val b = graft.queries.Scratch.materializeForCpu(cat.spark,
+          "o12s_batch", batch, targetBytes = 64L << 10)
         // Probe input, not a registry read: the raw candidate rows
         // skip view()'s per-key merge aggregate — ord (simhash) is a
         // pure function of the key (doc_id), so any candidate row

@@ -64,15 +64,15 @@ object SegmentRegistryStream {
         // Break lineage from the streaming source before the fold —
         // jobs planned over a streaming-sourced frame run AQE-less
         // (see CcLabelStream for the measured fifth-decade cost); the
-        // materialize is one micro-batch-sized write. Repartition the
-        // materialized batch to the session's shuffle parallelism:
-        // the scratch lands as one file, and a one-file scan feeding
-        // the tokenize + segment-explode runs as one task regardless
-        // of core count (the CcLabelStream r18 stage-diff finding,
-        // applied to this sink's identical materialize shape).
-        val b = graft.queries.Scratch.materialize(cat.spark,
-          "o11s_batch", batch)
-          .repartition(cat.spark.sessionState.conf.numShufflePartitions)
+        // materialize is one micro-batch-sized write. Fan out for the
+        // tokenize + segment-explode sized from the batch's on-disk
+        // bytes (r19; was pinned at session parallelism — the
+        // CcLabelStream stage-diff finding applied to this sink's
+        // identical materialize shape): text hashing runs ~1-3 s of
+        // CPU per MB, so 1 MB-per-task keeps tasks in the seconds
+        // while a suite-scale batch stays one task with no exchange.
+        val b = graft.queries.Scratch.materializeForCpu(cat.spark,
+          "o11s_batch", batch, targetBytes = 1L << 20)
         val toks = b.select(col("doc_id"),
           split(trim(col("text")), "\\s+").as("tk"))
         MinMergeStats.fold(cat, table,
