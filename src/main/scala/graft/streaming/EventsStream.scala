@@ -50,18 +50,36 @@ object EventsStream {
     * computed from the bounded input: source rows (a metadata-only
     * parquet footer count) × the operator's state expansion factor
     * (the sliding window holds window/slide = 4 entries per event),
-    * targeting ~100k state rows per partition, clamped to [8, 32].
+    * targeting ~100k state rows per partition, clamped to [4, 32].
     * A fixed 8 was measured 2× WORSE than 32 for the sliding window
     * at the 10× census decade (state became data-dominated) while 32
     * stayed 32× bookkeeping overhead at bench scale — the knob must
-    * follow volume, exactly as it would at 100 TB.
+    * follow volume, exactly as it would at 100 TB. The floor dropped
+    * 8 → 4 in r19: every state-store instance pays open/commit file
+    * ops per micro-batch (a stream-stream join holds four stores per
+    * partition), and the formula already moves the count up with
+    * volume long before any decade where the floor could bind — the
+    * floor only shapes the KB-scale replay, where fewer stores is
+    * strictly less bookkeeping.
     */
   private[streaming] def statePartitionsFor(spark: SparkSession,
                                             dir: String,
                                             stateFactor: Long = 1L): Int = {
-    val rows = spark.read.parquet(s"$dir/events.parquet").count()
-    math.min(32L, math.max(8L, rows * stateFactor / 100000L)).toInt
+    val rows = eventRows(spark, dir)
+    math.min(32L, math.max(4L, rows * stateFactor / 100000L)).toInt
   }
+
+  /** Source row count for the state sizing above, memoized per
+    * (session, dir): it is a constant of the corpus, and un-memoized
+    * every one-shot replay paid a count job for it before its stream
+    * even started (r19 — the streaming rows are fixed-overhead-bound
+    * at bench scale, measured flat from sf0.001 to sf0.1).
+    */
+  private val rowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def eventRows(spark: SparkSession, dir: String): Long =
+    rowsMemo.computeIfAbsent(s"${spark.sparkContext.applicationId}:$dir",
+      _ => spark.read.parquet(s"$dir/events.parquet").count()).longValue()
 
   /** Streaming source over the events parquet, normalized through the
     * SAME type-tolerant reader as the batch side
