@@ -51,10 +51,25 @@ object Graft {
     spark
   }
 
-  /** Load one named table from a scale-factor directory. */
+  /** Load one named table from a scale-factor directory. The analyzed
+    * frame is memoized per (session, dir, name) — r19: every
+    * `spark.read.parquet` call re-lists the path and re-reads a
+    * parquet footer for schema inference, and a 179-query bench run
+    * re-created these frames hundreds of times per run. The inputs
+    * are the read-only testdata dirs (immutable by contract), and a
+    * DataFrame is an immutable plan, so reuse is free; the events
+    * normalization rides inside the memoized frame.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    tableMemo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$name",
+      _ =>
+        if (name == "events") normalizeTs(
+          spark.read.parquet(s"$dir/events.parquet"))
+        else spark.read.parquet(s"$dir/$name.parquet"))
+
+  private val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Normalize `ts` to session TimestampType regardless of the physical
     * form it arrived in. Event-log producers drift: the same logical
@@ -96,7 +111,7 @@ object Graft {
 
   /** The events table with `ts` normalized via [[normalizeTs]]. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    table(spark, dir, "events")
 
   /** Register every testdata table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
